@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale text pipelines (extension M6).
+
+All operators are expressed with built-in columnar functions (no Python
+UDFs) so they stay inside whole-stage codegen, and are deterministic:
+hashing is md5/xxhash64 on explicit inputs, never engine-internal hash
+partitioning, so results are reproducible across engines and runs.
+
+Scale design:
+* exact dedup        -- one shuffle on the digest; map-side partial agg.
+* shingling          -- explode is linear in total shingles; shingles are
+                        hashed to 64-bit before the shuffle so shuffle
+                        payload is fixed-width.
+* MinHash + LSH      -- per-doc signature is an aggregation over shingle
+                        hashes (one shuffle); banding turns all-pairs into
+                        an equi-join on (band, band_hash) buckets, i.e.
+                        candidate pairs only — never the O(n^2) cross join.
+* SimHash            -- bit-vote aggregation over token hashes; near-dup
+                        candidates via band equi-join on bit slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts by md5 digest; keep min-id representative.
+
+    Returns (fingerprint, representative id, duplicate count).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )
+
+
+def normalize_for_shingling(text: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles of ``text`` as an array of strings (distinct)."""
+    words = F.split(normalize_for_shingling(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity >= threshold.
+
+    Inverted-index join: explode shingles, self-join on the shingle hash
+    (only docs sharing >=1 shingle ever meet), count the intersection, then
+    |A ∪ B| = |A| + |B| - |A ∩ B|.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b.  At scale the shingle hash join key is 64-bit and hot
+    shingles can be capped with a document-frequency filter (``max_df``
+    would drop stop-shingles) — kept exact here.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    ).select("doc", F.xxhash64("sh").alias("sh"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-document MinHash signature (array of num_hashes 64-bit minima).
+
+    Each hash function i is xxhash64(shingle, seed=i); the signature is the
+    elementwise min over the document's shingles — computed columnar as an
+    aggregate over the exploded shingle set (one shuffle on doc id).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs whose signature agrees on all rows of any band.
+
+    Returns candidate pairs (id_a, id_b, n_bands_matched).  The band digest
+    equi-join replaces the all-pairs comparison; with b bands of r rows the
+    match probability is 1-(1-s^r)^b for Jaccard s.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.col("signature")[i * rows_per_band + j].cast("string") for j in range(rows_per_band)])
+                ).alias("digest"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = signatures.select("doc", F.explode(band_structs).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.digest").alias("digest")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens, fully columnar.
+
+    Per token: h = xxhash64(token); each bit votes +1/-1; the fingerprint
+    sets bit i when the summed vote is positive.  Implemented with
+    higher-order array functions (no UDF): aggregate over the token array
+    per row — no extra shuffle at all.
+    """
+    tokens = F.split(normalize_for_shingling(F.col(text_col)), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # Per bit i: vote = sum over token hashes of +1/-1 depending on bit i.
+    # shiftright needs a literal bit count, so bits are unrolled in Python —
+    # 64 aggregates over the same (reused) hash array, still one pass per row.
+    def bit_vote_merger(i: int):
+        # factory keeps the lambda strictly 2-argument (PySpark inspects arity)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    fingerprint = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote_merger(i))
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.select(F.col(id_col).alias("doc"), fingerprint.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole LSH: split the 64-bit fingerprint into ``bands`` slices; any
+    pair within distance < bands must agree exactly on >=1 slice, so the
+    candidate join is an equi-join on (slice index, slice value).
+    """
+    width = 64 // bands
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("slice"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = fingerprints.select("doc", "simhash", F.explode(slices).alias("s")).select(
+        "doc", "simhash", F.col("s.band").alias("band"), F.col("s.slice").alias("slice")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

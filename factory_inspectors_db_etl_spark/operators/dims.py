@@ -1,0 +1,83 @@
+"""Dimension building and FK resolution (SURVEY.md §2.4 J1-J5).
+
+The reference resolves dimensions row-at-a-time with an in-process cache +
+``SELECT``/``INSERT RETURNING`` round-trips (populate_db_ru_v1.py:181-212).
+Spark-first, the whole pattern inverts into set operations:
+
+* ``build_dim``    -- J2 get-or-create == dropDuplicates + row_number
+                      surrogate keys, deterministic by natural-key order.
+* ``resolve_fk``   -- J1 fact->dim natural-key lookup == broadcast hash
+                      join (dims are small by construction; the reference's
+                      cache dict IS the broadcast hash table).
+* ``null_safe_join`` -- J3 composite keys where NULL must match NULL
+                      (populate_db_ru_v1.py:229-235) == `<=>` equality.
+
+Scale notes: dims stay broadcastable (bounded key domains); the only
+shuffle is the dedup inside ``build_dim``, which is a partial-agg-friendly
+``dropDuplicates`` on the natural key.  The global ``row_number`` window for
+surrogate keys is a single-partition pass over the *deduplicated* dim (tiny),
+never over the fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dim(
+    df: DataFrame,
+    natural_key: Sequence[str],
+    id_col: str,
+    extra_cols: Sequence[str] = (),
+    start_id: int = 1,
+) -> DataFrame:
+    """Deduplicate ``natural_key`` and mint dense surrogate ids.
+
+    Surrogate ids are ordered by the natural key so they are deterministic
+    across runs/partitionings (documented divergence from the reference's
+    insertion-order SERIAL ids — equivalence is on natural keys, SURVEY.md §7).
+    ``extra_cols`` are carried with ``first()`` per key.
+    """
+    nk = list(natural_key)
+    aggs = [F.first(c, ignorenulls=True).alias(c) for c in extra_cols]
+    dedup = df.groupBy(*nk).agg(*aggs) if aggs else df.select(*nk).dropDuplicates(nk)
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in nk])
+    return dedup.withColumn(id_col, (F.row_number().over(w) + F.lit(start_id - 1)).cast("int"))
+
+
+def resolve_fk(
+    fact: DataFrame,
+    dim: DataFrame,
+    natural_key: Sequence[str],
+    id_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Attach ``dim``'s surrogate ``id_col`` to ``fact`` by natural key.
+
+    Broadcast hash join — no shuffle of the fact side.
+    """
+    keep = fact.join(F.broadcast(dim.select(*natural_key, id_col)), on=list(natural_key), how=how)
+    return keep
+
+
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Join where NULL key components match NULL (SQL ``<=>`` / eqNullSafe)."""
+    r = F.broadcast(right) if broadcast_right else right
+    cond: Column | None = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else (cond & c)
+    joined = left.join(r, on=cond, how=how)
+    # drop the duplicate right-side key columns
+    for k in keys:
+        joined = joined.drop(right[k])
+    return joined

@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines (extension M6).
+
+Everything is built-in columnar expressions (JVM-side, codegen'd) — no
+Python UDFs — so these run at scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword language
+# heuristic.  Deliberately small and public-knowledge; real deployments
+# would broadcast a fuller table.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization after trim; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[a-z0-9 ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_STOPWORDS["en"]
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation, and missing stopwords.  Deterministic and SQL-expressible.
+    """
+    length_term = F.least(token_count(text).cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    sw_term = F.least(stopword_ratio(text) * 10.0, F.lit(1.0))
+    return F.round((length_term + punct_term + sw_term) / 3.0, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization-invariant document fingerprint: md5 of the
+    lowercase/whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def language_guess(text: Column) -> Column:
+    """Stopword-vote language heuristic over LANG_STOPWORDS; 'und'
+    (undetermined) when no language scores > 0.  Ties break by language
+    code order for determinism.
+    """
+    toks = tokens(F.lower(text))
+    expr = F.lit("und")
+    best = F.lit(0)
+
+    def count_hits(stopwords: list[str]):
+        # NOTE: the lambda must be single-argument — a second parameter
+        # (even defaulted) makes F.filter pass the element index into it.
+        return F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+
+    # when-ladder: languages evaluated in sorted order, later language wins
+    # only on a strictly higher vote (ties break to the earlier code)
+    for lang in sorted(LANG_STOPWORDS):
+        hits = count_hits(LANG_STOPWORDS[lang])
+        expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(hits, best)
+    return expr

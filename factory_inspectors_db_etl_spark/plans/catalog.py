@@ -1,0 +1,894 @@
+"""Named query catalog: one entry per operator of SURVEY.md §2 (+ M6
+extensions), each with a DuckDB oracle for the driver's correctness gate.
+
+Cross-engine determinism conventions (the driver hash-compares values):
+
+* Money/value doubles in the test data are exactly 2-decimal, so sums are
+  computed over ``CAST(x AS DECIMAL(18,2))`` in BOTH engines (exact), then
+  cast to DOUBLE (deterministic rounding) — bit-identical results.
+* Averages are ``CAST(exact-decimal-sum AS DOUBLE) / count`` — one IEEE
+  division on identical inputs.
+* Every rank/limit has a total ordering (explicit tiebreak columns).
+* Window/LSH hashes are md5/xxhash64 on explicit strings, not engine hash
+  partitioning.  xxhash64-based ops have no DuckDB equivalent and are
+  registered as rows-only checks (no oracle entry).
+* DuckDB ``row_number``/``rank``/``ntile`` return BIGINT; oracles cast to
+  INTEGER to match Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_fill
+from ..operators.dedup import exact_dedup, minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs, simhash
+from ..operators.dims import build_dim, null_safe_join
+from ..operators.fill import forward_fill
+from ..operators.similarity import cosine_topk_bruteforce, lsh_bucket_topk
+from ..operators import text_analysis as TA
+from ..sources.tables import load_table
+
+
+def _dec(c) -> F.Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (S1, P1-P6 analogs)
+# ---------------------------------------------------------------------------
+
+def q_s1_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/P-family: parquet scan with pushed-down filter + pruned columns +
+    computed projection.  .explain shows PushedFilters on l_shipdate and a
+    3-column ReadSchema."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1995-06-01")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("disc_price"),
+        )
+    )
+
+
+O_S1 = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+"""
+
+
+def q_f5_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 analog: regex group extraction from a semi-structured string."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_value"),
+    )
+
+
+O_F5 = """
+SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value FROM events
+"""
+
+
+def q_f2_clean_number(spark: SparkSession, sf: str) -> DataFrame:
+    """F2: digit extraction + int cast (thousands-separator-safe cleaner)."""
+    from ..functions.text import clean_number
+
+    p = load_table(spark, sf, "part")
+    return p.select("p_partkey", clean_number(F.col("p_brand")).alias("brand_num"))
+
+
+O_F2 = """
+SELECT p_partkey, CAST(regexp_replace(p_brand, '[^0-9]', '', 'g') AS INTEGER) AS brand_num FROM part
+"""
+
+
+def q_f8_token_sort_canon(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 analog (name canonicalization pattern): tokenize, sort tokens,
+    re-join — permutation-invariant canonical key."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.split(F.col("p_name"), " ")), " ").alias("canon_name"),
+    )
+
+
+O_F8 = """
+SELECT p_partkey, array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS canon_name FROM part
+"""
+
+
+def q_f9_case_ladder(spark: SparkSession, sf: str) -> DataFrame:
+    """F9: exact-match classification ladder with regex fallback."""
+    ev = load_table(spark, sf, "events")
+    cat = (
+        F.when(F.col("event_type") == "purchase", "revenue")
+        .when(F.col("event_type") == "signup", "growth")
+        .when(F.col("event_type") == "error", "ops")
+        .when(F.col("event_type").rlike("^c"), "engagement")
+        .otherwise("other")
+    )
+    return ev.groupBy(cat.alias("category")).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+O_F9 = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
+            WHEN event_type = 'signup' THEN 'growth'
+            WHEN event_type = 'error' THEN 'ops'
+            WHEN regexp_matches(event_type, '^c') THEN 'engagement'
+            ELSE 'other' END AS category,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_f10_dict_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """F10: dictionary canonicalization via broadcast lookup join with
+    fallback (the reference's abbr->full-name dance, minus the SQL
+    round-trips)."""
+    ev = load_table(spark, sf, "events")
+    lookup = spark.createDataFrame(
+        [("signup", "Sign Up"), ("purchase", "Purchase"), ("click", "Click")],
+        schema="event_type string, canonical string",
+    )
+    joined = ev.join(F.broadcast(lookup), "event_type", "left")
+    canon = F.coalesce(F.col("canonical"), F.concat(F.lit("unknown:"), F.col("event_type")))
+    return joined.groupBy(canon.alias("canonical_type")).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+O_F10 = """
+SELECT coalesce(m.canonical, 'unknown:' || e.event_type) AS canonical_type, count(*) AS n_events
+FROM events e
+LEFT JOIN (VALUES ('signup','Sign Up'), ('purchase','Purchase'), ('click','Click')) m(event_type, canonical)
+  ON e.event_type = m.event_type
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A4)
+# ---------------------------------------------------------------------------
+
+def q_a1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/A4: TPC-H Q1-shaped grouped aggregation (partial+final hash agg)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_A1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a3_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: hierarchical rollup (region -> nation -> grand total)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+
+
+O_A3 = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_a4_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A4: exact distinct aggregation (expand + two-phase agg)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+O_A4 = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J8)
+# ---------------------------------------------------------------------------
+
+def q_j1_broadcast_dim_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: fact->dim broadcast hash join (no shuffle of the fact side)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+O_J1 = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_j2_surrogate_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: get-or-create == dedup + deterministic row_number surrogate keys."""
+    p = load_table(spark, sf, "part")
+    return build_dim(p, ["p_type"], "type_id")
+
+
+O_J2 = """
+SELECT p_type, CAST(row_number() OVER (ORDER BY p_type) AS INTEGER) AS type_id
+FROM (SELECT DISTINCT p_type FROM part)
+"""
+
+
+def q_j3_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3: null-safe composite-key join (NULL matches NULL, SQL <=>)."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    cb = c.select("c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("bucket"))
+    sb = (
+        s.select(F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = null_safe_join(cb, sb, ["bucket"], how="left")
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_cust"), F.max("n_supp").alias("n_supp")
+    )
+
+
+O_J3 = """
+WITH cb AS (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS bucket FROM customer),
+     sb AS (SELECT nullif(s_nationkey % 5, 0) AS bucket, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT cb.bucket, count(*) AS n_cust, max(sb.n_supp) AS n_supp
+FROM cb LEFT JOIN sb ON cb.bucket IS NOT DISTINCT FROM sb.bucket
+GROUP BY cb.bucket
+"""
+
+
+def q_j5_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: anti-membership (parts never ordered) == left_anti join."""
+    p = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+O_J5 = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_j6_asof_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """J6: as-of lookback — latest prior signup value per user carried onto
+    every event (the senior-inspector back-reference pattern, as a window
+    over the in-flight frame instead of a write-read cycle)."""
+    ev = load_table(spark, sf, "events")
+    out = asof_fill(
+        ev,
+        condition=F.col("event_type") == "signup",
+        payload=["value"],
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        out_prefix="asof_",
+    )
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+O_J6 = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_value
+FROM events
+"""
+
+
+def q_j8_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J8: range/interval join (point-in-interval bucket classification) —
+    broadcast nested-loop over a tiny interval table."""
+    p = load_table(spark, sf, "part")
+    buckets = spark.createDataFrame(
+        [("small", 0, 10), ("medium", 10, 20), ("large", 20, 30), ("xlarge", 30, 40), ("jumbo", 40, 60)],
+        schema="size_class string, lo int, hi int",
+    )
+    joined = p.join(
+        F.broadcast(buckets), (p.p_size >= buckets.lo) & (p.p_size < buckets.hi)
+    )
+    return joined.groupBy("size_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(_dec("p_retailprice")).cast("double").alias("total_price"),
+    )
+
+
+O_J8 = """
+SELECT size_class, count(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM part
+JOIN (VALUES ('small',0,10), ('medium',10,20), ('large',20,30), ('xlarge',30,40), ('jumbo',40,60)) b(size_class, lo, hi)
+  ON p_size >= lo AND p_size < hi
+GROUP BY size_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W8)
+# ---------------------------------------------------------------------------
+
+def q_w1_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/W2: ditto-style forward fill of the last non-null marker within an
+    ordered group.  The order key (o_orderdate, o_orderkey) is total —
+    forward fills are only deterministic under a total per-partition order
+    (the reader-minted row_idx plays this role in the ETL pipeline)."""
+    o = load_table(spark, sf, "orders")
+    df = o.withColumn("marker", F.nullif(F.col("o_orderstatus"), F.lit("O")))
+    filled = forward_fill(
+        df,
+        "marker",
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        out_col="filled_status",
+    )
+    return filled.select("o_custkey", "o_orderkey", "filled_status")
+
+
+O_W1 = """
+SELECT o_custkey, o_orderkey,
+       last_value(nullif(o_orderstatus, 'O') IGNORE NULLS)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS filled_status
+FROM orders
+"""
+
+
+def q_w5_latest_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """W5/O2: top-1 per group (latest order per customer)."""
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+O_W5 = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_w6_global_surrogate(spark: SparkSession, sf: str) -> DataFrame:
+    """W6: stable global surrogate ids ordered by natural key."""
+    d = load_table(spark, sf, "documents")
+    w = W.orderBy("source", "doc_id")
+    return d.select("doc_id", "source").withColumn(
+        "row_id", F.row_number().over(w).cast("int")
+    )
+
+
+O_W6 = """
+SELECT doc_id, source, CAST(row_number() OVER (ORDER BY source, doc_id) AS INTEGER) AS row_id
+FROM documents
+"""
+
+
+def q_w7_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """W7: career-trajectory style lag/lead (value delta per user over time)."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = (_dec("value") - F.lag(_dec("value")).over(w)).cast("double")
+    return ev.select("event_id", "user_id", delta.alias("value_delta"))
+
+
+O_W7 = """
+SELECT event_id, user_id,
+       CAST(CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS value_delta
+FROM events
+"""
+
+
+def q_w8_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """W8: ranking family (rank / dense_rank / ntile) with total ordering."""
+    c = load_table(spark, sf, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+O_W8 = """
+SELECT c_custkey, c_nationkey,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops (O5, E1-E3)
+# ---------------------------------------------------------------------------
+
+def q_o5_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """O5: top-k with total ordering (TakeOrderedAndProject)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+O_O5 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+def q_e1_union_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """E1: cross-source union + set-semantics dedup."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+O_E1 = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_e2_except(spark: SparkSession, sf: str) -> DataFrame:
+    """E2: key-space exclusion (EXCEPT)."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(s.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+O_E2 = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_e3_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """E3: INTERSECT."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+O_E3 = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantics, batch-checked (§2.9)
+# ---------------------------------------------------------------------------
+
+def q_s9_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 10-minute event-time window (same operator Structured
+    Streaming uses; here batch-evaluated so the oracle can check it)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+O_S9 = """
+SELECT date_trunc('hour', ts) + INTERVAL (floor(extract('minute' FROM ts) / 10) * 10) MINUTE AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_s10_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — the streaming
+    session_window operator, batch-evaluated; oracle is the classic
+    gaps-and-islands rewrite."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+O_S10 = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# M6 extensions: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def q_d_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groups with representative + count."""
+    d = load_table(spark, sf, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+O_D_EXACT = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS representative_id, count(*) AS n_duplicates
+FROM documents GROUP BY 1
+"""
+
+
+def q_d_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via inverted-index join (no cross
+    product).  Shingle identity via xxhash64 in Spark == raw-string join in
+    the oracle (collision probability ~2^-64)."""
+    d = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+
+
+O_D_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64 signatures -> banded
+    equi-join).  Rows-only check: xxhash64 has no DuckDB equivalent."""
+    d = load_table(spark, sf, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", k=5, num_hashes=64)
+    return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+
+
+def q_d_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (rows-only check: xxhash64-based)."""
+    d = load_table(spark, sf, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+def q_t_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: token count, char count, mean token length,
+    normalization-invariant fingerprint."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TA.token_count(t).alias("n_tokens"),
+        TA.char_count(t).alias("n_chars_measured"),
+        TA.mean_token_length(t).alias("mean_token_len"),
+        TA.fingerprint(t).alias("fingerprint"),
+    )
+
+
+O_T_STATS = """
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       CASE WHEN trim(text) = '' OR len(w) = 0 THEN 0.0
+            ELSE CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w) END AS mean_token_len,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM t
+"""
+
+
+def q_t_language_guess(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: stopword votes, ties to earlier language code."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", TA.language_guess(F.col("text")).alias("lang_guess"))
+
+
+O_T_LANG = """
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS de,
+         len(list_filter(w, x -> x IN ('the','and','of','to','in'))) AS en,
+         len(list_filter(w, x -> x IN ('el','la','de','que','los'))) AS es,
+         len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN fr > greatest(de, en, es) THEN 'fr'
+            WHEN es > greatest(de, en) THEN 'es'
+            WHEN en > de THEN 'en'
+            WHEN de > 0 THEN 'de'
+            ELSE 'und' END AS lang_guess
+FROM c
+"""
+
+
+def q_t_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword composite in [0,1]."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TA.token_count(t).alias("n_tokens"),
+        TA.stopword_ratio(t).alias("stopword_ratio"),
+        TA.quality_score(t).alias("quality"),
+    )
+
+
+O_T_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS wl
+  FROM documents
+), m AS (
+  SELECT doc_id, text, len(w) AS n_tokens,
+         CASE WHEN len(wl) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(wl, x -> x IN ('the','and','of','to','in'))) AS DOUBLE) / len(wl) END AS swr,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS pr
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, swr AS stopword_ratio,
+       round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+            + (1.0 - least(pr * 5.0, 1.0))
+            + least(swr * 10.0, 1.0)) / 3.0, 4) AS quality
+FROM m
+"""
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors.
+    Double-precision left-to-right dot products in both engines."""
+    e = load_table(spark, sf, "embeddings")
+    return cosine_topk_bruteforce(
+        e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+O_SIM_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(q.qv, q.qv))), 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (rows-only: bucketing uses
+    seeded random hyperplanes; the scale path for ANN)."""
+    e = load_table(spark, sf, "embeddings")
+    return lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue per (region, nation).
+
+    Plan shape at scale: lineitem (big) shuffles once on l_orderkey to meet
+    orders; customer joins broadcast nation/region; AQE converts the
+    orders->customer join to broadcast when small enough."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+O_FLAGSHIP = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_q5_revenue": flagship,
+    "s1_filter_project": q_s1_filter_project,
+    "f2_clean_number": q_f2_clean_number,
+    "f5_regex_extract": q_f5_regex_extract,
+    "f8_token_sort_canon": q_f8_token_sort_canon,
+    "f9_case_ladder": q_f9_case_ladder,
+    "f10_dict_canonicalize": q_f10_dict_canonicalize,
+    "a1_pricing_summary": q_a1_pricing_summary,
+    "a3_rollup": q_a3_rollup,
+    "a4_distinct_counts": q_a4_distinct_counts,
+    "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
+    "j2_surrogate_dim": q_j2_surrogate_dim,
+    "j3_nullsafe_join": q_j3_nullsafe_join,
+    "j5_anti_join": q_j5_anti_join,
+    "j6_asof_fill": q_j6_asof_fill,
+    "j8_range_join": q_j8_range_join,
+    "w1_forward_fill": q_w1_forward_fill,
+    "w5_latest_per_group": q_w5_latest_per_group,
+    "w6_global_surrogate": q_w6_global_surrogate,
+    "w7_lag_delta": q_w7_lag_delta,
+    "w8_rank_suite": q_w8_rank_suite,
+    "o5_topk": q_o5_topk,
+    "e1_union_dedup": q_e1_union_dedup,
+    "e2_except": q_e2_except,
+    "e3_intersect": q_e3_intersect,
+    "s9_tumbling_window": q_s9_tumbling_window,
+    "s10_session_window": q_s10_session_window,
+    "d_exact_dedup": q_d_exact_dedup,
+    "d_ngram_jaccard": q_d_ngram_jaccard,
+    "d_minhash_lsh": q_d_minhash_lsh,
+    "d_simhash": q_d_simhash,
+    "t_text_stats": q_t_text_stats,
+    "t_language_guess": q_t_language_guess,
+    "t_quality_score": q_t_quality_score,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_q5_revenue": O_FLAGSHIP,
+    "s1_filter_project": O_S1,
+    "f2_clean_number": O_F2,
+    "f5_regex_extract": O_F5,
+    "f8_token_sort_canon": O_F8,
+    "f9_case_ladder": O_F9,
+    "f10_dict_canonicalize": O_F10,
+    "a1_pricing_summary": O_A1,
+    "a3_rollup": O_A3,
+    "a4_distinct_counts": O_A4,
+    "j1_broadcast_dim_join": O_J1,
+    "j2_surrogate_dim": O_J2,
+    "j3_nullsafe_join": O_J3,
+    "j5_anti_join": O_J5,
+    "j6_asof_fill": O_J6,
+    "j8_range_join": O_J8,
+    "w1_forward_fill": O_W1,
+    "w5_latest_per_group": O_W5,
+    "w6_global_surrogate": O_W6,
+    "w7_lag_delta": O_W7,
+    "w8_rank_suite": O_W8,
+    "o5_topk": O_O5,
+    "e1_union_dedup": O_E1,
+    "e2_except": O_E2,
+    "e3_intersect": O_E3,
+    "s9_tumbling_window": O_S9,
+    "s10_session_window": O_S10,
+    "d_exact_dedup": O_D_EXACT,
+    "d_ngram_jaccard": O_D_JACCARD,
+    "t_text_stats": O_T_STATS,
+    "t_language_guess": O_T_LANG,
+    "t_quality_score": O_T_QUALITY,
+    "sim_cosine_topk": O_SIM_TOPK,
+    # rows-only (no SQL-expressible oracle): d_minhash_lsh, d_simhash, sim_lsh_topk
+}

@@ -1,0 +1,101 @@
+"""Simulates the external driver: imports __spark_entry__ by path, uses a
+bare SparkSession (no helpful configs), runs entry() + every query at the
+given sf dir, and order-insensitively compares against the DuckDB oracles.
+
+Usage: python scripts/driver_sim.py [sf_dir] [--hostile]
+  --hostile: non-UTC session timezone + Arrow off + 200 shuffle partitions
+             (worst-case driver config).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import json
+import math
+import sys
+import time
+
+import duckdb
+
+REPO = "/root/repo"
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+HOSTILE = "--hostile" in sys.argv
+
+spec = importlib.util.spec_from_file_location("__spark_entry__", f"{REPO}/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+b = SparkSession.builder.master("local[8]").appName("driver-sim")
+if HOSTILE:
+    b = (
+        b.config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+    )
+spark = b.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+
+def norm_cell(x):
+    if x is None:
+        return "NULL"
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "NULL"
+        return repr(x)
+    return str(x)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+t0 = time.time()
+edf = mod.entry(spark)
+n = edf.count()
+print(f"entry(): {n} rows, schema={[f.name for f in edf.schema]}, {time.time()-t0:.1f}s")
+assert n > 0
+
+results = {}
+oracles = mod.oracle_sql()
+for name, fn in mod.queries().items():
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            results[name] = {"status": "rows-only", "rows": len(srows), "sec": round(time.time() - t0, 2)}
+            continue
+        ores = con.sql(oracles[name])
+        orows = ores.fetchall()
+        ocols = [d[0] for d in ores.description]
+        # normalize python datetimes both sides via str()
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        ok_hash = sh == oh
+        results[name] = {
+            "status": "MATCH" if (ok_cols and ok_count and ok_hash) else "MISMATCH",
+            "rows": len(srows),
+            "cols_ok": ok_cols,
+            "count_ok": ok_count,
+            "hash_ok": ok_hash,
+            "sec": round(time.time() - t0, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        results[name] = {"status": "ERROR", "error": str(e)[:200], "sec": round(time.time() - t0, 2)}
+
+bad = {k: v for k, v in results.items() if v["status"] not in ("MATCH", "rows-only")}
+print(json.dumps(results, indent=1))
+print(f"\n{len(results)} queries: {sum(1 for v in results.values() if v['status']=='MATCH')} MATCH, "
+      f"{sum(1 for v in results.values() if v['status']=='rows-only')} rows-only, {len(bad)} BAD")
+sys.exit(1 if bad else 0)

@@ -1,0 +1,79 @@
+"""Mimics the driver's correctness gate: every catalog query with an
+oracle must match DuckDB on row count, column names, and (order-
+insensitively) values.  Runs at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from factory_inspectors_db_etl_spark.plans.catalog import ORACLES, QUERIES
+from factory_inspectors_db_etl_spark.sources.tables import TABLE_NAMES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_df = duck.sql(ORACLES[name]).fetchdf()
+
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
+        f"column mismatch: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+    )
+    assert len(spark_df) == len(oracle_df), (
+        f"row count mismatch: spark={len(spark_df)} oracle={len(oracle_df)}"
+    )
+    s = canon(spark_df)
+    o = canon(oracle_df)
+    mismatches = []
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            # pandas may surface NaN for SQL NULL on either side
+            xn = None if (isinstance(x, float) and math.isnan(x)) else x
+            yn = None if (isinstance(y, float) and math.isnan(y)) else y
+            if isinstance(xn, pd.Timestamp):
+                xn = xn.to_pydatetime().replace(tzinfo=None)
+            if isinstance(yn, pd.Timestamp):
+                yn = yn.to_pydatetime().replace(tzinfo=None)
+            if not values_equal(xn, yn):
+                mismatches.append((col, i, xn, yn))
+                if len(mismatches) > 5:
+                    break
+        if len(mismatches) > 5:
+            break
+    assert not mismatches, f"value mismatches (col, row, spark, oracle): {mismatches[:6]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
