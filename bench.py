@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute via the no-op sink (full pipeline runs, no driver collect
+cost), matching how a cluster job would be bounded by compute+shuffle, not
+result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from factory_inspectors_db_etl_spark.plans.catalog import QUERIES  # noqa: E402
+from factory_inspectors_db_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_q5_revenue",
+    "a1_pricing_summary",
+    "a3_rollup",
+    "j1_broadcast_dim_join",
+    "j6_asof_fill",
+    "w1_forward_fill",
+    "w5_latest_per_group",
+    "w8_rank_suite",
+    "o5_topk",
+    "s9_tumbling_window",
+    "s10_session_window",
+    "d_exact_dedup",
+    "d_ngram_jaccard",
+    "d_minhash_lsh",
+    "t_text_stats",
+    "t_language_guess",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # warm the JVM/session so the first measured query isn't paying startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

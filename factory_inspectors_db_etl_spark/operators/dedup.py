@@ -74,11 +74,20 @@ def ngram_jaccard_pairs(
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
     ).select("doc", F.xxhash64("sh").alias("sh"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Inverted index: shingle -> posting list, then emit pairs from each
+    # list.  Equivalent to the shingle self-join but computes the shingle
+    # set ONCE (one shuffle on the 64-bit shingle hash) instead of twice,
+    # and postings of size 1 are dropped before any pair is generated.
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        postings.select(F.explode("docs").alias("id_a"), "docs")
+        .select("id_a", F.explode("docs").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
@@ -108,7 +117,12 @@ def minhash_signatures(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
     )
-    mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    # Hash the (variable-width) shingle string ONCE, then derive the hash
+    # family by re-hashing the fixed-width 64-bit value with per-index
+    # seeds — cheap long-input hashes, and no overflowing arithmetic
+    # (ANSI mode would reject a wrapping h1 + i*h2).
+    sh = sh.select("doc", F.xxhash64("sh").alias("h"))
+    mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc").agg(*mins)
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
