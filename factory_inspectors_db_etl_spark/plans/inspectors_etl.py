@@ -1,0 +1,453 @@
+"""End-to-end inspectors ETL (SURVEY.md §3 EP1/EP2), Spark-first.
+
+The reference's sequential per-file loop with mutable state becomes a pure
+DAG: reader UDTF (U2) -> columnar classification/fills (P2-P6, W1-W4, F1-F9)
+-> personnel-parser UDF + explode (U1/F4) -> as-of window (J6) -> dim builds
+(J2) -> broadcast FK joins (J1/J3) -> fact assembly (W6).
+
+State-to-window mapping (all per-file, ordered by the reader's row_idx):
+  current_okrug / current_gubernia     -> forward-fill of header markers (W4)
+  last_location_city_std               -> forward-fill of non-ditto cities (W1)
+  last_assigned_personnel_for_ditto    -> forward-fill of last qualifying
+                                          assignment struct, reset per header
+                                          epoch (W2)
+  current_senior_inspector_id          -> as-of fill over (file,okrug,gub) (J6)
+  rowspan counters                     -> handled inside the reader (W3)
+  dim caches                           -> build_dim + broadcast joins (J2/J1)
+
+Documented divergences from the reference (SURVEY.md §7):
+  * surrogate ids are ordered by natural key (dims) / by (file, row_idx,
+    segment_idx) (fact), not insertion order;
+  * the senior-inspector DB-fallback's rank/prof/edu re-enrichment across
+    header epochs (populate_db_ru_v1.py:738-740) is not replicated — on this
+    corpus the fallback never fires with differing values because a gubernia
+    appears exactly once per file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.dictionaries import KNOWN_EDUCATIONS, KNOWN_PROFESSIONS, KNOWN_RANKS, ROLE_MAP_STD
+from ..functions.personnel_parser import parse_personnel_udf
+from ..functions.text import canonicalize_person_name, clean_number, standardize_text
+from ..operators.dims import build_dim
+from ..operators.fill import forward_fill_expr
+from ..sources.html_table import read_roster_rows
+
+UNKNOWN = "Неизвестно"
+
+# profession keys that are also education keys are rejected from Professions
+# and rerouted to Educations (J5, populate_db_ru_v1.py:215-218,761-762)
+_PROF_EDU_OVERLAP = sorted(set(KNOWN_PROFESSIONS) & set(KNOWN_EDUCATIONS))
+
+
+def _role_columns(df: DataFrame) -> DataFrame:
+    """F9 role classification (populate_db_ru_v1.py:683-698).
+
+    ``desc_std`` is materialized once (its own projection) rather than
+    inlined per ``when`` branch — inlining the F1 chain 7x blows the
+    whole-stage-codegen method-size limit and forces interpreted fallback.
+    """
+    df = df.withColumn("desc_std", standardize_text(F.col("desc_raw")))
+    desc_std = F.col("desc_std")
+    role_exact: Column = F.lit(None).cast("string")
+    for key, val in ROLE_MAP_STD.items():
+        role_exact = F.when(desc_std == key, F.lit(val)).otherwise(role_exact)
+    has_desc = F.trim(F.col("desc_raw")) != ""
+    uch_num = F.regexp_extract(
+        F.col("desc_raw"), r"^(\d+)\s*(?:-?й|-?ый|-? участокъ|-? участокь|-? уч\.)?", 1
+    )
+    desc_lower = F.lower(F.col("desc_raw"))
+    has_vsya = desc_lower.contains("вся губернія составляетъ одинъ участокъ")
+    not_specified = (
+        has_desc & (uch_num == "") & ~has_vsya & desc_lower.contains("(должность не указана)")
+    )
+    role = (
+        F.when(role_exact.isNotNull(), role_exact)
+        .when(not_specified, F.lit("Должность не указана"))
+        .when(has_desc, F.lit("Инспектор участка"))
+        .otherwise(F.lit("Не определена"))
+    )
+    uch_id = (
+        F.when(role_exact.isNotNull(), F.lit(None).cast("string"))
+        .when(uch_num != "", uch_num)
+        .when(has_vsya, F.lit("Вся губернія"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    uch_desc = F.when(
+        role_exact.isNotNull() | not_specified, F.lit(None).cast("string")
+    ).otherwise(F.col("desc_raw"))
+    return (
+        df.withColumn("position_role", role)
+        .withColumn("uchastok_identifier", uch_id)
+        .withColumn("uchastok_description", uch_desc)
+        .drop("desc_std")
+    )
+
+
+def _note_row_filter(df: DataFrame) -> Column:
+    """P4 footnote/note-row predicate (populate_db_ru_v1.py:646-650);
+    True = keep."""
+    first = F.coalesce(F.col("cell0_raw"), F.lit(""))
+    lower = F.lower(first)
+    is_note = (
+        first.rlike(r"^[*)]")
+        | first.rlike(r"^1\)")
+        | lower.contains("примечание:")
+        | lower.contains("въ пензенской губерніи:")
+        | lower.contains("въ черноморской губ.")
+        | (
+            (F.col("n_raw_cells") == 1)
+            & ~first.rlike("[05-9]")
+            & (F.length(first) > 30)
+            & ~lower.contains("участокъ")
+            & ~lower.contains("инспекторъ")
+        )
+    )
+    return ~is_note
+
+
+def parsed_assignment_rows(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Reader through exploded, dim-key-annotated assignment rows (one row
+    per assignment, pre-dim-join)."""
+    # ``cell0_std`` computed once in its own projection (codegen size; see
+    # _role_columns docstring).
+    rows = read_roster_rows(spark, paths).withColumn(
+        "cell0_std", standardize_text(F.col("cell0_raw"))
+    )
+
+    per_file = W.partitionBy("source_file").orderBy("row_idx")
+
+    # -- W4 header propagation + reset epochs --------------------------------
+    std_cell0 = F.col("cell0_std")
+    area_1901 = (
+        (F.col("year") == 1901)
+        & (F.col("row_kind") == "data")
+        & std_cell0.isNotNull()
+        & (std_cell0.contains("губернія") | std_cell0.contains("область"))
+    )
+    area_gub = F.trim(
+        F.replace(F.replace(std_cell0, F.lit("губернія"), F.lit("")), F.lit("область"), F.lit(""))
+    )
+    okrug_marker = F.when(F.col("row_kind") == "okrug_header", F.col("okrug_header_std"))
+    gub_marker = (
+        F.when(F.col("row_kind") == "okrug_header", F.lit(UNKNOWN))
+        .when(
+            (F.col("row_kind") == "gubernia_header") & F.col("gubernia_header_std").isNotNull(),
+            F.col("gubernia_header_std"),
+        )
+        .when(area_1901, area_gub)
+    )
+    reset_marker = (
+        (F.col("row_kind") == "okrug_header")
+        | ((F.col("row_kind") == "gubernia_header") & F.col("gubernia_header_std").isNotNull())
+        | area_1901
+    )
+    rows = (
+        rows.withColumn(
+            "okrug_name",
+            F.coalesce(forward_fill_expr(okrug_marker, ["source_file"], ["row_idx"]), F.lit(UNKNOWN)),
+        )
+        .withColumn(
+            "gubernia_name",
+            F.coalesce(forward_fill_expr(gub_marker, ["source_file"], ["row_idx"]), F.lit(UNKNOWN)),
+        )
+        .withColumn(
+            "header_epoch",
+            F.sum(F.when(reset_marker, 1).otherwise(0)).over(
+                per_file.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+
+    # -- data rows, note filter (P4) ----------------------------------------
+    data = rows.filter(F.col("row_kind") == "data").filter(_note_row_filter(rows))
+
+    # -- W1 location ditto fill ---------------------------------------------
+    data = data.withColumn("loc_std", standardize_text(F.col("loc_raw")))
+    loc_std = F.col("loc_std")
+    loc_marker = F.when(loc_std.isNotNull() & (loc_std != "»"), loc_std)
+    data = data.withColumn(
+        "city_std", forward_fill_expr(loc_marker, ["source_file"], ["row_idx"])
+    ).filter(F.col("city_std").isNotNull())  # no city and no previous -> drop (:680)
+
+    # -- F2 stats, F9 roles --------------------------------------------------
+    data = (
+        data.withColumn("establishments_count", clean_number(F.col("est_raw")))
+        .withColumn("worker_count", clean_number(F.col("workers_raw")))
+        .withColumn("boiler_count", clean_number(F.col("boilers_raw")))
+    )
+    data = _role_columns(data)
+
+    # -- U1 parse + W2 personnel ditto --------------------------------------
+    data = data.withColumn(
+        "is_pers_ditto",
+        standardize_text(F.trim(F.col("personnel_html"))) == F.lit("»"),
+    )
+    data = data.withColumn(
+        "parsed",
+        F.when(F.col("is_pers_ditto"), F.lit(None)).otherwise(
+            parse_personnel_udf(F.col("personnel_html"))
+        ),
+    )
+    qualifying = F.filter(
+        F.col("parsed"),
+        lambda a: a["name"].isNotNull() & ~a["is_vacancy"] & a["special_role"].isNull(),
+    )
+    last_qual = F.when(F.size(qualifying) > 0, F.element_at(qualifying, -1))
+    data = data.withColumn(
+        "ditto_source",
+        forward_fill_expr(last_qual, ["source_file", "header_epoch"], ["row_idx"]),
+    )
+    data = data.withColumn(
+        "assignments",
+        F.when(
+            F.col("is_pers_ditto"),
+            F.when(F.col("ditto_source").isNotNull(), F.array(F.col("ditto_source"))).otherwise(
+                F.array().cast("array<struct<name:string,rank_abbr:string,prof_abbr:string,"
+                               "edu_abbr:string,start_date_raw:string,end_date_raw:string,"
+                               "is_vacancy:boolean,is_acting:boolean,notes:string,special_role:string>>")
+            ),
+        ).otherwise(F.col("parsed")),
+    )
+
+    # -- explode to assignment grain ----------------------------------------
+    a = data.select(
+        "source_file",
+        "year",
+        "row_idx",
+        "okrug_name",
+        "gubernia_name",
+        "header_epoch",
+        "city_std",
+        "establishments_count",
+        "worker_count",
+        "boiler_count",
+        "position_role",
+        "uchastok_identifier",
+        "uchastok_description",
+        F.trim(F.col("personnel_html")).alias("personnel_raw_string"),
+        F.posexplode("assignments").alias("segment_idx", "a"),
+    ).select("*", "a.*").drop("a")
+
+    # -- inspector natural key (F8) + J6 senior as-of ------------------------
+    canon = canonicalize_person_name(F.col("name"))
+    a = a.withColumn(
+        "inspector_key",
+        F.when(~F.col("is_vacancy") & F.col("name").isNotNull(), canon),
+    )
+    senior_cond = (
+        (F.col("position_role") == "Старший инспектор")
+        & ~F.col("is_vacancy")
+        & F.col("special_role").isNull()
+        & F.col("inspector_key").isNotNull()
+    )
+    senior_w = (
+        W.partitionBy("source_file", "okrug_name", "gubernia_name")
+        .orderBy("row_idx", "segment_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    senior_carry = F.last(
+        F.when(senior_cond, F.col("inspector_key")), ignorenulls=True
+    ).over(senior_w)
+    is_special = F.col("special_role") == F.lit("старший инспектор")
+    a = a.withColumn(
+        "inspector_key",
+        F.when(is_special, senior_carry).otherwise(F.col("inspector_key")),
+    ).withColumn(
+        "notes",
+        F.when(
+            is_special & senior_carry.isNull(),
+            F.ltrim(
+                F.concat(
+                    F.coalesce(F.col("notes"), F.lit("")),
+                    F.lit("; Обслуж. ст.инсп.(ID не найден)"),
+                ),
+            ),
+        ).otherwise(F.col("notes")),
+    )
+    # lstrip("; ") semantics on the appended-note branch
+    a = a.withColumn("notes", F.regexp_replace(F.col("notes"), r"^[; ]+", ""))
+
+    # drop assignments whose named inspector failed to canonicalize (:748)
+    a = a.filter(
+        ~(
+            F.col("inspector_key").isNull()
+            & ~F.col("is_vacancy")
+            & F.col("special_role").isNull()
+            & F.col("name").isNotNull()
+        )
+    )
+
+    # -- J5 profession/education disambiguation ------------------------------
+    prof_is_edu = F.col("prof_abbr").isin(_PROF_EDU_OVERLAP) if _PROF_EDU_OVERLAP else F.lit(False)
+    a = a.withColumn(
+        "education_key", F.when(prof_is_edu, F.col("prof_abbr")).otherwise(F.col("edu_abbr"))
+    ).withColumn("profession_key", F.when(prof_is_edu, F.lit(None)).otherwise(F.col("prof_abbr")))
+
+    # location natural-key components (:221-224)
+    a = (
+        a.withColumn("city_key", F.expr("btrim(city_std, ' .,:;')"))
+        .withColumn("gubernia_std", standardize_text(F.col("gubernia_name")))
+        .withColumn("okrug_std", standardize_text(F.col("okrug_name")))
+        .withColumn(
+            "global_order",
+            F.col("year").cast("long") * 10_000_000
+            + F.col("row_idx").cast("long") * 1000
+            + F.col("segment_idx"),
+        )
+    )
+    return a
+
+
+def _lookup_full_name(key_col: str, dictionary: dict[str, str]) -> Column:
+    """FullName_RU lookup with the reference's ±trailing-dot fallback
+    (populate_db_ru_v1.py:186-192)."""
+    expr: Column = F.lit(None).cast("string")
+    for k, v in dictionary.items():
+        if k:
+            expr = F.when(F.col(key_col) == k, F.lit(v)).otherwise(expr)
+    # ±one-trailing-dot fallback, exactly as the reference probes key[:-1]
+    # and key+'.'
+    stripped = F.regexp_replace(F.col(key_col), r"\.$", "")
+    fallback: Column = F.lit(None).cast("string")
+    for k, v in dictionary.items():
+        if not k:
+            continue
+        if k.endswith("."):
+            fallback = F.when(stripped == k[:-1], F.lit(v)).otherwise(fallback)
+        else:
+            fallback = F.when(F.concat(F.col(key_col), F.lit(".")) == k + ".", F.lit(v)).otherwise(fallback)
+    return F.coalesce(expr, fallback)
+
+
+def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, DataFrame]:
+    """Full star schema from roster HTML files (FIXTURES.md B3)."""
+    a = parsed_assignment_rows(spark, paths)
+
+    inspectors = build_dim(
+        a.filter(F.col("inspector_key").isNotNull()).select(
+            F.col("inspector_key").alias("full_name")
+        ),
+        ["full_name"],
+        "inspector_id",
+    ).withColumn("notes", F.lit(None).cast("string"))
+
+    locations = (
+        a.groupBy("city_key", "gubernia_std", "okrug_std")
+        .agg(F.min_by("city_std", "global_order").alias("city_name"))
+        .withColumn("location_type", F.lit("Город"))
+    )
+    loc_w = W.orderBy(
+        F.col("city_key").asc_nulls_first(),
+        F.col("gubernia_std").asc_nulls_first(),
+        F.col("okrug_std").asc_nulls_first(),
+    )
+    locations = locations.withColumn("location_id", F.row_number().over(loc_w).cast("int")).select(
+        "location_id", "city_name", "city_key",
+        F.col("gubernia_std").alias("gubernia_name"),
+        F.col("okrug_std").alias("okrug_name"),
+        "location_type",
+    )
+
+    def _abbr_dim(key_col: str, id_col: str, dictionary: dict[str, str]) -> DataFrame:
+        dim = build_dim(
+            a.filter(F.col(key_col).isNotNull()).select(F.col(key_col).alias("abbreviation")),
+            ["abbreviation"],
+            id_col,
+        )
+        return dim.withColumn("full_name_ru", _lookup_full_name("abbreviation", dictionary))
+
+    ranks = _abbr_dim("rank_abbr", "rank_id", KNOWN_RANKS).withColumn(
+        "rank_type", F.lit(None).cast("string")
+    )
+    professions = _abbr_dim("profession_key", "profession_id", KNOWN_PROFESSIONS)
+    educations = _abbr_dim("education_key", "education_id", KNOWN_EDUCATIONS)
+
+    fact = (
+        a.join(
+            F.broadcast(inspectors.select(F.col("full_name").alias("inspector_key"), "inspector_id")),
+            on="inspector_key",
+            how="left",
+        )
+        .join(
+            F.broadcast(
+                locations.select(
+                    "location_id",
+                    "city_key",
+                    F.col("gubernia_name").alias("gubernia_std"),
+                    F.col("okrug_name").alias("okrug_std"),
+                )
+            ),
+            on=["city_key", "gubernia_std", "okrug_std"],
+            how="left",
+        )
+        .join(
+            F.broadcast(ranks.select(F.col("abbreviation").alias("rank_abbr"), "rank_id")),
+            on="rank_abbr",
+            how="left",
+        )
+        .join(
+            F.broadcast(
+                professions.select(F.col("abbreviation").alias("profession_key"), "profession_id")
+            ),
+            on="profession_key",
+            how="left",
+        )
+        .join(
+            F.broadcast(
+                educations.select(F.col("abbreviation").alias("education_key"), "education_id")
+            ),
+            on="education_key",
+            how="left",
+        )
+    )
+    fact = fact.withColumn(
+        "assignment_id", F.row_number().over(W.orderBy("global_order")).cast("long")
+    ).select(
+        "assignment_id",
+        "inspector_id",
+        "year",
+        "source_file",
+        "okrug_name",
+        "gubernia_name",
+        "position_role",
+        "uchastok_identifier",
+        "uchastok_description",
+        F.col("location_id").alias("inspector_location_id"),
+        "personnel_raw_string",
+        "rank_id",
+        "profession_id",
+        "education_id",
+        "start_date_raw",
+        "end_date_raw",
+        F.col("is_acting").alias("is_acting"),
+        F.col("is_vacancy").alias("is_vacancy"),
+        F.col("notes").alias("assignment_notes"),
+        "establishments_count",
+        "worker_count",
+        "boiler_count",
+    )
+
+    return {
+        "inspectors": inspectors.select("inspector_id", "full_name", "notes"),
+        "locations": locations.select(
+            "location_id", "city_name", "gubernia_name", "okrug_name", "location_type"
+        ),
+        "ranks": ranks.select("rank_id", "abbreviation", "full_name_ru", "rank_type"),
+        "professions": professions.select("profession_id", "abbreviation", "full_name_ru"),
+        "educations": educations.select("education_id", "abbreviation", "full_name_ru"),
+        "assignments": fact,
+    }
+
+
+def write_warehouse(tables: dict[str, DataFrame], out_dir: str) -> None:
+    """S4/S5 sink: parquet star schema, fact partitioned by year (the
+    reference's year index -> partition pruning)."""
+    for name, df in tables.items():
+        writer = df.write.mode("overwrite")
+        if name == "assignments":
+            writer = writer.partitionBy("year")
+        writer.parquet(f"{out_dir}/{name}")
