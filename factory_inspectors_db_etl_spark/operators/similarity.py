@@ -76,6 +76,102 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization + probed search.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic (no k-means iterations), which is what makes the result
+    oracle-checkable; a production build would swap in KMeans centroids
+    without changing the plan shape.  Corpus vectors are assigned to their
+    nearest centroid (broadcast nested-loop against the tiny centroid set,
+    then a top-1 window); each query probes its ``n_probe`` nearest
+    centroid cells and scores ONLY vectors in those cells — an equi-join
+    on ``centroid_id`` instead of an all-pairs cross join, so the scored
+    set shrinks by ~n_probe/n_centroids.  At 100 TB the assignment pass is
+    one scan + broadcast, and the probe join shuffles on the (small-int)
+    cell id.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+    )
+
+    def assign(df: DataFrame, out_id: str, vec_out: str, top: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            F.col(out_id),
+            F.col(vec_out),
+            "centroid_id",
+            F.round(cosine(F.col(vec_out), F.col("_cent")), 6).alias("_cscore"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_cscore").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= top)
+            .drop("_cscore", "_crank")
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        "neighbor_id",
+        "_cvec",
+        top=1,
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        "query_id",
+        "_qvec",
+        top=n_probe,
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_to).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])  # a pair may share n_probe cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Exact all-pairs form (the oracle-checkable baseline).  The upper-
+    triangle predicate halves the scored pairs; norms are computed once
+    per side.  At 100 TB scale the same contract is served by LSH
+    bucketing (``lsh_bucket_topk``'s bucket join) or ``ivf_topk``'s cell
+    join — swap the pair generator, keep the scoring expression.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    score = F.round(cosine(F.col("_va"), F.col("_vb")), round_to)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

@@ -78,6 +78,33 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
 
 
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: letter runs, single digits, and
+    punctuation marks each count as one token (the classic "~1 token per
+    word + 1 per digit/symbol" approximation used for budget estimates).
+    Pure regexp_count — scan-speed, no UDF."""
+    return F.regexp_count(text, F.lit(BPE_ISH_TOKEN_RE)).cast("int")
+
+
+def char_ngram_fingerprints(text: Column, n: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint set: hash every character
+    ``n``-gram of the normalized text, keep the ``keep`` smallest hashes
+    (a deterministic min-k sketch; two documents sharing fingerprints are
+    near-dup candidates).  The rolling window is ``sequence`` + ``substring``
+    over a normalized string — all built-in, no UDF; md5 stands in for the
+    rolling polynomial hash (same selectivity, SQL-portable)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    length = F.length(norm)
+    starts = F.when(length >= n, F.sequence(F.lit(1), length - (n - 1))).otherwise(
+        F.when(length > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+    )
+    grams = F.transform(starts, lambda i: F.md5(F.substring(norm, i, n)))
+    return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
+
+
 def language_guess(text: Column) -> Column:
     """Stopword-vote language heuristic over LANG_STOPWORDS; 'und'
     (undetermined) when no language scores > 0.  Ties break by language

@@ -27,7 +27,13 @@ from ..operators.asof import asof_fill
 from ..operators.dedup import exact_dedup, minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs, simhash
 from ..operators.dims import build_dim, null_safe_join
 from ..operators.fill import forward_fill
-from ..operators.similarity import cosine_topk_bruteforce, lsh_bucket_topk
+from ..operators import multimodal as MM
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
 
@@ -774,6 +780,143 @@ def q_sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, bits=4)
 
 
+def q_t_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting: letter runs + single digits + punctuation
+    (the standard token-budget estimator), via regexp_count."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+O_T_TOKEN_BPE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_t_char_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style min-k sketch of character 8-gram hashes (document
+    fingerprinting for near-dup candidate generation)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            TA.char_ngram_fingerprints(F.col("text"), n=8, keep=4), ","
+        ).alias("fingerprints"),
+    )
+
+
+O_T_CHAR_FP = r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+         CASE WHEN length(t) >= 8
+              THEN list_sort(list_distinct(list_transform(range(1, length(t) - 6), i -> md5(substring(t, i, 8)))))[1:4]
+              WHEN length(t) > 0 THEN [md5(substring(t, 1, 8))]
+              ELSE [] END, ',') AS fingerprints
+FROM n
+"""
+
+
+def q_d_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact upper-triangle form;
+    LSH/IVF serve the same contract at scale)."""
+    e = load_table(spark, sf, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.40)
+
+
+O_D_EMB_NEARDUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.ev, b.ev)
+             / (sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev))), 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.ev, b.ev)
+            / (sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev))), 4) >= 0.40
+"""
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic coarse centroids,
+    nearest-cell assignment, n_probe=2 probed search."""
+    e = load_table(spark, sf, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=2)
+
+
+O_SIM_IVF = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 16),
+c_assign AS (
+  SELECT vec_id AS neighbor_id, ev AS cvec, centroid_id FROM (
+    SELECT v.vec_id, v.ev, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_inner_product(v.ev, c.cv) / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(list_inner_product(c.cv, c.cv))), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM v CROSS JOIN cents c)
+  WHERE rn = 1
+),
+q_assign AS (
+  SELECT vec_id AS query_id, ev AS qvec, centroid_id FROM (
+    SELECT v.vec_id, v.ev, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_inner_product(v.ev, c.cv) / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(list_inner_product(c.cv, c.cv))), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM v CROSS JOIN cents c WHERE v.vec_id < 10)
+  WHERE rn <= 2
+),
+scored AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id,
+         round(list_inner_product(q.qvec, c.cvec)
+               / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.cvec, c.cvec))), 4) AS score
+  FROM c_assign c JOIN q_assign q USING (centroid_id)
+  WHERE q.query_id != c.neighbor_id
+)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+def q_m_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal metadata projection: binary payload + typed metadata
+    struct, payload column pruned out of the result (no media bytes
+    deserialized downstream)."""
+    d = load_table(spark, sf, "documents")
+    return MM.payload_metadata(MM.with_payload(d))
+
+
+O_M_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS payload_md5,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       CAST((doc_id % 8 + 1) * 64 AS INTEGER) AS width,
+       CAST((doc_id % 4 + 1) * 64 AS INTEGER) AS height,
+       CAST(doc_id % 7 + 1 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+def q_m_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over multimodal rows
+    (mapInPandas; codec stubbed -> deterministic byte features).
+    Rows-only: the featurizer is the Python island under test."""
+    d = load_table(spark, sf, "documents")
+    return MM.decode_and_featurize(MM.with_payload(d))
+
+
+def q_m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """One->many frame sampling UDTF shape (video path). Rows-only."""
+    d = load_table(spark, sf, "documents")
+    return MM.sample_frames(MM.with_payload(d))
+
+
 # ---------------------------------------------------------------------------
 # Flagship
 # ---------------------------------------------------------------------------
@@ -854,6 +997,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_quality_score": q_t_quality_score,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "d_embedding_neardup": q_d_embedding_neardup,
+    "t_token_count_bpe": q_t_token_count_bpe,
+    "t_char_fingerprint": q_t_char_fingerprint,
+    "m_multimodal_meta": q_m_multimodal_meta,
+    "m_multimodal_decode": q_m_multimodal_decode,
+    "m_frame_sample": q_m_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -890,5 +1040,12 @@ ORACLES: dict[str, str] = {
     "t_language_guess": O_T_LANG,
     "t_quality_score": O_T_QUALITY,
     "sim_cosine_topk": O_SIM_TOPK,
-    # rows-only (no SQL-expressible oracle): d_minhash_lsh, d_simhash, sim_lsh_topk
+    "sim_ivf_topk": O_SIM_IVF,
+    "d_embedding_neardup": O_D_EMB_NEARDUP,
+    "t_token_count_bpe": O_T_TOKEN_BPE,
+    "t_char_fingerprint": O_T_CHAR_FP,
+    "m_multimodal_meta": O_M_META,
+    # rows-only (no SQL-expressible oracle): d_minhash_lsh, d_simhash,
+    # sim_lsh_topk (seeded hyperplanes), m_multimodal_decode / m_frame_sample
+    # (Python featurizer islands)
 }

@@ -342,6 +342,22 @@ def _emit_file_rows(source_file: str, year: int, html_text: str) -> Iterator[dic
         }
 
 
+def parse_content_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (path, content) batches -> reader rows.  Shared
+    by the batch reader and the streaming file-ingestion path."""
+    for pdf in batches:
+        out: list[dict] = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            base = path.rsplit("/", 1)[-1]
+            m = _YEAR_RE.search(base)
+            if not m:
+                continue  # :507 warn-and-skip
+            out.extend(_emit_file_rows(base, int(m.group(1)), content))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in READER_SCHEMA.fields]
+        ) if out else pd.DataFrame(columns=[f.name for f in READER_SCHEMA.fields])
+
+
 def read_roster_rows(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """Read yearly roster HTML file(s) into one row per <tr> (B1 schema of
     FIXTURES.md), with the reference's exact row-selection semantics."""
@@ -349,18 +365,4 @@ def read_roster_rows(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         spark.read.text(paths, wholetext=True)
         .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
     )
-
-    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                base = path.rsplit("/", 1)[-1]
-                m = _YEAR_RE.search(base)
-                if not m:
-                    continue  # :507 warn-and-skip
-                out.extend(_emit_file_rows(base, int(m.group(1)), content))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in READER_SCHEMA.fields]
-            ) if out else pd.DataFrame(columns=[f.name for f in READER_SCHEMA.fields])
-
-    return raw.mapInPandas(parse_batches, READER_SCHEMA)
+    return raw.mapInPandas(parse_content_batches, READER_SCHEMA)

@@ -1,0 +1,10 @@
+from .ops import (  # noqa: F401
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    stateful_running_stats,
+    stream_events,
+    stream_roster_rows,
+    streaming_dedup,
+    tumbling_counts,
+)

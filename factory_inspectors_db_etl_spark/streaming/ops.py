@@ -1,0 +1,204 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The reference is strictly batch — its only "incremental" pattern is a new
+yearly roster file appearing on disk (populate_db_ru_v1.py:16-21).  That
+pattern IS Spark's file streaming source, so the module provides:
+
+* ``stream_events`` — parquet file-stream of the synthetic ``events``
+  table (event-time ``ts``), the substrate for window/dedup/state ops;
+* ``tumbling_counts`` / ``sliding_counts`` / ``session_counts`` —
+  watermarked event-time window aggregations (late data beyond the
+  watermark is dropped by the engine, not by hand-rolled logic);
+* ``streaming_dedup`` — ``dropDuplicatesWithinWatermark`` keyed on
+  event_id (at-least-once source -> effectively-once downstream);
+* ``stateful_running_stats`` — ``applyInPandasWithState`` per-user
+  running aggregate (the custom-stateful-operator shape);
+* ``stream_roster_rows`` — incremental ingestion of new yearly roster
+  HTML files through the SAME reader UDTF the batch ETL uses (one code
+  path for batch and streaming, the Spark ideal).
+
+Every op returns an unstarted streaming DataFrame; ``run_available_now``
+executes it to a deterministic finite result (Trigger.AvailableNow ->
+in-memory sink) so tests can equate streaming output with the batch
+equivalent.  State stores are per-query temp dirs; watermark semantics in
+AvailableNow mode process all available data, so batch-equality holds.
+
+Scale posture: window/dedup state is bounded by (watermark horizon x key
+cardinality); the file source checkpoints its seen-files log, giving
+exactly-once ingestion of late-arriving yearly files.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.html_table import READER_SCHEMA
+from ..sources.tables import load_table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream the events table with event-time ``ts``.
+
+    The parquet stores TIMESTAMP(NANOS); the stream reads nanos as long
+    and rebuilds a TIMESTAMP from epoch micros (``timestamp_micros`` —
+    tz-independent).  Watermarks reject TIMESTAMP_NTZ, so unlike the batch
+    loader this column is tz-aware; with the engine's UTC session the two
+    are value-identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; select just the events file via
+    # a glob filter so sibling tables in the sf dir are not picked up
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling event-time window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Session windows (gap-based) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Drop duplicate event_ids within the watermark horizon — bounded
+    state, unlike a global dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
+_RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_running_stats(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max) via
+    ``applyInPandasWithState``.  One state struct per user — the
+    user-defined-state analog of the reference's process-global caches,
+    here partitioned, fault-tolerant, and watermark-scoped."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, total, vmax = state.get
+        else:
+            n, total, vmax = 0, 0.0, float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, total, vmax))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total, "max_value": vmax}]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_roster_rows(spark: SparkSession, dir_glob: str) -> DataFrame:
+    """Incremental roster ingestion: file-stream whole HTML documents and
+    push them through the batch ETL's reader UDTF — new yearly files are
+    picked up exactly once via the source's file log (the streaming form
+    of populate_db_ru_v1.py:781-784's per-file loop).  One parser body
+    serves batch and streaming."""
+    from ..sources.html_table import parse_content_batches
+
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(dir_glob)
+        .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
+    )
+    return raw.mapInPandas(parse_content_batches, READER_SCHEMA)
+
+
+def run_available_now(stream: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
+    into an in-memory table and return it as a batch DataFrame."""
+    spark = stream.sparkSession
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

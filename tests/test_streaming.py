@@ -1,0 +1,136 @@
+"""Structured Streaming ops (SURVEY.md §2.9): each streaming query run
+with Trigger.AvailableNow must equal its batch equivalent — the batch
+DataFrame API is the oracle (same engine, different execution mode, so
+this checks the streaming semantics: watermarks, state, file source).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from factory_inspectors_db_etl_spark.sources.tables import load_table
+from factory_inspectors_db_etl_spark.streaming import (
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    stateful_running_stats,
+    stream_events,
+    stream_roster_rows,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return stream_events(spark, sf_dir)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _final_watermark(ev, delay="10 minutes"):
+    """Append-mode streams emit only windows finalized by the final
+    watermark (max event time - delay); the batch oracle must apply the
+    same cut."""
+    return ev.agg(F.max("ts") - F.expr(f"INTERVAL {delay}")).collect()[0][0]
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_stream):
+    got = run_available_now(tumbling_counts(events_stream), "t_tumbling")
+    ev = load_table(spark, sf_dir, "events")
+    wm = _final_watermark(ev)
+    want = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert _rows(got, "window_start", "event_type", "n_events") == _rows(
+        want, "window_start", "event_type", "n_events"
+    )
+
+
+def test_sliding_counts_match_batch(spark, sf_dir, events_stream):
+    got = run_available_now(sliding_counts(events_stream), "t_sliding")
+    ev = load_table(spark, sf_dir, "events")
+    wm = _final_watermark(ev)
+    want = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert _rows(got, "window_start", "event_type", "n_events") == _rows(
+        want, "window_start", "event_type", "n_events"
+    )
+
+
+def test_session_counts_match_batch(spark, sf_dir, events_stream):
+    got = run_available_now(session_counts(events_stream), "t_session")
+    ev = load_table(spark, sf_dir, "events")
+    wm = _final_watermark(ev)
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    assert _rows(got, "user_id", "session_start", "n_events") == _rows(
+        want, "user_id", "session_start", "n_events"
+    )
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, events_stream):
+    got = run_available_now(streaming_dedup(events_stream), "t_dedup")
+    ev = load_table(spark, sf_dir, "events")
+    # event_id is unique in the synthetic data -> dedup is the identity
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_running_stats(spark, sf_dir, events_stream):
+    got = run_available_now(
+        stateful_running_stats(events_stream), "t_state", output_mode="update"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+    # AvailableNow may emit several update rows per user; the LAST one is
+    # the final state
+    from pyspark.sql import Window
+
+    latest = (
+        got.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("user_id").orderBy(F.col("n_events").desc()))
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert _rows(latest, "user_id", "n_events", "max_value") == _rows(
+        want, "user_id", "n_events", "max_value"
+    )
+
+
+def test_roster_file_stream_matches_batch_reader(spark, tmp_path):
+    """New yearly files are ingested through the same UDTF as the batch
+    reader: streaming two files == batch-reading them."""
+    from factory_inspectors_db_etl_spark.sources.html_table import read_roster_rows
+
+    src = tmp_path / "rosters"
+    src.mkdir()
+    for year in (1901, 1905):
+        shutil.copy(f"/root/reference/diplom/fabric{year}.html", src / f"fabric{year}.html")
+
+    got = run_available_now(stream_roster_rows(spark, str(src)), "t_roster")
+    want = read_roster_rows(spark, str(src))
+    assert got.count() == want.count()
+    assert _rows(got, "source_file", "row_idx", "row_kind") == _rows(
+        want, "source_file", "row_idx", "row_kind"
+    )
