@@ -38,7 +38,11 @@ HEADLINE = [
     "d_minhash_lsh",
     "t_text_stats",
     "t_language_guess",
+    "t_token_count_bpe",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "d_embedding_neardup",
+    "m_multimodal_decode",
 ]
 
 
@@ -48,8 +52,15 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
-    # warm the JVM/session so the first measured query isn't paying startup
+    # Warm the JVM/session so the first measured query isn't paying one-time
+    # startup: a trivial job, then the flagship star join at the smallest
+    # scale factor (compiles the same operators, touches the parquet reader
+    # and shuffle machinery).  Steady-state timings are what a long-lived
+    # cluster session would see.
     spark.range(1000).selectExpr("sum(id)").collect()
+    QUERIES["flagship_q5_revenue"](spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -43,14 +43,26 @@ def normalize_for_shingling(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
 
 
-def shingles(text: Column, k: int = 5) -> Column:
-    """Word k-shingles of ``text`` as an array of strings (distinct)."""
-    words = F.split(normalize_for_shingling(text), " ")
+def shingles(words: Column, k: int = 5) -> Column:
+    """Word k-shingles from a word-array column (distinct).
+
+    PERFORMANCE CONTRACT: ``words`` must be a BOUND attribute (a real
+    column materialized via ``withColumn``), not an expression like
+    ``F.split(...)``.  Spark re-evaluates expressions referenced inside
+    higher-order-function lambdas once PER ELEMENT (no common-
+    subexpression elimination across the lambda boundary), so passing the
+    split expression directly makes shingling O(n^2) per document —
+    measured 5x slower at 5k docs and unboundedly worse on long ones.
+    """
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
+
+
+def _with_words(df: DataFrame, text_col: str, out: str = "_words") -> DataFrame:
+    return df.withColumn(out, F.split(normalize_for_shingling(F.col(text_col)), " "))
 
 
 def ngram_jaccard_pairs(
@@ -69,9 +81,9 @@ def ngram_jaccard_pairs(
     shingles can be capped with a document-frequency filter (``max_df``
     would drop stop-shingles) — kept exact here.
     """
-    sh = df.select(
+    sh = _with_words(df, text_col).select(
         F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+        F.explode(shingles(F.col("_words"), k)).alias("sh"),
     ).select("doc", F.xxhash64("sh").alias("sh"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # Inverted index: shingle -> posting list, then emit pairs from each
@@ -113,9 +125,9 @@ def minhash_signatures(
     elementwise min over the document's shingles — computed columnar as an
     aggregate over the exploded shingle set (one shuffle on doc id).
     """
-    sh = df.select(
+    sh = _with_words(df, text_col).select(
         F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+        F.explode(shingles(F.col("_words"), k)).alias("sh"),
     )
     # Hash the (variable-width) shingle string ONCE, then derive the hash
     # family by re-hashing the fixed-width 64-bit value with per-index
@@ -174,8 +186,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     higher-order array functions (no UDF): aggregate over the token array
     per row — no extra shuffle at all.
     """
-    tokens = F.split(normalize_for_shingling(F.col(text_col)), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # Materialize the token-hash array as a bound column FIRST: the 64
+    # bit-vote aggregates below each reference it, and an unbound
+    # split+transform expression would be re-evaluated once per aggregate
+    # (64x the tokenization cost per row).
+    df = _with_words(df, text_col).withColumn(
+        "_th", F.transform(F.col("_words"), lambda t: F.xxhash64(t))
+    )
+    hashes = F.col("_th")
     # Per bit i: vote = sum over token hashes of +1/-1 depending on bit i.
     # shiftright needs a literal bit count, so bits are unrolled in Python —
     # 64 aggregates over the same (reused) hash array, still one pass per row.

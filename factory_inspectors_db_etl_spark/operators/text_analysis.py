@@ -89,14 +89,19 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH_TOKEN_RE)).cast("int")
 
 
-def char_ngram_fingerprints(text: Column, n: int = 8, keep: int = 4) -> Column:
+def char_ngram_fingerprints(text: Column, n: int = 8, keep: int = 4, normalized: bool = False) -> Column:
     """Winnowing-style document fingerprint set: hash every character
     ``n``-gram of the normalized text, keep the ``keep`` smallest hashes
     (a deterministic min-k sketch; two documents sharing fingerprints are
     near-dup candidates).  The rolling window is ``sequence`` + ``substring``
     over a normalized string — all built-in, no UDF; md5 stands in for the
-    rolling polynomial hash (same selectivity, SQL-portable)."""
-    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    rolling polynomial hash (same selectivity, SQL-portable).
+
+    PERFORMANCE: pass ``normalized=True`` with ``text`` a BOUND column
+    holding pre-normalized text.  The ``substring`` inside the lambda
+    re-evaluates its input expression per element, so an unbound
+    regexp_replace chain here is O(n^2) per document."""
+    norm = text if normalized else F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     length = F.length(norm)
     starts = F.when(length >= n, F.sequence(F.lit(1), length - (n - 1))).otherwise(
         F.when(length > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
@@ -109,8 +114,15 @@ def language_guess(text: Column) -> Column:
     """Stopword-vote language heuristic over LANG_STOPWORDS; 'und'
     (undetermined) when no language scores > 0.  Ties break by language
     code order for determinism.
+
+    PERFORMANCE: prefer ``language_guess_from_tokens`` with a bound token
+    array — this convenience form re-tokenizes once per language vote.
     """
-    toks = tokens(F.lower(text))
+    return language_guess_from_tokens(tokens(F.lower(text)))
+
+
+def language_guess_from_tokens(toks: Column) -> Column:
+    """``language_guess`` over a pre-tokenized (lowercased, BOUND) array."""
     expr = F.lit("und")
     best = F.lit(0)
 

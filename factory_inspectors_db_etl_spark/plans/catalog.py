@@ -301,6 +301,32 @@ GROUP BY cb.bucket
 """
 
 
+def q_j4_case_insensitive_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: case-insensitive key match — join on lower(key), the declared
+    behavior of the reference's location lookup (populate_db_ru_v1.py:229-233)."""
+    c = load_table(spark, sf, "customer")
+    cu = c.select("c_custkey", F.upper(F.col("c_mktsegment")).alias("seg_uc"))
+    nl = (
+        c.select(F.lower(F.col("c_mktsegment")).alias("seg_lc"))
+        .distinct()
+        .withColumn("seg_len", F.length("seg_lc"))
+    )
+    return (
+        cu.join(F.broadcast(nl), F.lower(cu.seg_uc) == nl.seg_lc)
+        .groupBy("seg_lc", "seg_len")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+O_J4 = """
+WITH cu AS (SELECT c_custkey, upper(c_mktsegment) AS seg_uc FROM customer),
+     nl AS (SELECT DISTINCT lower(c_mktsegment) AS seg_lc, length(lower(c_mktsegment)) AS seg_len FROM customer)
+SELECT seg_lc, seg_len, count(*) AS n_customers
+FROM cu JOIN nl ON lower(seg_uc) = seg_lc
+GROUP BY seg_lc, seg_len
+"""
+
+
 def q_j5_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     """J5: anti-membership (parts never ordered) == left_anti join."""
     p = load_table(spark, sf, "part")
@@ -686,7 +712,10 @@ FROM t
 def q_t_language_guess(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID heuristic: stopword votes, ties to earlier language code."""
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", TA.language_guess(F.col("text")).alias("lang_guess"))
+    # tokens materialized once; the vote ladder references the bound array
+    return d.withColumn("_toks", TA.tokens(F.lower(F.col("text")))).select(
+        "doc_id", TA.language_guess_from_tokens(F.col("_toks")).alias("lang_guess")
+    )
 
 
 O_T_LANG = """
@@ -801,10 +830,11 @@ def q_t_char_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style min-k sketch of character 8-gram hashes (document
     fingerprinting for near-dup candidate generation)."""
     d = load_table(spark, sf, "documents")
-    return d.select(
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.withColumn("_norm", norm).select(
         "doc_id",
         F.array_join(
-            TA.char_ngram_fingerprints(F.col("text"), n=8, keep=4), ","
+            TA.char_ngram_fingerprints(F.col("_norm"), n=8, keep=4, normalized=True), ","
         ).alias("fingerprints"),
     )
 
@@ -824,20 +854,26 @@ FROM n
 
 
 def q_d_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact upper-triangle form;
-    LSH/IVF serve the same contract at scale)."""
+    """Embedding-cosine near-duplicate pairs: broadcast unit matrix +
+    Arrow-batched BLAS scoring (exact; LSH/IVF serve the same contract
+    past the broadcast ceiling)."""
+    from ..operators.similarity import embedding_neardup_pairs_matrix
+
     e = load_table(spark, sf, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.40)
+    return embedding_neardup_pairs_matrix(e, threshold=0.40)
 
 
 O_D_EMB_NEARDUP = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+u AS (
+  SELECT vec_id,
+         list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+  FROM v
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_inner_product(a.ev, b.ev)
-             / (sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev))), 4) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_inner_product(a.ev, b.ev)
-            / (sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev))), 4) >= 0.40
+       round(list_inner_product(a.uv, b.uv), 4) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.uv, b.uv), 4) >= 0.40
 """
 
 
@@ -880,6 +916,57 @@ SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
       FROM scored)
 WHERE rn <= 5
+"""
+
+
+def q_d_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidate pairs via pigeonhole band join
+    (Hamming <= 3). Rows-only: xxhash64-based."""
+    d = load_table(spark, sf, "documents")
+    from ..operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(simhash(d, "doc_id", "text"), max_hamming=3, bands=4)
+
+
+def q_f1_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """F1: the reference's full standardize_text chain (translate, lookahead
+    regexes, conditional dot-strip) applied columnar.  Rows-only: DuckDB's
+    RE2 regex engine has no lookahead, so the oracle cannot express it; the
+    Python/columnar agreement property test covers semantics instead."""
+    from ..functions.text import standardize_text
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", standardize_text(F.col("text")).alias("text_std"))
+
+
+_U3_OUT = "user_id long, median_value double, n long"
+
+
+def q_u3_grouped_agg_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """U3: custom UDAF via applyInPandas — exact per-user median (not
+    available as a built-in exact aggregate) + count.  Arrow-batched
+    grouped aggregation, the pandas_udf GROUPED_AGG pattern."""
+    import pandas as pd
+
+    ev = load_table(spark, sf, "events")
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "median_value": float(pdf["value"].median()),
+                    "n": len(pdf),
+                }
+            ]
+        )
+
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(agg, _U3_OUT)
+
+
+O_U3 = """
+SELECT user_id, median(value) AS median_value, count(*) AS n
+FROM events GROUP BY user_id
 """
 
 
@@ -974,6 +1061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
     "j2_surrogate_dim": q_j2_surrogate_dim,
     "j3_nullsafe_join": q_j3_nullsafe_join,
+    "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
     "j6_asof_fill": q_j6_asof_fill,
     "j8_range_join": q_j8_range_join,
@@ -1004,6 +1092,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_multimodal_meta": q_m_multimodal_meta,
     "m_multimodal_decode": q_m_multimodal_decode,
     "m_frame_sample": q_m_frame_sample,
+    "d_simhash_neardup": q_d_simhash_neardup,
+    "f1_standardize": q_f1_standardize,
+    "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
 }
 
 ORACLES: dict[str, str] = {
@@ -1020,6 +1111,7 @@ ORACLES: dict[str, str] = {
     "j1_broadcast_dim_join": O_J1,
     "j2_surrogate_dim": O_J2,
     "j3_nullsafe_join": O_J3,
+    "j4_case_insensitive_join": O_J4,
     "j5_anti_join": O_J5,
     "j6_asof_fill": O_J6,
     "j8_range_join": O_J8,
@@ -1045,7 +1137,9 @@ ORACLES: dict[str, str] = {
     "t_token_count_bpe": O_T_TOKEN_BPE,
     "t_char_fingerprint": O_T_CHAR_FP,
     "m_multimodal_meta": O_M_META,
+    "u3_grouped_agg_udaf": O_U3,
     # rows-only (no SQL-expressible oracle): d_minhash_lsh, d_simhash,
-    # sim_lsh_topk (seeded hyperplanes), m_multimodal_decode / m_frame_sample
-    # (Python featurizer islands)
+    # d_simhash_neardup, sim_lsh_topk (seeded hyperplanes),
+    # m_multimodal_decode / m_frame_sample (Python featurizer islands),
+    # f1_standardize (lookahead regexes unsupported by DuckDB RE2)
 }
