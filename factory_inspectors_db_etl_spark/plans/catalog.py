@@ -440,11 +440,27 @@ WHERE rn = 1
 
 
 def q_w6_global_surrogate(spark: SparkSession, sf: str) -> DataFrame:
-    """W6: stable global surrogate ids ordered by natural key."""
-    d = load_table(spark, sf, "documents")
-    w = W.orderBy("source", "doc_id")
-    return d.select("doc_id", "source").withColumn(
-        "row_id", F.row_number().over(w).cast("int")
+    """W6: stable global surrogate ids ordered by (source, doc_id) —
+    two-phase: per-group row_number (parallel windows) + broadcast
+    cumulative offsets (computed over the tiny distinct-group set).  A
+    naive ``row_number().over(Window.orderBy(...))`` funnels the whole
+    table through ONE partition; this form scales with the group count
+    while producing identical ids."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    local = d.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(W.orderBy("source").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("source", "_off")
+    return (
+        local.join(F.broadcast(offsets), "source")
+        .select("doc_id", "source", (F.col("_rn") + F.col("_off")).cast("int").alias("row_id"))
     )
 
 

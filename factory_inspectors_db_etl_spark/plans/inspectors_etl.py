@@ -404,8 +404,28 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
             how="left",
         )
     )
-    fact = fact.withColumn(
-        "assignment_id", F.row_number().over(W.orderBy("global_order")).cast("long")
+    # W6 surrogate ids, two-phase: per-file row_number (parallel windows,
+    # bounded by rows-per-document) + broadcast cumulative offsets ordered
+    # by year — identical ids to a global row_number over global_order
+    # (files are disjoint year ranges) without the single-partition funnel.
+    local = fact.withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy("source_file").orderBy("global_order")),
+    )
+    offsets = (
+        fact.groupBy("source_file")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("year").alias("_yr"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(W.orderBy("_yr").rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select("source_file", "_off")
+    )
+    fact = local.join(F.broadcast(offsets), "source_file").withColumn(
+        "assignment_id", (F.col("_rn") + F.col("_off")).cast("long")
     ).select(
         "assignment_id",
         "inspector_id",
