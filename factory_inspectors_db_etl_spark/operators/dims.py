@@ -48,6 +48,37 @@ def build_dim(
     return dedup.withColumn(id_col, (F.row_number().over(w) + F.lit(start_id - 1)).cast("int"))
 
 
+def build_dim_incremental(
+    existing: DataFrame,
+    new_rows: DataFrame,
+    natural_key: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Incremental get-or-create (SURVEY.md §2.4 J2, incremental variant):
+    append only UNSEEN natural keys to an existing dimension, minting ids
+    after the current max — existing ids never change (the property the
+    reference's SERIAL column provides across runs).
+
+    new keys = left_anti(new, existing); ids = max(existing.id) +
+    row_number over the (small, deduplicated) novelty set.  The anti-join
+    broadcasts the existing dim key set when small; at scale it is a
+    shuffle on the natural key — still one pass over the increment only.
+    """
+    nk = list(natural_key)
+    novel = new_rows.select(*nk).dropDuplicates(nk).join(
+        existing.select(*nk), on=nk, how="left_anti"
+    )
+    base = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in nk])
+    minted = (
+        novel.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(base))
+        .withColumn(id_col, (F.col("_rn") + F.col("m")).cast("int"))
+        .drop("_rn", "m")
+    )
+    return existing.unionByName(minted.select(*existing.columns))
+
+
 def resolve_fk(
     fact: DataFrame,
     dim: DataFrame,

@@ -218,6 +218,22 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_a2_skew_safe_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 at-scale variant: COUNT(DISTINCT) per hot key via the two-phase
+    (key, value) shuffle — l_returnflag has only 3 values, the worst-case
+    skew shape for a naive distinct build."""
+    from ..operators.skew import skew_safe_count_distinct
+
+    li = load_table(spark, sf, "lineitem")
+    return skew_safe_count_distinct(li, ["l_returnflag"], "l_orderkey", "n_orders")
+
+
+O_A2_SKEW = """
+SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_a4_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     """A1/A4: exact distinct aggregation (expand + two-phase agg)."""
     li = load_table(spark, sf, "lineitem")
@@ -1072,6 +1088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
     "a1_pricing_summary": q_a1_pricing_summary,
+    "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
     "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
@@ -1122,6 +1139,7 @@ ORACLES: dict[str, str] = {
     "f9_case_ladder": O_F9,
     "f10_dict_canonicalize": O_F10,
     "a1_pricing_summary": O_A1,
+    "a2_skew_safe_distinct": O_A2_SKEW,
     "a3_rollup": O_A3,
     "a4_distinct_counts": O_A4,
     "j1_broadcast_dim_join": O_J1,

@@ -109,9 +109,16 @@ def _note_row_filter(df: DataFrame) -> Column:
     return ~is_note
 
 
-def parsed_assignment_rows(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+def parsed_assignment_rows(
+    spark: SparkSession, paths: str | list[str], return_rejects: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Reader through exploded, dim-key-annotated assignment rows (one row
-    per assignment, pre-dim-join)."""
+    per assignment, pre-dim-join).
+
+    With ``return_rejects=True`` also returns the quarantine DataFrame
+    (P6): rows/assignments the reference warn-and-drops
+    (populate_db_ru_v1.py:718-719,748-749) routed to a sink with a reason
+    column instead of vanishing into logs."""
     # ``cell0_std`` computed once in its own projection (codegen size; see
     # _role_columns docstring).
     rows = read_roster_rows(spark, paths).withColumn(
@@ -171,7 +178,17 @@ def parsed_assignment_rows(spark: SparkSession, paths: str | list[str]) -> DataF
     loc_marker = F.when(loc_std.isNotNull() & (loc_std != "»"), loc_std)
     data = data.withColumn(
         "city_std", forward_fill_expr(loc_marker, ["source_file"], ["row_idx"])
-    ).filter(F.col("city_std").isNotNull())  # no city and no previous -> drop (:680)
+    )
+    # no city and no previous -> quarantine (:680)
+    rejects_city = data.filter(F.col("city_std").isNull()).select(
+        "source_file",
+        "year",
+        "row_idx",
+        F.lit(None).cast("int").alias("segment_idx"),
+        F.lit("location_unresolvable").alias("reject_reason"),
+        F.coalesce(F.col("personnel_html"), F.col("desc_raw")).alias("payload"),
+    )
+    data = data.filter(F.col("city_std").isNotNull())
 
     # -- F2 stats, F9 roles --------------------------------------------------
     data = (
@@ -271,15 +288,23 @@ def parsed_assignment_rows(spark: SparkSession, paths: str | list[str]) -> DataF
     # lstrip("; ") semantics on the appended-note branch
     a = a.withColumn("notes", F.regexp_replace(F.col("notes"), r"^[; ]+", ""))
 
-    # drop assignments whose named inspector failed to canonicalize (:748)
-    a = a.filter(
-        ~(
-            F.col("inspector_key").isNull()
-            & ~F.col("is_vacancy")
-            & F.col("special_role").isNull()
-            & F.col("name").isNotNull()
-        )
+    # assignments whose named inspector failed to canonicalize (:748):
+    # quarantine, not log-and-forget
+    _insp_reject = (
+        F.col("inspector_key").isNull()
+        & ~F.col("is_vacancy")
+        & F.col("special_role").isNull()
+        & F.col("name").isNotNull()
     )
+    rejects_inspector = a.filter(_insp_reject).select(
+        "source_file",
+        "year",
+        "row_idx",
+        "segment_idx",
+        F.lit("inspector_unparsed").alias("reject_reason"),
+        F.col("personnel_raw_string").alias("payload"),
+    )
+    a = a.filter(~_insp_reject)
 
     # -- J5 profession/education disambiguation ------------------------------
     prof_is_edu = F.col("prof_abbr").isin(_PROF_EDU_OVERLAP) if _PROF_EDU_OVERLAP else F.lit(False)
@@ -299,6 +324,8 @@ def parsed_assignment_rows(spark: SparkSession, paths: str | list[str]) -> DataF
             + F.col("segment_idx"),
         )
     )
+    if return_rejects:
+        return a, rejects_city.unionByName(rejects_inspector)
     return a
 
 
@@ -324,8 +351,9 @@ def _lookup_full_name(key_col: str, dictionary: dict[str, str]) -> Column:
 
 
 def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, DataFrame]:
-    """Full star schema from roster HTML files (FIXTURES.md B3)."""
-    a = parsed_assignment_rows(spark, paths)
+    """Full star schema from roster HTML files (FIXTURES.md B3), plus the
+    ``rejects`` quarantine table (P6)."""
+    a, rejects = parsed_assignment_rows(spark, paths, return_rejects=True)
 
     inspectors = build_dim(
         a.filter(F.col("inspector_key").isNotNull()).select(
@@ -460,6 +488,7 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
         "professions": professions.select("profession_id", "abbreviation", "full_name_ru"),
         "educations": educations.select("education_id", "abbreviation", "full_name_ru"),
         "assignments": fact,
+        "rejects": rejects,
     }
 
 

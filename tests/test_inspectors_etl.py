@@ -250,4 +250,7 @@ def test_warehouse_full_corpus_counts(spark):
     # every fact row carries the year partition key + the FK columns
     missing_loc = fact.filter("inspector_location_id IS NULL").count()
     assert missing_loc == 0
+    # P6 quarantine: the reference's warn-and-drop rows land in `rejects`
+    rej = {r["reject_reason"]: r["count"] for r in t["rejects"].groupBy("reject_reason").count().collect()}
+    assert rej == {"location_unresolvable": 6}
     fact.unpersist()
