@@ -1,13 +1,51 @@
-from .dims import build_dim, resolve_fk, null_safe_join
-from .fill import forward_fill, forward_fill_expr
 from .asof import asof_fill, asof_join
+from .bucketing import bucketed_join, write_bucketed
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from .dims import build_dim, build_dim_incremental, null_safe_join, resolve_fk
+from .fill import forward_fill, forward_fill_expr
+from .multimodal import decode_and_featurize, payload_metadata, sample_frames, with_payload
+from .similarity import (
+    cosine_topk_bruteforce,
+    embedding_neardup_pairs,
+    embedding_neardup_pairs_matrix,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from .skew import salted_agg, skew_safe_count_distinct
 
 __all__ = [
-    "build_dim",
-    "resolve_fk",
-    "null_safe_join",
-    "forward_fill",
-    "forward_fill_expr",
     "asof_fill",
     "asof_join",
+    "bucketed_join",
+    "write_bucketed",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_duplicates",
+    "build_dim",
+    "build_dim_incremental",
+    "null_safe_join",
+    "resolve_fk",
+    "forward_fill",
+    "forward_fill_expr",
+    "decode_and_featurize",
+    "payload_metadata",
+    "sample_frames",
+    "with_payload",
+    "cosine_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "embedding_neardup_pairs_matrix",
+    "ivf_topk",
+    "lsh_bucket_topk",
+    "salted_agg",
+    "skew_safe_count_distinct",
 ]

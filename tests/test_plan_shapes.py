@@ -1,0 +1,100 @@
+"""Physical-plan invariants: the claims the scale design makes must be
+visible in `.explain` output, and must not regress.
+
+These assert plan *shape*, not timings: pushdown reaches scans, star
+joins broadcast (no shuffle of the big side), bucketed joins plan without
+exchanges, IVF probe joins stay broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from factory_inspectors_db_etl_spark.plans.catalog import QUERIES
+from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_push_into_scan(spark, sf_dir):
+    plan = _formatted(QUERIES["s1_filter_project"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: the scan schema carries only referenced columns
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_flagship_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _physical(QUERIES["flagship_q5_revenue"](spark, sf_dir))
+    # four broadcast joins, and the lineitem side never shuffles: the only
+    # exchange below the aggregate is the final groupBy partial->final
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_dim_join_is_broadcast_not_shuffle(spark, sf_dir):
+    plan = _formatted(QUERIES["j1_broadcast_dim_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_fill_partitions_by_group(spark, sf_dir):
+    # forward-fill shuffles once on the partition key, then windows locally
+    plan = _physical(QUERIES["w1_forward_fill"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from factory_inspectors_db_etl_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o.select("o_orderkey", "o_custkey"), "b_orders", "o_orderkey", 4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4
+    )
+    # at test scale the planner would rather broadcast; disable it so the
+    # bucketed SortMergeJoin path (what a big-big join would plan) shows
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", on="o_orderkey")
+        plan = _physical(joined)
+        # co-located: the join requires no shuffle of either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # sanity: results match the unbucketed join
+        want = (
+            o.join(li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+            .count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    plan = _formatted(QUERIES["sim_ivf_topk"](spark, sf_dir))
+    # centroid assignment and probe joins broadcast the small side; the
+    # corpus is never nested-loop joined against itself
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
