@@ -227,8 +227,41 @@ def test_name_canon_fused_initials_split():
 
 
 # ---------------------------------------------------------------------------
-# Spark golden: full-corpus warehouse (one job)
+# Spark goldens: single-file snapshot + full-corpus counts
 # ---------------------------------------------------------------------------
+
+
+def test_warehouse_1905_golden_snapshot(spark):
+    """Value-level golden for the G2 representative file: dim contents and
+    the first fact rows, natural-key-identified (SURVEY.md §5.2)."""
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import build_warehouse
+
+    t = build_warehouse(spark, f"{CORPUS}/fabric1905.html")
+    assert {k: t[k].count() for k in t} == {
+        "inspectors": 269, "locations": 131, "ranks": 12, "professions": 11,
+        "educations": 2, "assignments": 351, "rejects": 1,
+    }
+    assert sorted(r["abbreviation"] for r in t["ranks"].collect()) == [
+        "г. ск", "д. с. с.", "к. а.", "к. р.", "к. с.", "к. ск",
+        "н. с.", "с. с.", "ст. с.", "т. с.", "тит. с.", "тт. с.",
+    ]
+    assert sorted(r["abbreviation"] for r in t["professions"].collect()) == [
+        "воен. инж", "врач", "горн. инж", "д-р мед", "инж.", "инж.-мех",
+        "инж.-тех", "инж.-хим", "кораб. инж", "мех.-стр", "тех.",
+    ]
+    first = [
+        (r["assignment_id"], r["gubernia_name"], r["position_role"],
+         r["uchastok_identifier"], r["worker_count"], r["is_vacancy"])
+        for r in t["assignments"].orderBy("assignment_id").limit(4).collect()
+    ]
+    # row 3 is the vacancy segment of the multi-period cell at
+    # fabric1905.html:117 (same uchastok, same stats, is_vacancy=true)
+    assert first == [
+        (1, "архангельская губерния", "Старший инспектор", None, None, False),
+        (2, "архангельская губерния", "Инспектор участка", "1", 3738, False),
+        (3, "архангельская губерния", "Инспектор участка", "1", 3738, True),
+        (4, "архангельская губерния", "Инспектор участка", "2", 7245, False),
+    ]
 
 
 def test_warehouse_full_corpus_counts(spark):
