@@ -189,7 +189,12 @@ def stream_roster_rows(spark: SparkSession, dir_glob: str) -> DataFrame:
 
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
-    into an in-memory table and return it as a batch DataFrame."""
+    into an in-memory table and return it as a batch DataFrame.
+
+    The memory sink cannot recover a checkpoint, so each call is a fresh
+    run; for incremental (resume-across-runs, exactly-once) ingestion use
+    a file sink with a persistent checkpointLocation — see
+    tests/test_streaming.py::test_roster_incremental_ingestion_exactly_once."""
     spark = stream.sparkSession
     with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
         q = (

@@ -118,6 +118,43 @@ def test_stateful_running_stats(spark, sf_dir, events_stream):
     )
 
 
+def test_roster_incremental_ingestion_exactly_once(spark, tmp_path):
+    """A new yearly file arriving between runs is processed exactly once:
+    the streaming form of the reference's file-per-year loop (the memory
+    sink accumulates; run 2 must append ONLY the new file's rows)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # memory sinks cannot recover a checkpoint; a parquet sink is the
+        # real incremental-ingestion shape anyway
+        q = (
+            stream_roster_rows(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    shutil.copy(f"/root/reference/diplom/fabric1901.html", src / "fabric1901.html")
+    got1 = run_once()
+    n1 = got1.count()
+    assert got1.select("source_file").distinct().count() == 1
+
+    shutil.copy(f"/root/reference/diplom/fabric1905.html", src / "fabric1905.html")
+    got2 = run_once()
+    per_file = {r["source_file"]: r["count"] for r in got2.groupBy("source_file").count().collect()}
+    # 1901 rows NOT reprocessed (would double if the file log were ignored)
+    assert per_file["fabric1901.html"] == n1
+    assert per_file["fabric1905.html"] > 0
+
+
 def test_roster_file_stream_matches_batch_reader(spark, tmp_path):
     """New yearly files are ingested through the same UDTF as the batch
     reader: streaming two files == batch-reading them."""
