@@ -194,6 +194,19 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_a5_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 at 100 TB: mergeable sketches instead of exact state —
+    approx_count_distinct (HLL++), an explicit HLL sketch (partition-
+    mergeable binary state), and approximate percentiles.  Rows-only:
+    sketch internals differ engine to engine by design."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
+        F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("qty_p50_p95"),
+    )
+
+
 def q_a3_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """A3: hierarchical rollup (region -> nation -> grand total)."""
     c = load_table(spark, sf, "customer")
@@ -1090,6 +1103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_pricing_summary": q_a1_pricing_summary,
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
+    "a5_approx_sketches": q_a5_approx_sketches,
     "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
     "j2_surrogate_dim": q_j2_surrogate_dim,
