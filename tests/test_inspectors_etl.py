@@ -264,6 +264,47 @@ def test_warehouse_1905_golden_snapshot(spark):
     ]
 
 
+def test_warehouse_1901_golden_snapshot(spark):
+    """G1 (4-column, ASCII-ditto) generation golden. The leading
+    'Неизвестно' gubernias replicate the reference's thead-offset quirk
+    (the file's first header rows are swallowed, so the first data rows
+    carry no gubernia)."""
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import build_warehouse
+
+    t = build_warehouse(spark, f"{CORPUS}/fabric1901.html")
+    assert {k: t[k].count() for k in t} == {
+        "inspectors": 267, "locations": 178, "ranks": 14, "professions": 13,
+        "educations": 2, "assignments": 354, "rejects": 0,
+    }
+    first = [
+        (r["assignment_id"], r["gubernia_name"], r["position_role"], r["is_vacancy"])
+        for r in t["assignments"].orderBy("assignment_id").limit(4).collect()
+    ]
+    assert first == [
+        (1, "Неизвестно", "Инспектор участка", False),
+        (2, "Неизвестно", "Инспектор участка", False),
+        (3, "архангельская губерния", "Старший инспектор", False),
+        (4, "архангельская губерния", "Должность не указана", True),
+    ]
+
+
+def test_warehouse_1913_golden_snapshot(spark):
+    """G3 (dot-leader-polluted) generation golden: the richer 1913 markup
+    still normalizes into the same star schema."""
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import build_warehouse
+
+    t = build_warehouse(spark, f"{CORPUS}/fabric1913.html")
+    assert {k: t[k].count() for k in t} == {
+        "inspectors": 298, "locations": 123, "ranks": 16, "professions": 18,
+        "educations": 9, "assignments": 413, "rejects": 1,
+    }
+    assert sorted(r["abbreviation"] for r in t["ranks"].collect()) == [
+        "губ. секр", "д. с. с.", "к. а.", "к. сов", "колл асс", "колл. асс",
+        "колл. рег", "колл. секр", "колл. сов", "н. с.", "н. ч.",
+        "надв. сов", "с с", "с. с.", "тит. с.", "тит. сов",
+    ]
+
+
 def test_warehouse_full_corpus_counts(spark):
     from factory_inspectors_db_etl_spark.plans.inspectors_etl import build_warehouse
 
