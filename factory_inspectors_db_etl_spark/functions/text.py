@@ -106,27 +106,37 @@ def standardize_text(col: Column) -> Column:
     Java regex supports the lookarounds used by the reference, so every
     step stays a built-in expression (lower/replace/translate/
     regexp_replace/when) with no UDF.
+
+    Every ``\\s`` is used in ``(?U)`` (UNICODE_CHARACTER_CLASS) mode and
+    trims are regex-based: Python's ``str.strip()``/``\\s`` treat NBSP
+    (U+00A0) etc. as whitespace, Java's defaults do not — without this the
+    two forms diverge on NBSP-padded cells (caught by
+    tests/test_text_forms_agree.py).
     """
-    s = F.lower(F.trim(col))
+
+    def utrim(c: Column) -> Column:
+        return F.regexp_replace(c, r"(?U)^\s+|\s+$", "")
+
+    s = F.lower(utrim(col))
     for old, new in PLACE_REPLACEMENTS:
         s = F.replace(s, F.lit(old), F.lit(new))
     s = F.translate(s, OLD_CHARS, NEW_CHARS)
-    s = F.regexp_replace(s, r"ъ(?=\s|$|[.,;:!?])", "")
-    s = F.regexp_replace(s, r"ь(?=\s|$|[.,;:!?])", "")
+    s = F.regexp_replace(s, r"(?U)ъ(?=\s|$|[.,;:!?])", "")
+    s = F.regexp_replace(s, r"(?U)ь(?=\s|$|[.,;:!?])", "")
     for old, new in ABBREV_REPLACEMENTS:
         s = F.replace(s, F.lit(old), F.lit(new))
-    s = F.regexp_replace(s, r"\s*\.\s*\.(?!\s*[а-яё])", ".")
-    s = F.regexp_replace(s, r"\s*\.(?=\s|$)", ".")
-    s = F.regexp_replace(s, r"\s*,\s*", ", ")
-    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    s = F.regexp_replace(s, r"(?U)\s*\.\s*\.(?!\s*[а-яё])", ".")
+    s = F.regexp_replace(s, r"(?U)\s*\.(?=\s|$)", ".")
+    s = F.regexp_replace(s, r"(?U)\s*,\s*", ", ")
+    s = utrim(F.regexp_replace(s, r"(?U)\s+", " "))
     ends_dot = s.rlike(r"[.,]$")
     keep = (
         s.rlike(r"\b[а-яё]\.$")
-        | s.rlike(r"\b[а-яё]\.\s*[а-яё]\.$")
+        | s.rlike(r"(?U)\b[а-яё]\.\s*[а-яё]\.$")
         | s.rlike(r"^[а-яё]{1,3}\.$")
         | s.isin(DOT_KEEP_LITERALS)
     )
-    stripped = F.trim(F.regexp_replace(s, r"[.,]$", ""))
+    stripped = utrim(F.regexp_replace(s, r"[.,]$", ""))
     s = F.when(ends_dot & ~keep, stripped).otherwise(s)
     return F.when(s == "", F.lit(None).cast("string")).otherwise(s)
 
