@@ -420,6 +420,31 @@ GROUP BY size_class
 """
 
 
+def q_j8b_range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """J8 at scale: the same point-in-interval classification as
+    j8_range_join, but as a bucketized equi-join (shuffle on a dense
+    bucket id + residual filter) instead of a nested loop — the shape
+    that survives a large interval table."""
+    from ..operators.range_join import range_join_bucketed
+
+    p = load_table(spark, sf, "part")
+    buckets = spark.createDataFrame(
+        [("small", 0, 10), ("medium", 10, 20), ("large", 20, 30), ("xlarge", 30, 40), ("jumbo", 40, 60)],
+        schema="size_class string, lo int, hi int",
+    )
+    joined = range_join_bucketed(
+        p.select("p_partkey", "p_size", "p_retailprice"), buckets, "p_size", "lo", "hi", bucket_width=10
+    )
+    return joined.groupBy("size_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(_dec("p_retailprice")).cast("double").alias("total_price"),
+    )
+
+
+# same oracle semantics as O_J8
+O_J8B = O_J8
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1-W8)
 # ---------------------------------------------------------------------------
@@ -1112,6 +1137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j5_anti_join": q_j5_anti_join,
     "j6_asof_fill": q_j6_asof_fill,
     "j8_range_join": q_j8_range_join,
+    "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
     "w1_forward_fill": q_w1_forward_fill,
     "w5_latest_per_group": q_w5_latest_per_group,
     "w6_global_surrogate": q_w6_global_surrogate,
@@ -1163,6 +1189,7 @@ ORACLES: dict[str, str] = {
     "j5_anti_join": O_J5,
     "j6_asof_fill": O_J6,
     "j8_range_join": O_J8,
+    "j8b_range_join_bucketed": O_J8B,
     "w1_forward_fill": O_W1,
     "w5_latest_per_group": O_W5,
     "w6_global_surrogate": O_W6,

@@ -118,6 +118,62 @@ def test_stateful_running_stats(spark, sf_dir, events_stream):
     )
 
 
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Real late-data semantics: with maxFilesPerTrigger=1 each file is a
+    micro-batch, so the watermark set by batch 1 (max_ts - 10min) is
+    active when batch 2 arrives; batch 2's hours-late rows must be
+    DROPPED from the windowed aggregation, not retro-inserted."""
+    import datetime as dt
+    import glob
+    import os
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "event_id long, ts timestamp, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        os.rename(part, watch / f"{name}.parquet")
+
+    on_time = [(i, t0 + dt.timedelta(minutes=i), 1.0) for i in range(0, 60, 5)]
+    write_file("batch1", on_time)
+    late = [(100, t0 - dt.timedelta(hours=2), 1.0)]  # far beyond the watermark
+    write_file("batch2", late)
+    # ensure batch2 sorts after batch1 in the source's mtime order
+    os.utime(watch / "batch2.parquet", times=None)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    # the late event's window (t0 - 2h) never appears
+    assert got.filter(F.col("ws") < F.lit(t0)).count() == 0
+    # and the emitted on-time windows carry only on-time counts
+    assert got.agg(F.sum("n")).collect()[0][0] <= len(on_time)
+
+
 def test_roster_incremental_ingestion_exactly_once(spark, tmp_path):
     """A new yearly file arriving between runs is processed exactly once:
     the streaming form of the reference's file-per-year loop (the memory
