@@ -200,10 +200,14 @@ def q_a5_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     mergeable binary state), and approximate percentiles.  Rows-only:
     sketch internals differ engine to engine by design."""
     li = load_table(spark, sf, "lineitem")
+    pcts = F.percentile_approx("l_quantity", [0.5, 0.95], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
-        F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("qty_p50_p95"),
+        # scalar projections (not an array column): the driver's canonical-
+        # izer sorts on every output column and can't hash python lists.
+        F.element_at(pcts, 1).cast("double").alias("qty_p50"),
+        F.element_at(pcts, 2).cast("double").alias("qty_p95"),
     )
 
 
@@ -1063,9 +1067,23 @@ FROM documents
 def q_m_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over multimodal rows
     (mapInPandas; codec stubbed -> deterministic byte features).
-    Rows-only: the featurizer is the Python island under test."""
+    Rows-only: the featurizer is the Python island under test.
+
+    The ``features array<float>`` column is stringified (rounded +
+    array_join, same as t_char_fingerprint) because the driver's
+    canonicalizer sorts on every output column and can't hash lists."""
     d = load_table(spark, sf, "documents")
-    return MM.decode_and_featurize(MM.with_payload(d))
+    feats = MM.decode_and_featurize(MM.with_payload(d))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "payload_md5",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.array_join(
+            F.transform("features", lambda x: F.round(x.cast("double"), 6).cast("string")),
+            ",",
+        ).alias("features_csv"),
+    )
 
 
 def q_m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:

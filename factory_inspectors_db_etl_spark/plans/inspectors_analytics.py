@@ -35,10 +35,14 @@ def parse_raw_date(raw: Column, year: Column) -> Column:
     extension.  Unparseable phrases stay NULL (never error)."""
     day = F.regexp_extract(raw, r"(\d{1,2})", 1)
     month_tok = F.regexp_extract(raw, r"\d{1,2}\s+([а-яё.]+)", 1)
-    month_num: Column = F.lit(None).cast("int")
-    # longest keys first so "январ" wins over "янв"
+    # One chained CASE WHEN, longest keys first: branches evaluate in chain
+    # order, so "март" is tested before its prefix "ма" (wrapping otherwise()
+    # around prior branches would invert that and turn every March into May).
+    ladder: Column | None = None
     for tok in sorted(MONTHS_RU, key=len, reverse=True):
-        month_num = F.when(month_tok.startswith(tok), F.lit(MONTHS_RU[tok])).otherwise(month_num)
+        cond = month_tok.startswith(tok)
+        ladder = F.when(cond, F.lit(MONTHS_RU[tok])) if ladder is None else ladder.when(cond, F.lit(MONTHS_RU[tok]))
+    month_num: Column = ladder.otherwise(F.lit(None).cast("int"))
     # no try_make_date builtin in this Spark; guard day validity by hand so
     # ANSI mode's make_date never throws on malformed phrases
     d = day.cast("int")

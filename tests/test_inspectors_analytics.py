@@ -70,6 +70,34 @@ def test_tenure_dates_typed(warehouse):
         assert sample[0].day == 10 and sample[0].month == 12
 
 
+def test_parse_raw_date_months(spark):
+    """Every month token maps to its own month — in particular "март"
+    must not be swallowed by its prefix "ма" (the May short form)."""
+    cases = [
+        ("с 5 янв", 1), ("с 5 января", 1), ("с 5 фев", 2), ("с 5 февраля", 2),
+        ("с 5 март", 3), ("с 5 марта", 3), ("с 5 апр", 4), ("с 5 апреля", 4),
+        ("с 5 мая", 5), ("с 5 ма", 5), ("с 5 июн", 6), ("с 5 июня", 6),
+        ("с 5 июл", 7), ("с 5 июля", 7), ("с 5 авг", 8), ("с 5 августа", 8),
+        ("с 5 сент", 9), ("с 5 сентября", 9), ("с 5 окт", 10), ("с 5 октября", 10),
+        ("с 5 нояб", 11), ("с 5 ноября", 11), ("с 5 дек", 12), ("с 5 декабря", 12),
+    ]
+    df = spark.createDataFrame([(raw, 1905, want) for raw, want in cases], "raw string, year int, want int")
+    parsed = df.select("raw", "want", A.parse_raw_date(F.col("raw"), F.col("year")).alias("d"))
+    for r in parsed.collect():
+        assert r["d"] is not None, r["raw"]
+        assert r["d"].month == r["want"], f"{r['raw']} -> {r['d']}"
+        assert r["d"].day == 5 and r["d"].year == 1905
+
+
+def test_parse_raw_date_invalid_stays_null(spark):
+    df = spark.createDataFrame(
+        [("с 31 фев",), ("с 32 янв",), ("жалование",), ("",), (None,)],
+        "raw string",
+    )
+    parsed = df.select(A.parse_raw_date(F.col("raw"), F.lit(1904)).alias("d"))
+    assert parsed.filter("d IS NOT NULL").count() == 0
+
+
 def test_top_mobile_inspectors(warehouse):
     top = A.top_mobile_inspectors(warehouse["assignments"], k=5).collect()
     assert len(top) == 5

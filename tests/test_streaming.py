@@ -119,10 +119,16 @@ def test_stateful_running_stats(spark, sf_dir, events_stream):
 
 
 def test_watermark_drops_late_data_across_batches(spark, tmp_path):
-    """Real late-data semantics: with maxFilesPerTrigger=1 each file is a
-    micro-batch, so the watermark set by batch 1 (max_ts - 10min) is
-    active when batch 2 arrives; batch 2's hours-late rows must be
-    DROPPED from the windowed aggregation, not retro-inserted."""
+    """Real late-data semantics, asserting only what the engine
+    guarantees.  Spark's late-record filter uses the watermark that was
+    already active at the *start of the previous* trigger (the value
+    advances at end-of-batch, one trigger before it gates input), so a
+    row later than the threshold is deterministically dropped once it
+    arrives >= 2 batches after the data that advanced the watermark —
+    and a window that was already emitted in append mode is never
+    re-emitted.  maxFilesPerTrigger=1 + strictly increasing mtimes make
+    the three files three ordered micro-batches (same-second mtimes made
+    the old two-file version racy)."""
     import datetime as dt
     import glob
     import os
@@ -133,21 +139,26 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    base = 1_700_000_000
 
-    def write_file(name, rows):
+    def write_file(name, rows, mtime):
         stage = str(tmp_path / f"stage_{name}")
         spark.createDataFrame(rows, "event_id long, ts timestamp, v double").coalesce(
             1
         ).write.mode("overwrite").parquet(stage)
         part = glob.glob(f"{stage}/part-*.parquet")[0]
         os.rename(part, watch / f"{name}.parquet")
+        os.utime(watch / f"{name}.parquet", times=(mtime, mtime))
 
+    # batch 1: on-time data -> watermark becomes t0+45min at its end
     on_time = [(i, t0 + dt.timedelta(minutes=i), 1.0) for i in range(0, 60, 5)]
-    write_file("batch1", on_time)
-    late = [(100, t0 - dt.timedelta(hours=2), 1.0)]  # far beyond the watermark
-    write_file("batch2", late)
-    # ensure batch2 sorts after batch1 in the source's mtime order
-    os.utime(watch / "batch2.parquet", times=None)
+    write_file("batch1", on_time, base)
+    # batch 2: one more on-time row; the 12:45 watermark is now active,
+    # finalized windows (end <= 12:45) are emitted and evicted
+    write_file("batch2", [(99, t0 + dt.timedelta(minutes=55), 1.0)], base + 60)
+    # batch 3: an hours-late row into an already-emitted window -> the
+    # engine-guaranteed drop (watermark has gated input for a full batch)
+    write_file("batch3", [(100, t0 + dt.timedelta(minutes=5), 1.0)], base + 120)
 
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, v double")
@@ -167,11 +178,21 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
+    # premise: the three files really ran as three ordered micro-batches
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert [p["numInputRows"] for p in batches] == [len(on_time), 1, 1]
+    # the late row was dropped by the watermark, counted by the engine
+    last = batches[-1]
+    assert sum(s["numRowsDroppedByWatermark"] for s in last["stateOperators"]) == 1
     got = spark.read.parquet(out)
-    # the late event's window (t0 - 2h) never appears
-    assert got.filter(F.col("ws") < F.lit(t0)).count() == 0
-    # and the emitted on-time windows carry only on-time counts
-    assert got.agg(F.sum("n")).collect()[0][0] <= len(on_time)
+    # no window emitted twice (append-mode exactly-once per finalized window)
+    assert got.groupBy("ws").count().filter("count > 1").count() == 0
+    # the late row retro-updated nothing: every emitted window holds
+    # exactly its on-time count of 2 (rows every 5 min, 10-min windows)
+    rows = {r["ws"]: r["n"] for r in got.collect()}
+    assert rows == {
+        t0 + dt.timedelta(minutes=m): 2 for m in (0, 10, 20, 30)
+    }
 
 
 def test_roster_incremental_ingestion_exactly_once(spark, tmp_path):
