@@ -71,15 +71,26 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity >= threshold.
 
     Inverted-index join: explode shingles, self-join on the shingle hash
     (only docs sharing >=1 shingle ever meet), count the intersection, then
     |A ∪ B| = |A| + |B| - |A ∩ B|.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b.  At scale the shingle hash join key is 64-bit and hot
-    shingles can be capped with a document-frequency filter (``max_df``
-    would drop stop-shingles) — kept exact here.
+    id_a < id_b.
+
+    ``max_df`` is the stop-shingle cap: a posting list longer than it is
+    dropped BEFORE any pair is generated, because one shingle shared by
+    m documents emits O(m^2) pairs — a single stop-shingle across 10M
+    docs would otherwise be one giant posting row and 5*10^13 pairs.
+    Dropped shingles still count toward |A| and |B| (sizes come from the
+    full shingle sets), so affected pairs' Jaccard is UNDERestimated —
+    conservative for a near-dup gate.  The number of capped shingles is
+    published as the observed metric ``ngram_jaccard_capped_postings``
+    (CollectMetrics — free at execution time, readable from any query
+    listener).  Exact mode: ``max_df=None``; on corpora where no shingle
+    reaches the cap (e.g. the driver tables) the result is identical.
     """
     sh = _with_words(df, text_col).select(
         F.col(id_col).alias("doc"),
@@ -90,11 +101,32 @@ def ngram_jaccard_pairs(
     # list.  Equivalent to the shingle self-join but computes the shingle
     # set ONCE (one shuffle on the 64-bit shingle hash) instead of twice,
     # and postings of size 1 are dropped before any pair is generated.
-    postings = (
-        sh.groupBy("sh")
-        .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
+    if max_df is None:
+        postings = (
+            sh.groupBy("sh")
+            .agg(F.collect_list("doc").alias("docs"))
+            .filter(F.size("docs") > 1)
+        )
+    else:
+        # Cap BEFORE building any list: a fixed-width count aggregate finds
+        # hot shingles, and collect_list only ever runs over shingles that
+        # passed the cap — the giant posting row is never materialized.
+        # The count agg and the join probe share the same hash partitioning
+        # on sh, so AQE reuses the exchange (no extra shuffle of sh).
+        freq = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .observe(
+                "ngram_jaccard_capped_postings",
+                F.sum((F.col("df") > max_df).cast("long")).alias("n_capped"),
+            )
+        )
+        eligible = freq.filter((F.col("df") > 1) & (F.col("df") <= max_df)).select("sh")
+        postings = (
+            sh.join(eligible, "sh")
+            .groupBy("sh")
+            .agg(F.collect_list("doc").alias("docs"))
+        )
     inter = (
         postings.select(F.explode("docs").alias("id_a"), "docs")
         .select("id_a", F.explode("docs").alias("id_b"))

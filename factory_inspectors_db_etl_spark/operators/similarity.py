@@ -186,17 +186,23 @@ def embedding_neardup_pairs_matrix(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_to: int = 4,
+    max_broadcast_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
-    """Blocked-matrix form of ``embedding_neardup_pairs``: the unit-vector
+    """Broadcast-matrix form of ``embedding_neardup_pairs``: the unit-vector
     matrix is broadcast and every partition scores its rows against it
     with one BLAS matmul (Arrow-batched mapInPandas) — ~30x the
     higher-order-function form, because the inner loop is C, not
     per-element codegen closures.
 
-    Scale envelope: the broadcast side is n x dim doubles (e.g. 1M x 768
-    = 6 GB — the practical ceiling).  Beyond that, switch to the LSH
-    bucket join (``lsh_bucket_topk``) or IVF cells (``ivf_topk``): same
-    contract, candidate-pair generation instead of all-pairs.
+    SIZE-GUARDED: building the broadcast side requires collecting the
+    (id, vector) pairs to the driver, so this form is only legal when
+    ``n * dim * 8`` fits ``max_broadcast_bytes`` (default 512 MB, ~1M
+    rows at dim 64).  The guard is enforced with a metadata-cheap
+    count/dim aggregate BEFORE any data moves; past it, a ValueError
+    names the scale-safe forms (``embedding_neardup_pairs_blocked`` for
+    exact, ``embedding_neardup_pairs_lsh`` for approximate) — the
+    general-case registered query uses the blocked form, which never
+    touches the driver.
 
     Numerics: unit-normalize then dot, like the columnar form; BLAS
     summation order differs from sequential at ~1e-16, which the
@@ -205,6 +211,15 @@ def embedding_neardup_pairs_matrix(
     import pandas as pd
 
     spark = vectors.sparkSession
+    n, dim = vectors.agg(
+        F.count(F.lit(1)), F.max(F.size(F.col(vec_col)))
+    ).first()
+    if n * (dim or 0) * 8 > max_broadcast_bytes:
+        raise ValueError(
+            f"unit matrix would be {n}x{dim} doubles (> {max_broadcast_bytes}B "
+            "broadcast guard); use embedding_neardup_pairs_blocked (exact, "
+            "distributed) or embedding_neardup_pairs_lsh (approximate)"
+        )
     pdf = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
     ids = pdf["id"].to_numpy(dtype="int64")
     mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
@@ -230,6 +245,92 @@ def embedding_neardup_pairs_matrix(
 
     return vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
         score, "id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_neardup_pairs_blocked(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+    n_blocks: int | None = None,
+    target_block_rows: int = 8192,
+) -> DataFrame:
+    """Exact all-pairs embedding near-dup, fully distributed (no driver
+    collect anywhere in the plan): classic blocked matrix multiply.
+
+    Rows hash into ``n_blocks`` blocks; each row is replicated to every
+    unordered block PAIR it participates in (n_blocks copies), then one
+    ``applyInPandas`` task per block pair scores its two blocks with a
+    single BLAS matmul.  Work is the same O(n^2) dot products as the
+    exact contract demands, but:
+    * task memory is bounded by 2 x block_rows x dim doubles regardless
+      of n (pick target_block_rows to fit the executor);
+    * shuffle volume is n x n_blocks vector copies — O(n^2 / block_rows),
+      the textbook blocked-matmul replication cost, spread over
+      n_blocks^2 / 2 independent tasks;
+    * nothing ever moves to the driver.
+
+    ``n_blocks`` defaults from a count() (a metadata-only parquet
+    aggregate, not a data collect).  Scores use the same
+    unit-normalize -> BLAS-dot -> round numerics as the matrix form, so
+    the two are value-identical at ``round_to``.
+    """
+    import pandas as pd
+
+    if n_blocks is None:
+        n = vectors.count()
+        n_blocks = max(1, -(-n // target_block_rows))
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    # replicate each row into every unordered block pair containing its block
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            F.least(F.col("blk"), j.cast("int")).alias("ba"),
+            F.greatest(F.col("blk"), j.cast("int")).alias("bb"),
+        ),
+    )
+    tagged = v.select("id", "v", "blk", F.explode(pairs).alias("p")).select(
+        F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb"), "id", "v", "blk"
+    )
+
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+        def side(block: int):
+            part = pdf[pdf["blk"] == block]
+            ids = part["id"].to_numpy(dtype="int64")
+            if not len(ids):
+                return ids, None
+            mat = np.stack([np.asarray(x, dtype="float64") for x in part["v"]])
+            return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        ids_a, ua = side(ba)
+        if ua is None:
+            return empty
+        if ba == bb:
+            ids_b, ub = ids_a, ua
+        else:
+            ids_b, ub = side(bb)
+            if ub is None:
+                return empty
+        scores = np.round(ua @ ub.T, round_to)
+        ia, ib = np.nonzero(scores >= threshold)
+        if ba == bb:
+            # symmetric matrix: keep strictly-upper-triangle (by id) so each
+            # unordered pair is emitted once and self-pairs drop
+            keep = ids_a[ia] < ids_b[ib]
+            ia, ib = ia[keep], ib[keep]
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": scores[ia, ib]})
+
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        score_block_pair, "id_a long, id_b long, cosine double"
     )
 
 
@@ -285,3 +386,77 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs_lsh(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-candidates + exact-rescore near-dup pipeline: the general-case
+    scale path when even blocked O(n^2) is too much.
+
+    Candidate generation: random-hyperplane LSH, ``bands`` independent
+    band buckets of ``bits_per_band`` sign bits each; a pair is a
+    candidate iff it collides in >= 1 band — a self-equi-join on the
+    (band, bucket) key, never an all-pairs product.  Rescore: candidates
+    join back to their unit vectors and get the EXACT sequential-sum
+    cosine (same expression as ``embedding_neardup_pairs``), so false
+    positives are eliminated; the only approximation is recall.
+
+    Recall is 1-(1-p^r)^b with p = 1 - theta/pi: for cosine 0.95
+    (theta~18deg, p~.90) the default 16x4 gives ~1-5e-8 — effectively
+    exact.  At LOW thresholds hyperplane LSH degrades (cosine 0.4 ->
+    ~94% pair recall at 16x4): that regime is what
+    ``embedding_neardup_pairs_blocked`` is for.
+
+    Shuffle profile at scale: corpus scanned once to hash (bands x
+    bits_per_band literal-plane dots, columnar), exploded x bands for
+    the bucket join (fixed-width keys), then two id-equi-joins for the
+    rescore — all AQE-skew-splittable equi-joins.
+    """
+    planes = random_hyperplanes(dim, bands * bits_per_band, seed)
+    unit = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_n", l2_norm(F.col("vec")))
+        .withColumn("_u", F.transform(F.col("vec"), lambda x: x.cast("double") / F.col("_n")))
+        .select("id", "_u")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                lsh_bucket_expr(
+                    F.col(vec_col), planes[i * bits_per_band : (i + 1) * bits_per_band]
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = vectors.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    score = F.round(dot(F.col("_ua"), F.col("_ub")), round_to)
+    return (
+        candidates.join(unit.select(F.col("id").alias("id_a"), F.col("_u").alias("_ua")), "id_a")
+        .join(unit.select(F.col("id").alias("id_b"), F.col("_u").alias("_ub")), "id_b")
+        .select("id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -928,13 +928,26 @@ FROM n
 
 
 def q_d_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: broadcast unit matrix +
-    Arrow-batched BLAS scoring (exact; LSH/IVF serve the same contract
-    past the broadcast ceiling)."""
-    from ..operators.similarity import embedding_neardup_pairs_matrix
+    """Embedding-cosine near-duplicate pairs, exact, fully distributed:
+    blocked matrix multiply (one applyInPandas BLAS task per block pair,
+    nothing ever collected to the driver).  block rows sized small here
+    so the multi-block path is what gets oracle-checked."""
+    from ..operators.similarity import embedding_neardup_pairs_blocked
 
     e = load_table(spark, sf, "embeddings")
-    return embedding_neardup_pairs_matrix(e, threshold=0.40)
+    return embedding_neardup_pairs_blocked(e, threshold=0.40, target_block_rows=200)
+
+
+def q_d_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-candidates + exact-rescore near-dup (the general-case scale
+    path).  Rows-only: recall at this LOW threshold (0.40) is ~94% by
+    the 1-(1-p^r)^b formula, so the candidate set is intentionally not
+    hash-compared against the exact oracle — at the operator's design
+    point (>=0.9 cosine) recall is ~1-5e-8."""
+    from ..operators.similarity import embedding_neardup_pairs_lsh
+
+    e = load_table(spark, sf, "embeddings")
+    return embedding_neardup_pairs_lsh(e, dim=64, threshold=0.40)
 
 
 O_D_EMB_NEARDUP = """
@@ -1178,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "d_embedding_neardup": q_d_embedding_neardup,
+    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
     "t_token_count_bpe": q_t_token_count_bpe,
     "t_char_fingerprint": q_t_char_fingerprint,
     "m_multimodal_meta": q_m_multimodal_meta,
@@ -1232,7 +1246,8 @@ ORACLES: dict[str, str] = {
     "m_multimodal_meta": O_M_META,
     "u3_grouped_agg_udaf": O_U3,
     # rows-only (no SQL-expressible oracle): d_minhash_lsh, d_simhash,
-    # d_simhash_neardup, sim_lsh_topk (seeded hyperplanes),
+    # d_simhash_neardup, sim_lsh_topk, d_embedding_neardup_lsh (seeded
+    # hyperplanes / sub-1.0 recall by design),
     # m_multimodal_decode / m_frame_sample (Python featurizer islands),
     # f1_standardize (lookahead regexes unsupported by DuckDB RE2)
 }

@@ -1,0 +1,97 @@
+"""Scale-path behavior of the near-dup operators: the blocked distributed
+exact form must equal the columnar exact form, the LSH candidates+rescore
+pipeline must be a pure-recall approximation (no false positives), the
+broadcast-matrix form must refuse oversized inputs, and the n-gram
+Jaccard stop-shingle cap must bound hot postings without changing results
+on corpora below the cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from factory_inspectors_db_etl_spark.operators.dedup import ngram_jaccard_pairs
+from factory_inspectors_db_etl_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    embedding_neardup_pairs_blocked,
+    embedding_neardup_pairs_lsh,
+    embedding_neardup_pairs_matrix,
+)
+from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+THRESHOLD = 0.40
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]): r["cosine"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return _pairs(embedding_neardup_pairs(e, threshold=THRESHOLD))
+
+
+def test_blocked_equals_exact(spark, sf_dir, exact_pairs):
+    e = load_table(spark, sf_dir, "embeddings")
+    # 100-row blocks over 500 vectors -> 5 blocks, 15 block pairs: the
+    # multi-block path (diagonal + off-diagonal tasks) is what's tested
+    got = _pairs(
+        embedding_neardup_pairs_blocked(e, threshold=THRESHOLD, target_block_rows=100)
+    )
+    assert set(got) == set(exact_pairs)
+    assert all(abs(got[k] - exact_pairs[k]) < 1e-9 for k in got)
+
+
+def test_blocked_single_block_degenerate(spark, sf_dir, exact_pairs):
+    e = load_table(spark, sf_dir, "embeddings")
+    got = _pairs(embedding_neardup_pairs_blocked(e, threshold=THRESHOLD, n_blocks=1))
+    assert set(got) == set(exact_pairs)
+
+
+def test_lsh_rescore_no_false_positives_and_high_recall(spark, sf_dir, exact_pairs):
+    e = load_table(spark, sf_dir, "embeddings")
+    got = _pairs(embedding_neardup_pairs_lsh(e, dim=64, threshold=THRESHOLD))
+    # exact rescore: every emitted pair is a true pair with the true score
+    assert set(got) <= set(exact_pairs)
+    assert all(abs(got[k] - exact_pairs[k]) < 1e-9 for k in got)
+    # recall at this LOW threshold is ~1-(1-p^4)^16 with p~0.63 -> ~0.94;
+    # assert a conservative floor (at the 0.95 design point it is ~1-5e-8)
+    assert len(got) >= 0.75 * len(exact_pairs)
+
+
+def test_matrix_form_size_guard(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="broadcast guard"):
+        # 500 x 64 doubles = 256 KB > 1 KB guard
+        embedding_neardup_pairs_matrix(e, threshold=THRESHOLD, max_broadcast_bytes=1024)
+
+
+def test_ngram_max_df_caps_hot_shingle(spark):
+    # 12 docs sharing one hot 3-gram prefix + 2 genuine near-dups
+    hot = [(i, f"alpha beta gamma filler{i} tail{i} end{i}") for i in range(12)]
+    near = [
+        (100, "one two three four five six seven"),
+        (101, "one two three four five six eight"),
+    ]
+    df = spark.createDataFrame(hot + near, "doc_id long, text string")
+    # cap at 10: the hot shingle (df=12) is dropped, so the hot docs share
+    # nothing and generate NO pairs; the near-dup pair survives untouched
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1, max_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    # uncapped: the hot shingle generates all 66 hot pairs
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1, max_df=None)
+    assert exact.count() == 66 + 1
+
+
+def test_ngram_default_cap_is_noop_below_cap(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    capped = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5, max_df=None)
+    assert _pairs_j(capped) == _pairs_j(exact)
+
+
+def _pairs_j(df):
+    return {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in df.collect()}
