@@ -32,7 +32,9 @@ HEADLINE = [
     "w8_rank_suite",
     "o5_topk",
     "s9_tumbling_window",
+    "s9b_sliding_window",
     "s10_session_window",
+    "f11_typed_date",
     "d_exact_dedup",
     "d_ngram_jaccard",
     "d_minhash_lsh",
@@ -42,6 +44,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "d_embedding_neardup",
+    "d_embedding_neardup_lsh",
     "m_multimodal_decode",
 ]
 
@@ -67,6 +70,26 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # the flagship document pipeline itself: full-corpus warehouse build +
+    # parquet star-schema write (reader UDTF -> personnel parser -> dims ->
+    # fact -> partitioned sink), the reference's end-to-end ETL run.
+    # Corpus size is fixed (13 yearly rosters), independent of sf.
+    import shutil
+    import tempfile
+
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import (
+        build_warehouse,
+        write_warehouse,
+    )
+
+    out = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        t0 = time.time()
+        write_warehouse(build_warehouse(spark, "/root/reference/diplom/fabric*.html"), out)
+        timings["etl_warehouse_build"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -160,6 +160,48 @@ GROUP BY 1
 """
 
 
+_MONTHS_RU_GENITIVE = [
+    "января", "февраля", "марта", "апреля", "мая", "июня",
+    "июля", "августа", "сентября", "октября", "ноября", "декабря",
+]
+
+
+def q_f11_typed_date(spark: SparkSession, sf: str) -> DataFrame:
+    """§1.2 typed-date extension, driver-checked: synthesize the
+    reference's raw Russian date phrases ("с 10 марта") from o_orderdate,
+    then upgrade them back to DateType with ``parse_raw_date``.  The
+    oracle computes the expected date directly with make_date, so every
+    month token in the when-ladder (including the 'март' vs 'ма' prefix
+    trap) is value-checked."""
+    from .inspectors_analytics import parse_raw_date
+
+    o = load_table(spark, sf, "orders")
+    month_name = F.element_at(
+        F.array(*[F.lit(m) for m in _MONTHS_RU_GENITIVE]), F.month("o_orderdate")
+    )
+    raw = F.concat_ws(" ", F.lit("с"), F.dayofmonth("o_orderdate").cast("string"), month_name)
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_phrase"),
+        # DateType in the operator; cast to timestamp here because DuckDB
+        # DATEs surface as midnight datetimes in the driver's comparison
+        parse_raw_date(raw, F.year("o_orderdate")).cast("timestamp").alias("typed_date"),
+    )
+
+
+O_F11 = """
+SELECT o_orderkey,
+       'с ' || CAST(extract('day' FROM o_orderdate) AS VARCHAR) || ' ' ||
+       (['января','февраля','марта','апреля','мая','июня','июля','августа',
+         'сентября','октября','ноября','декабря'])[CAST(extract('month' FROM o_orderdate) AS INTEGER)]
+       AS raw_phrase,
+       make_date(CAST(extract('year' FROM o_orderdate) AS INTEGER),
+                 CAST(extract('month' FROM o_orderdate) AS INTEGER),
+                 CAST(extract('day' FROM o_orderdate) AS INTEGER)) AS typed_date
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A1-A4)
 # ---------------------------------------------------------------------------
@@ -665,6 +707,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_s9b_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 10-minute / 5-minute event-time windows (the streaming
+    ``sliding_counts`` operator, batch-evaluated so the oracle can check
+    it): every event lands in width/slide = 2 overlapping windows."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+O_S9B = """
+WITH g AS (
+  SELECT event_type,
+         date_trunc('hour', ts) + INTERVAL (floor(extract('minute' FROM ts) / 5) * 5) MINUTE AS grid
+  FROM events
+), e AS (
+  -- an event at t belongs to the two 10-min windows starting at its 5-min
+  -- grid floor and one slide earlier
+  SELECT event_type, unnest([grid, grid - INTERVAL 5 MINUTE]) AS window_start FROM g
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
 def q_s10_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows (30-minute gap) per user — the streaming
     session_window operator, batch-evaluated; oracle is the classic
@@ -1156,6 +1225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
+    "f11_typed_date": q_f11_typed_date,
     "a1_pricing_summary": q_a1_pricing_summary,
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
@@ -1179,6 +1249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_except": q_e2_except,
     "e3_intersect": q_e3_intersect,
     "s9_tumbling_window": q_s9_tumbling_window,
+    "s9b_sliding_window": q_s9b_sliding_window,
     "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
     "d_ngram_jaccard": q_d_ngram_jaccard,
@@ -1210,6 +1281,7 @@ ORACLES: dict[str, str] = {
     "f8_token_sort_canon": O_F8,
     "f9_case_ladder": O_F9,
     "f10_dict_canonicalize": O_F10,
+    "f11_typed_date": O_F11,
     "a1_pricing_summary": O_A1,
     "a2_skew_safe_distinct": O_A2_SKEW,
     "a3_rollup": O_A3,
@@ -1232,6 +1304,7 @@ ORACLES: dict[str, str] = {
     "e2_except": O_E2,
     "e3_intersect": O_E3,
     "s9_tumbling_window": O_S9,
+    "s9b_sliding_window": O_S9B,
     "s10_session_window": O_S10,
     "d_exact_dedup": O_D_EXACT,
     "d_ngram_jaccard": O_D_JACCARD,

@@ -76,8 +76,22 @@ class _Row:
         return [c for c in self.cells if c.tag == "th"]
 
 
+# the full HTML void-element set: these never have end tags, so they must
+# not contribute to cell nesting depth (a lone <img> or <hr> inside a cell
+# would otherwise leave the cell "open" and swallow the rest of the row —
+# bs4/lxml, which the reference uses, tolerate them)
+_VOID_ELEMENTS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "source", "track", "wbr"}
+)
+
+
 class _TableParser(HTMLParser):
-    """Collects direct-child rows/cells of the first <table> in the doc."""
+    """Collects direct-child rows/cells of the first <table> in the doc,
+    with lxml-grade tolerance for malformed historical HTML: void
+    elements don't nest, a sibling <td>/<th>/<tr> start tag implicitly
+    closes an unclosed cell/row, and nested <table> markup inside a cell
+    is preserved verbatim in the cell's inner HTML."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -90,25 +104,52 @@ class _TableParser(HTMLParser):
         self._cell: _Cell | None = None
         self._cell_depth = 0
 
+    def _close_cell(self) -> None:
+        if self._cell is not None and self._row is not None:
+            self._row.cells.append(self._cell)
+        self._cell = None
+        self._cell_depth = 0
+
+    def _close_row(self) -> None:
+        self._close_cell()
+        if self._row is not None:
+            self.rows.append(self._row)
+        self._row = None
+
     def handle_starttag(self, tag, attrs):
         if self._done:
             return
         if tag == "table":
+            if self._cell is not None:
+                # nested table inside a cell: keep its markup in the inner
+                # HTML and track depth so its </table> closes IT, not us
+                self._cell.inner_parts.append(self.get_starttag_text() or "<table>")
+                self._cell_depth += 1
+                self._table_depth += 1
+                return
             self._table_depth += 1
             return
         if self._table_depth == 0:
             return
-        if self._cell is not None:
+        if self._cell is not None and self._cell_depth == 0 and tag in ("td", "th", "tr"):
+            # malformed sibling start while a cell is open: implicit close
+            # (what lxml's parser does), then fall through to normal handling
+            if tag == "tr":
+                self._close_row()
+            else:
+                self._close_cell()
+        elif self._cell is not None:
             # nested markup inside a cell: keep the raw start tag so the
             # personnel parser sees what decode_contents would produce
             self._cell.inner_parts.append(self.get_starttag_text() or f"<{tag}>")
-            if tag in ("td", "th", "br"):
-                pass
-            self._cell_depth += 0 if tag == "br" else 1
+            if tag not in _VOID_ELEMENTS:
+                self._cell_depth += 1
             return
         if tag in ("thead", "tbody"):
             self._section = tag
         elif tag == "tr":
+            if self._row is not None:
+                self._close_row()  # implicit </tr>
             ad = dict(attrs)
             classes = (ad.get("class") or "").split()
             self._row = _Row(classes, self._section)
@@ -126,23 +167,26 @@ class _TableParser(HTMLParser):
         if self._done or self._table_depth == 0:
             return
         if tag == "table":
+            if self._cell is not None and self._table_depth > 1:
+                # closing a nested table inside a cell
+                self._table_depth -= 1
+                self._cell_depth = max(0, self._cell_depth - 1)
+                self._cell.inner_parts.append("</table>")
+                return
             self._table_depth -= 1
             if self._table_depth == 0:
                 self._done = True
             return
         if self._cell is not None and tag in ("td", "th") and self._cell_depth == 0:
-            if self._row is not None:
-                self._row.cells.append(self._cell)
-            self._cell = None
+            self._close_cell()
             return
         if self._cell is not None:
-            if tag != "br":
+            if tag not in _VOID_ELEMENTS:
                 self._cell_depth = max(0, self._cell_depth - 1)
                 self._cell.inner_parts.append(f"</{tag}>")
             return
         if tag == "tr" and self._row is not None:
-            self.rows.append(self._row)
-            self._row = None
+            self._close_row()
         elif tag in ("thead", "tbody"):
             self._section = "table"
 
