@@ -18,8 +18,10 @@ Scale design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -208,7 +210,6 @@ def embedding_neardup_pairs_matrix(
     summation order differs from sequential at ~1e-16, which the
     ``round_to`` rounding absorbs.
     """
-    import pandas as pd
 
     spark = vectors.sparkSession
     n, dim = vectors.agg(
@@ -340,13 +341,41 @@ def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-of-projection LSH bucket id (int) for a vector column."""
+    """Sign-of-projection LSH bucket id (int) for a vector column.
+
+    Columnar form — fine for a handful of planes (ANN bucketing uses 4).
+    For band signatures (16 bands x 4 bits = 64 planes) use
+    ``band_buckets_udf``: 64 unrolled higher-order-function dots are
+    evaluated interpreted (HOF lambdas don't enter whole-stage codegen)
+    and measured ~10x slower than one Arrow-batched BLAS matmul."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
         proj = dot(vec, lit_plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def band_buckets_udf(planes: np.ndarray, bands: int, bits_per_band: int):
+    """Arrow-batched band-signature hashing: one BLAS matmul per batch
+    computes every plane projection at once, returning an array of
+    ``bands`` bucket ids per vector.  Bit semantics identical to
+    ``lsh_bucket_expr`` (bit i set iff projection_i > 0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = planes.astype("float64")
+    weights = (1 << np.arange(bits_per_band)).astype("int64")
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        signs = (M @ P.T) > 0  # (n, bands*bits_per_band)
+        b = (signs.reshape(len(M), bands, bits_per_band) * weights).sum(axis=2)
+        return pd.Series(list(b))
+
+    return _buckets
 
 
 def lsh_bucket_topk(
@@ -416,32 +445,17 @@ def embedding_neardup_pairs_lsh(
     ~94% pair recall at 16x4): that regime is what
     ``embedding_neardup_pairs_blocked`` is for.
 
-    Shuffle profile at scale: corpus scanned once to hash (bands x
-    bits_per_band literal-plane dots, columnar), exploded x bands for
-    the bucket join (fixed-width keys), then two id-equi-joins for the
-    rescore — all AQE-skew-splittable equi-joins.
+    Shuffle profile at scale: corpus scanned once to hash (one
+    Arrow-batched BLAS matmul per batch — see ``band_buckets_udf``),
+    exploded x bands for the bucket join (fixed-width keys), then two
+    id-equi-joins for the rescore — all AQE-skew-splittable equi-joins.
     """
     planes = random_hyperplanes(dim, bands * bits_per_band, seed)
-    unit = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("_n", l2_norm(F.col("vec")))
-        .withColumn("_u", F.transform(F.col("vec"), lambda x: x.cast("double") / F.col("_n")))
-        .select("id", "_u")
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    hasher = band_buckets_udf(planes, bands, bits_per_band)
+    buckets = v.select(
+        "id", F.posexplode(hasher(F.col("vec"))).alias("band", "bucket")
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                lsh_bucket_expr(
-                    F.col(vec_col), planes[i * bits_per_band : (i + 1) * bits_per_band]
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = vectors.select(
-        F.col(id_col).alias("id"), F.explode(band_structs).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -453,10 +467,26 @@ def embedding_neardup_pairs_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    score = F.round(dot(F.col("_ua"), F.col("_ub")), round_to)
-    return (
-        candidates.join(unit.select(F.col("id").alias("id_a"), F.col("_u").alias("_ua")), "id_a")
-        .join(unit.select(F.col("id").alias("id_b"), F.col("_u").alias("_ub")), "id_b")
-        .select("id_a", "id_b", score.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    paired = candidates.join(
+        v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va")), "id_a"
+    ).join(v.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb")), "id_b")
+
+    def rescore(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(x, dtype="float64") for x in pdf["_va"]])
+            B = np.stack([np.asarray(x, dtype="float64") for x in pdf["_vb"]])
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            s = np.round(np.einsum("ij,ij->i", A, B), round_to)
+            keep = s >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": s[keep],
+                }
+            )
+
+    return paired.mapInPandas(rescore, "id_a long, id_b long, cosine double")

@@ -352,8 +352,18 @@ def _lookup_full_name(key_col: str, dictionary: dict[str, str]) -> Column:
 
 def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, DataFrame]:
     """Full star schema from roster HTML files (FIXTURES.md B3), plus the
-    ``rejects`` quarantine table (P6)."""
+    ``rejects`` quarantine table (P6).
+
+    The parsed assignment rows ``a`` are the materialization point: five
+    dims, the fact (whose plan embeds all five dim subtrees), and the
+    rejects union all re-derive them, so without a persist the HTML
+    parse + personnel UDF would run once PER CONSUMER (~12x on a full
+    warehouse write).  MEMORY_AND_DISK keeps the barrier safe when the
+    parsed corpus outgrows executor memory."""
+    from pyspark import StorageLevel
+
     a, rejects = parsed_assignment_rows(spark, paths, return_rejects=True)
+    a = a.persist(StorageLevel.MEMORY_AND_DISK)
 
     inspectors = build_dim(
         a.filter(F.col("inspector_key").isNotNull()).select(

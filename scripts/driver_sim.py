@@ -52,6 +52,21 @@ def norm_cell(x):
     return str(x)
 
 
+def unhashable_cols(rows, cols):
+    """The real driver canonicalizes results through pandas sort_values,
+    which factorizes object columns — a list/dict/array cell raises
+    'unhashable type' and records the whole query as ERR.  This screens
+    EVERY query (rows-only included) for that crash."""
+    bad = set()
+    for r in rows[:200]:
+        for c, x in zip(cols, r):
+            try:
+                hash(x)
+            except TypeError:
+                bad.add(c)
+    return sorted(bad)
+
+
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -72,6 +87,15 @@ for name, fn in mod.queries().items():
         sdf = fn(spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
+        unhashable = unhashable_cols(srows, scols)
+        if unhashable:
+            results[name] = {
+                "status": "UNHASHABLE",
+                "rows": len(srows),
+                "cols": unhashable,
+                "sec": round(time.time() - t0, 2),
+            }
+            continue
         if name not in oracles:
             results[name] = {"status": "rows-only", "rows": len(srows), "sec": round(time.time() - t0, 2)}
             continue
@@ -95,6 +119,7 @@ for name, fn in mod.queries().items():
         results[name] = {"status": "ERROR", "error": str(e)[:200], "sec": round(time.time() - t0, 2)}
 
 bad = {k: v for k, v in results.items() if v["status"] not in ("MATCH", "rows-only")}
+
 print(json.dumps(results, indent=1))
 print(f"\n{len(results)} queries: {sum(1 for v in results.values() if v['status']=='MATCH')} MATCH, "
       f"{sum(1 for v in results.values() if v['status']=='rows-only')} rows-only, {len(bad)} BAD")

@@ -13,6 +13,8 @@ spot-checked against the reference's semantics.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -202,6 +204,13 @@ _corpusish = st.text(
 @settings(max_examples=200, deadline=None)
 def test_standardize_idempotent(s):
     once = standardize_text_py(s)
+    # The reference (populate_db_ru_v1.py:81-88) strips ONE trailing
+    # punctuation mark per call, so punctuation-only residues like "."
+    # (from ".,") legitimately re-standardize to None — idempotency is
+    # only the contract for outputs that still contain a word character
+    # (hypothesis-discovered counterexample: ".,").
+    if once is not None and re.search(r"[0-9a-zа-яё]", once) is None:
+        return
     assert standardize_text_py(once) == once
 
 
