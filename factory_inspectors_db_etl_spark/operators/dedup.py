@@ -20,8 +20,45 @@ Scale design:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# -- portable 60-bit hash (cross-engine deterministic) -----------------------
+#
+# xxhash64 is JVM-only; for results that must be verifiable by ANY engine
+# with md5 (DuckDB, Postgres, Trino, ...) we derive a 60-bit integer from
+# the top 15 hex chars of md5, then expand it into a universal hash family
+# with pure int64 arithmetic.  Identical SQL runs verbatim in DuckDB:
+#     CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+# so every MinHash/SimHash result below is oracle-checkable, not trust-me.
+
+PORTABLE_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+_HALF_MASK = (1 << 30) - 1
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash of a string column: top 15 hex chars of md5 as a
+    non-negative 64-bit int.  Reproducible in any md5-capable engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def affine_params(n: int, seed: int = 0x5EED) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) triples for the universal family
+    g_i(h) = (a_i*hi + b_i*lo + c_i) mod (2^31-1) over the two 30-bit
+    halves of a ``portable_hash60`` value.  Every product stays < 2^61,
+    so the arithmetic never overflows int64 in Spark's ANSI mode and the
+    same literals evaluate identically in the DuckDB oracle."""
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(1, PORTABLE_MOD),
+            rng.randrange(1, PORTABLE_MOD),
+            rng.randrange(PORTABLE_MOD),
+        )
+        for _ in range(n)
+    ]
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -150,23 +187,46 @@ def minhash_signatures(
     text_col: str,
     k: int = 5,
     num_hashes: int = 64,
+    hash_family: str = "portable",
 ) -> DataFrame:
-    """Per-document MinHash signature (array of num_hashes 64-bit minima).
+    """Per-document MinHash signature (array of num_hashes minima).
 
-    Each hash function i is xxhash64(shingle, seed=i); the signature is the
-    elementwise min over the document's shingles — computed columnar as an
-    aggregate over the exploded shingle set (one shuffle on doc id).
+    ``hash_family="portable"`` (default): one ``portable_hash60`` per
+    shingle, split into two 30-bit halves, then ``num_hashes`` affine
+    maps mod 2^31-1 (``affine_params``) — a classic universal family.
+    One md5 per shingle + pure int64 arithmetic, reproducible in any
+    engine (the driver's DuckDB oracle re-runs it verbatim).
+
+    ``hash_family="xxhash64"``: each hash i is xxhash64(shingle, seed=i)
+    over the pre-hashed 64-bit shingle value — JVM-only but the full
+    64-bit space (prefer it when cross-engine verification isn't needed
+    and corpora are large enough for 31-bit collisions to matter; min
+    collision odds per doc ~ n_shingles/2^31).
+
+    The signature is the elementwise min over the document's shingles —
+    computed columnar as an aggregate over the exploded shingle set (one
+    shuffle on doc id).
     """
     sh = _with_words(df, text_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col("_words"), k)).alias("sh"),
     )
-    # Hash the (variable-width) shingle string ONCE, then derive the hash
-    # family by re-hashing the fixed-width 64-bit value with per-index
-    # seeds — cheap long-input hashes, and no overflowing arithmetic
-    # (ANSI mode would reject a wrapping h1 + i*h2).
-    sh = sh.select("doc", F.xxhash64("sh").alias("h"))
-    mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    if hash_family == "xxhash64":
+        # Hash the (variable-width) shingle string ONCE, then derive the
+        # family by re-hashing the fixed-width 64-bit value with per-index
+        # seeds — cheap long-input hashes, no overflowing arithmetic.
+        sh = sh.select("doc", F.xxhash64("sh").alias("h"))
+        mins = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    else:
+        sh = sh.select("doc", portable_hash60(F.col("sh")).alias("h")).select(
+            "doc",
+            F.shiftright("h", 30).alias("hi"),
+            F.col("h").bitwiseAND(F.lit(_HALF_MASK)).alias("lo"),
+        )
+        mins = [
+            F.min((F.lit(a) * F.col("hi") + F.lit(b) * F.col("lo") + F.lit(c)) % F.lit(PORTABLE_MOD)).alias(f"h{i}")
+            for i, (a, b, c) in enumerate(affine_params(num_hashes))
+        ]
     sig = sh.groupBy("doc").agg(*mins)
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
@@ -175,18 +235,22 @@ def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """LSH banding: docs whose signature agrees on all rows of any band.
 
     Returns candidate pairs (id_a, id_b, n_bands_matched).  The band digest
     equi-join replaces the all-pairs comparison; with b bands of r rows the
-    match probability is 1-(1-s^r)^b for Jaccard s.
+    match probability is 1-(1-s^r)^b for Jaccard s.  The digest hash
+    matches ``hash_family`` so a "portable" pipeline is oracle-checkable
+    end to end.
     """
+    digest_hash = F.xxhash64 if hash_family == "xxhash64" else portable_hash60
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(
+                digest_hash(
                     F.concat_ws(",", *[F.col("signature")[i * rows_per_band + j].cast("string") for j in range(rows_per_band)])
                 ).alias("digest"),
             )
@@ -210,20 +274,33 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens, fully columnar.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int | None = None,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """SimHash over word tokens, fully columnar.
 
-    Per token: h = xxhash64(token); each bit votes +1/-1; the fingerprint
+    Per token: h = hash(token); each bit votes +1/-1; the fingerprint
     sets bit i when the summed vote is positive.  Implemented with
     higher-order array functions (no UDF): aggregate over the token array
     per row — no extra shuffle at all.
+
+    ``hash_family="portable"`` (default, 60 bits) hashes tokens with
+    ``portable_hash60`` so the whole fingerprint is reproducible in the
+    DuckDB oracle; ``"xxhash64"`` uses the full 64-bit JVM hash.
     """
-    # Materialize the token-hash array as a bound column FIRST: the 64
-    # bit-vote aggregates below each reference it, and an unbound
+    if bits is None:
+        bits = 60 if hash_family == "portable" else 64
+    token_hash = F.xxhash64 if hash_family == "xxhash64" else portable_hash60
+    # Materialize the token-hash array as a bound column FIRST: the
+    # per-bit vote aggregates below each reference it, and an unbound
     # split+transform expression would be re-evaluated once per aggregate
-    # (64x the tokenization cost per row).
+    # (bits x the tokenization cost per row).
     df = _with_words(df, text_col).withColumn(
-        "_th", F.transform(F.col("_words"), lambda t: F.xxhash64(t))
+        "_th", F.transform(F.col("_words"), lambda t: token_hash(t))
     )
     hashes = F.col("_th")
     # Per bit i: vote = sum over token hashes of +1/-1 depending on bit i.
@@ -250,14 +327,17 @@ def simhash_near_duplicates(
     fingerprints: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
-    Pigeonhole LSH: split the 64-bit fingerprint into ``bands`` slices; any
-    pair within distance < bands must agree exactly on >=1 slice, so the
-    candidate join is an equi-join on (slice index, slice value).
+    Pigeonhole LSH: split the ``bits``-bit fingerprint into ``bands``
+    slices; any pair within distance < bands must agree exactly on >=1
+    slice, so the candidate join is an equi-join on (slice index, slice
+    value).  ``bits`` must match the fingerprint width (60 for portable
+    SimHash, 64 for xxhash64).
     """
-    width = 64 // bands
+    width = bits // bands
     slices = F.array(
         *[
             F.struct(

@@ -47,7 +47,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("payload_md5", T.StringType()),
         T.StructField("mean_byte", T.DoubleType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # double, not float: the feature values are exact int-count /
+        # int-total ratios, and keeping them float64 end-to-end makes the
+        # registered query bit-identical to the DuckDB oracle (a float32
+        # roundtrip perturbs ~3% of values across a round-6 boundary)
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -139,8 +143,11 @@ def decode_and_featurize(media: DataFrame, n_features: int = 8) -> DataFrame:
 
 def sample_frames(media: DataFrame, stride: int = 1) -> DataFrame:
     """One->many frame sampling (the video path): emits ``n_frames``/stride
-    rows per item, each with a deterministic per-frame digest (md5 of the
-    payload slice standing in for the decoded frame)."""
+    rows per item, each with a deterministic per-frame digest.  Frame i's
+    stand-in bytes are the i-th of n_frames equal contiguous payload
+    slices (``data[i*L//n : (i+1)*L//n]``) — contiguous rather than
+    strided so the DuckDB oracle can reproduce each digest with plain
+    ``md5(substring(...))``."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,8 +155,9 @@ def sample_frames(media: DataFrame, stride: int = 1) -> DataFrame:
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 data = bytes(payload) if payload is not None else b""
                 n = int(meta["n_frames"]) if meta is not None else 0
+                length = len(data)
                 for i in range(0, n, stride):
-                    chunk = data[i::n] if n else b""
+                    chunk = data[i * length // n : (i + 1) * length // n] if n else b""
                     rows.append(
                         {
                             "doc_id": doc_id,

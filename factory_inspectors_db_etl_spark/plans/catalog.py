@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_fill
-from ..operators.dedup import exact_dedup, minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs, simhash
+from ..operators.dedup import (
+    affine_params,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from ..operators.dims import build_dim, null_safe_join
 from ..operators.fill import forward_fill
 from ..operators import multimodal as MM
@@ -183,9 +190,14 @@ def q_f11_typed_date(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         raw.alias("raw_phrase"),
-        # DateType in the operator; cast to timestamp here because DuckDB
-        # DATEs surface as midnight datetimes in the driver's comparison
-        parse_raw_date(raw, F.year("o_orderdate")).cast("timestamp").alias("typed_date"),
+        # DateType in the operator; formatted to ISO string for the driver
+        # comparison because date/timestamp collect representations are
+        # session-timezone-dependent (date->timestamp casts to session-tz
+        # midnight but non-Arrow collect renders OS-tz datetimes), while
+        # strings hash identically under any driver config
+        F.date_format(
+            parse_raw_date(raw, F.year("o_orderdate")), "yyyy-MM-dd"
+        ).alias("typed_date"),
     )
 
 
@@ -195,9 +207,9 @@ SELECT o_orderkey,
        (['января','февраля','марта','апреля','мая','июня','июля','августа',
          'сентября','октября','ноября','декабря'])[CAST(extract('month' FROM o_orderdate) AS INTEGER)]
        AS raw_phrase,
-       make_date(CAST(extract('year' FROM o_orderdate) AS INTEGER),
+       strftime(make_date(CAST(extract('year' FROM o_orderdate) AS INTEGER),
                  CAST(extract('month' FROM o_orderdate) AS INTEGER),
-                 CAST(extract('day' FROM o_orderdate) AS INTEGER)) AS typed_date
+                 CAST(extract('day' FROM o_orderdate) AS INTEGER)), '%Y-%m-%d') AS typed_date
 FROM orders
 """
 
@@ -813,17 +825,101 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
 
 
 def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64 signatures -> banded
-    equi-join).  Rows-only check: xxhash64 has no DuckDB equivalent."""
+    """MinHash+LSH near-dup candidates: portable md5-derived universal
+    hash family -> per-doc signature minima -> banded equi-join.  The
+    DuckDB oracle re-runs the identical hash arithmetic, so the whole
+    pipeline (shingling, signatures, banding, candidate join) is
+    value-checked, not rows-only."""
     d = load_table(spark, sf, "documents")
     sigs = minhash_signatures(d, "doc_id", "text", k=5, num_hashes=64)
     return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
 
 
+def _portable60_sql(expr: str) -> str:
+    """DuckDB rendering of operators.dedup.portable_hash60."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _gen_minhash_oracle(k: int = 5, num_hashes: int = 64, bands: int = 16, rows_per_band: int = 4) -> str:
+    """Generate the DuckDB oracle for q_d_minhash_lsh: same shingling as
+    O_D_JACCARD, same affine coefficients as ``affine_params`` (imported,
+    not re-rolled), same band digesting."""
+    params = affine_params(num_hashes)
+    g = ",\n         ".join(
+        f"min(({a} * hi + {b} * lo + {c}) % 2147483647) AS g{i}"
+        for i, (a, b, c) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _portable60_sql(
+            " || ',' || ".join(
+                f"CAST(g{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
+            )
+        )
+        + " AS digest FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + {k - 1}), ' ') AS sh
+  FROM toks, UNNEST(range(1, greatest(len(w) - {k - 1}, 1) + 1)) AS t(i)
+), halves AS (
+  SELECT doc_id, h >> 30 AS hi, h & 1073741823 AS lo
+  FROM (SELECT doc_id, {_portable60_sql("sh")} AS h FROM sh)
+), sig AS (
+  SELECT doc_id,
+         {g}
+  FROM halves GROUP BY doc_id
+), bands AS (
+  {band_rows}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_matched
+FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+O_D_MINHASH = _gen_minhash_oracle()
+
+
 def q_d_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (rows-only check: xxhash64-based)."""
+    """SimHash fingerprints (60-bit portable hash family — the DuckDB
+    oracle recomputes every bit vote)."""
     d = load_table(spark, sf, "documents")
     return simhash(d, "doc_id", "text")
+
+
+def _gen_simhash_cte(bits: int = 60) -> str:
+    """Shared fingerprint CTE chain for the SimHash oracles."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    fp = "\n           + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, unnest(w) AS tok FROM toks
+), hh AS (
+  SELECT doc_id, {_portable60_sql("tok")} AS h FROM th
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hh GROUP BY doc_id
+), fp AS (
+  SELECT doc_id AS doc,
+         CAST({fp} AS BIGINT) AS simhash
+  FROM votes
+)"""
+
+
+O_D_SIMHASH = _gen_simhash_cte() + "\nSELECT doc, simhash FROM fp\n"
 
 
 def q_t_text_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -946,10 +1042,49 @@ WHERE rn <= 5
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k (rows-only: bucketing uses
-    seeded random hyperplanes; the scale path for ANN)."""
+    """LSH-bucketed approximate cosine top-k (the scale path for ANN).
+    Oracle-checked: the seeded hyperplanes are embedded as double
+    literals in the generated SQL, so DuckDB reproduces the exact
+    bucketing (sign of identical sequential-sum projections) and
+    scoring."""
     e = load_table(spark, sf, "embeddings")
     return lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, bits=4)
+
+
+def _gen_sim_lsh_oracle(dim: int = 64, k: int = 5, bits: int = 4, seed: int = 42) -> str:
+    """Oracle for q_sim_lsh_topk: same hyperplanes (repr round-trips each
+    float64 exactly), same sign-of-projection bucket id, same rounded
+    cosine + rank."""
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, bits, seed)
+    bucket = "\n           + ".join(
+        f"CASE WHEN list_inner_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         {bucket} AS bucket
+  FROM e
+), q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_inner_product(c.v, q.qv)
+               / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))), 4) AS score
+  FROM b c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""
+
+
+O_SIM_LSH = _gen_sim_lsh_oracle()
 
 
 def q_t_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
@@ -1077,11 +1212,34 @@ WHERE rn <= 5
 
 def q_d_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup candidate pairs via pigeonhole band join
-    (Hamming <= 3). Rows-only: xxhash64-based."""
+    (Hamming <= 3) over portable 60-bit fingerprints — oracle-checked
+    end to end (fingerprints, band slicing, Hamming filter)."""
     d = load_table(spark, sf, "documents")
     from ..operators.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(simhash(d, "doc_id", "text"), max_hamming=3, bands=4)
+    return simhash_near_duplicates(
+        simhash(d, "doc_id", "text"), max_hamming=3, bands=4, bits=60
+    )
+
+
+def _gen_simhash_neardup_oracle(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_list = ", ".join(str(b) for b in range(bands))
+    return _gen_simhash_cte(bits) + f""",
+buckets AS (
+  SELECT doc, simhash, band, (simhash >> (band * {width})) & {mask} AS slice
+  FROM fp, UNNEST([{band_list}]) AS t(band)
+)
+SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.slice = b.slice AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+O_D_SIMHASH_NEARDUP = _gen_simhash_neardup_oracle()
 
 
 def q_f1_standardize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1148,10 +1306,11 @@ FROM documents
 
 def q_m_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over multimodal rows
-    (mapInPandas; codec stubbed -> deterministic byte features).
-    Rows-only: the featurizer is the Python island under test.
+    (mapInPandas; codec stubbed -> deterministic byte features).  The
+    deterministic featurizer is fully reproducible in SQL (byte histogram
+    + mean over ascii codes), so the Python island is oracle-checked.
 
-    The ``features array<float>`` column is stringified (rounded +
+    The ``features array<double>`` column is stringified (rounded +
     array_join, same as t_char_fingerprint) because the driver's
     canonicalizer sorts on every output column and can't hash lists."""
     d = load_table(spark, sf, "documents")
@@ -1168,10 +1327,42 @@ def q_m_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+O_M_DECODE = """
+WITH m AS (
+  SELECT doc_id, text, length(text) AS L,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(L AS INTEGER) AS n_bytes,
+       md5(text) AS payload_md5,
+       CASE WHEN L = 0 THEN 0.0
+            ELSE round(CAST(list_aggregate(codes, 'sum') AS DOUBLE) / L, 6) END AS mean_byte,
+       CASE WHEN L = 0 THEN '0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0'
+            ELSE array_to_string(list_transform(range(0, 8), j ->
+                 CAST(round(CAST(len(list_filter(codes, c -> c % 8 = j)) AS DOUBLE) / L, 6) AS VARCHAR)), ',')
+       END AS features_csv
+FROM m
+"""
+
+
 def q_m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """One->many frame sampling UDTF shape (video path). Rows-only."""
+    """One->many frame sampling UDTF shape (video path).  Each frame
+    digest is md5 of a contiguous payload slice, reproduced verbatim by
+    the oracle's md5(substring(...))."""
     d = load_table(spark, sf, "documents")
     return MM.sample_frames(MM.with_payload(d))
+
+
+O_M_FRAME = """
+WITH m AS (
+  SELECT doc_id, text, CAST(doc_id % 7 + 1 AS BIGINT) AS n, length(text) AS L
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substring(text, (i * L) // n + 1, ((i + 1) * L) // n - (i * L) // n)) AS frame_md5
+FROM m, UNNEST(range(0, n)) AS t(i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1308,19 +1499,24 @@ ORACLES: dict[str, str] = {
     "s10_session_window": O_S10,
     "d_exact_dedup": O_D_EXACT,
     "d_ngram_jaccard": O_D_JACCARD,
+    "d_minhash_lsh": O_D_MINHASH,
+    "d_simhash": O_D_SIMHASH,
+    "d_simhash_neardup": O_D_SIMHASH_NEARDUP,
     "t_text_stats": O_T_STATS,
     "t_language_guess": O_T_LANG,
     "t_quality_score": O_T_QUALITY,
     "sim_cosine_topk": O_SIM_TOPK,
+    "sim_lsh_topk": O_SIM_LSH,
     "sim_ivf_topk": O_SIM_IVF,
     "d_embedding_neardup": O_D_EMB_NEARDUP,
     "t_token_count_bpe": O_T_TOKEN_BPE,
     "t_char_fingerprint": O_T_CHAR_FP,
     "m_multimodal_meta": O_M_META,
+    "m_multimodal_decode": O_M_DECODE,
+    "m_frame_sample": O_M_FRAME,
     "u3_grouped_agg_udaf": O_U3,
-    # rows-only (no SQL-expressible oracle): d_minhash_lsh, d_simhash,
-    # d_simhash_neardup, sim_lsh_topk, d_embedding_neardup_lsh (seeded
-    # hyperplanes / sub-1.0 recall by design),
-    # m_multimodal_decode / m_frame_sample (Python featurizer islands),
+    # rows-only (no SQL-expressible oracle): d_embedding_neardup_lsh
+    # (sub-1.0 recall by design: candidates are a bounded subset of the
+    # exact result, pinned by tests/test_dedup_similarity_scale.py),
     # f1_standardize (lookahead regexes unsupported by DuckDB RE2)
 }
