@@ -1,16 +1,25 @@
 from .asof import asof_fill, asof_join
 from .bucketing import bucketed_join, write_bucketed
 from .dedup import (
+    affine_params,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    portable_hash60,
     simhash,
     simhash_near_duplicates,
 )
 from .dims import build_dim, build_dim_incremental, null_safe_join, resolve_fk
 from .fill import forward_fill, forward_fill_expr
 from .multimodal import decode_and_featurize, payload_metadata, sample_frames, with_payload
+from .sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    hash_topk_per_group,
+    stratified_hash_sample,
+)
 from .similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
@@ -25,6 +34,13 @@ __all__ = [
     "asof_join",
     "bucketed_join",
     "write_bucketed",
+    "affine_params",
+    "portable_hash60",
+    "hash_bucket",
+    "hash_sample",
+    "hash_split",
+    "hash_topk_per_group",
+    "stratified_hash_sample",
     "exact_dedup",
     "minhash_lsh_candidates",
     "minhash_signatures",

@@ -1,0 +1,110 @@
+"""Deterministic content-hash sampling & splitting (extension M6).
+
+Training-data pipelines need samples and train/val/test splits that are
+
+* reproducible — same corpus in, same split out, on any cluster size;
+* stable under repartitioning — no dependence on row order or partition
+  count (``rand()`` and ``df.sample`` have both);
+* driftless — adding new documents never moves an EXISTING document to a
+  different split (random re-draws reshuffle everything; a content hash
+  never does);
+* auditable — any engine can re-derive membership (the DuckDB oracles
+  re-run the identical arithmetic via the portable md5-based hash).
+
+Everything here is pure columnar expression work on top of
+``portable_hash60`` — no UDFs, no shuffles except where a window is the
+semantics (per-group top-k), scan-speed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+
+def hash_bucket(key: Column, buckets: int = 10_000, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets) from the content key.  ``salt``
+    derives independent bucketings from the same key (e.g. one for the
+    split, one for a downsample) — otherwise the two decisions correlate.
+    """
+    keyed = F.concat(F.lit(salt), key) if salt else key
+    return portable_hash60(keyed) % F.lit(buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    buckets: int = 10_000,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative hash-bucket ranges.
+
+    ``fractions`` maps split name -> fraction; fractions must sum to 1.
+    Boundaries are ``floor(cum_fraction * buckets)``, so membership is an
+    integer comparison — exactly reproducible in the SQL oracle.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), buckets, salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(cum * buckets)
+        expr = F.when(bucket < bound, name) if expr is None else expr.when(bucket < bound, name)
+    out = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, out)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, buckets: int = 10_000, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by content hash (stable, driftless)."""
+    return df.filter(hash_bucket(F.col(key_col), buckets, salt) < int(rate * buckets))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. keep 100% of rare languages, 10%
+    of English) — the standard corpus-rebalancing move.  One scan, no
+    shuffle: the rate lookup is a literal CASE ladder."""
+    rate_expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        rate_expr = F.when(cond, rate) if rate_expr is None else rate_expr.when(cond, rate)
+    rate_expr = F.lit(default_rate) if rate_expr is None else rate_expr.otherwise(default_rate)
+    bucket = hash_bucket(F.col(key_col), buckets, salt)
+    return df.filter(bucket < (rate_expr * buckets).cast("int"))
+
+
+def hash_topk_per_group(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Uniform-without-replacement sample of ``k`` rows per group: the k
+    smallest content hashes.  Deterministic, engine-independent, and —
+    unlike ``rand()``-ordered row_number — identical on every rerun.
+
+    One shuffle on the group key (the window's requirement); per-group
+    state is O(1) streaming min-k at execution time.  Ties break on the
+    key itself so the result is total-ordered even for duplicate hashes.
+    """
+    h = portable_hash60(F.col(key_col))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_sample_rank", F.row_number().over(w))
+        .filter(F.col("_sample_rank") <= k)
+        .drop("_sample_rank")
+    )

@@ -922,6 +922,86 @@ WITH toks AS (
 O_D_SIMHASH = _gen_simhash_cte() + "\nSELECT doc, simhash FROM fp\n"
 
 
+def q_p_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash: reproducible,
+    repartition-stable, driftless (new docs never move old ones), and
+    auditable — the oracle re-derives membership from the same md5
+    arithmetic."""
+    from ..operators.sampling import hash_split
+
+    d = load_table(spark, sf, "documents")
+    return hash_split(d, "text", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
+def _gen_hash_split_oracle(fractions: dict[str, float], buckets: int = 10_000) -> str:
+    names = list(fractions)
+    cum, cases = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(f"WHEN {_portable60_sql('text')} % {buckets} < {int(cum * buckets)} THEN '{name}'")
+    return f"""
+SELECT doc_id,
+       CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split
+FROM documents
+"""
+
+
+O_P_HASH_SPLIT = _gen_hash_split_oracle({"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def q_p_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum hash sampling (corpus rebalancing: keep 10% of 'en',
+    half of everything else) — one scan, no shuffle, rate ladder is a
+    literal CASE."""
+    from ..operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf, "documents")
+    return stratified_hash_sample(
+        d, "text", "lang", {"en": 0.1}, default_rate=0.5
+    ).select("doc_id", "lang")
+
+
+def _gen_stratified_oracle(rates: dict[str, float], default_rate: float, buckets: int = 10_000) -> str:
+    # boundaries computed in python (same float -> int truncation as the
+    # Spark plan; DuckDB's double->int CAST rounds, so literals are safer)
+    ladder = " ".join(
+        f"WHEN lang = '{s}' THEN {int(r * buckets)}" for s, r in rates.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_portable60_sql('text')} % {buckets} < (CASE {ladder} ELSE {int(default_rate * buckets)} END)
+"""
+
+
+O_P_STRATIFIED = _gen_stratified_oracle({"en": 0.1}, 0.5)
+
+
+def q_p_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Uniform-without-replacement k=2 sample per user: the k smallest
+    content hashes per group (deterministic across engines and reruns,
+    unlike rand()-ordered row_number)."""
+    from ..operators.sampling import hash_topk_per_group
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "event_key", F.col("event_id").cast("string")
+    )
+    return hash_topk_per_group(ev, ["user_id"], "event_key", 2).select("user_id", "event_id")
+
+
+O_P_GROUP_SAMPLE = f"""
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY {_portable60_sql("CAST(event_id AS VARCHAR)")}, CAST(event_id AS VARCHAR)
+         ) AS rn
+  FROM events)
+WHERE rn <= 2
+"""
+
+
 def q_t_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Text analysis: token count, char count, mean token length,
     normalization-invariant fingerprint."""
@@ -1446,6 +1526,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_ngram_jaccard": q_d_ngram_jaccard,
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
+    "p_hash_split": q_p_hash_split,
+    "p_stratified_sample": q_p_stratified_sample,
+    "p_group_sample": q_p_group_sample,
     "t_text_stats": q_t_text_stats,
     "t_language_guess": q_t_language_guess,
     "t_quality_score": q_t_quality_score,
@@ -1502,6 +1585,9 @@ ORACLES: dict[str, str] = {
     "d_minhash_lsh": O_D_MINHASH,
     "d_simhash": O_D_SIMHASH,
     "d_simhash_neardup": O_D_SIMHASH_NEARDUP,
+    "p_hash_split": O_P_HASH_SPLIT,
+    "p_stratified_sample": O_P_STRATIFIED,
+    "p_group_sample": O_P_GROUP_SAMPLE,
     "t_text_stats": O_T_STATS,
     "t_language_guess": O_T_LANG,
     "t_quality_score": O_T_QUALITY,

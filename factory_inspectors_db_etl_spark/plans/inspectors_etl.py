@@ -119,11 +119,19 @@ def parsed_assignment_rows(
     (P6): rows/assignments the reference warn-and-drops
     (populate_db_ru_v1.py:718-719,748-749) routed to a sink with a reason
     column instead of vanishing into logs."""
+    from pyspark import StorageLevel
+
     # ``cell0_std`` computed once in its own projection (codegen size; see
     # _role_columns docstring).
+    # Persist the reader output: the HTML-tokenizer UDTF (U2) is the
+    # expensive Python island at the root of EVERY downstream branch (the
+    # assignment rows, both reject branches) — without the barrier each
+    # branch of the rejects union replayed the full file parse (measured:
+    # the rejects table write alone cost ~100s of re-parsing; with the
+    # two persists here and in build_warehouse it is seconds).
     rows = read_roster_rows(spark, paths).withColumn(
         "cell0_std", standardize_text(F.col("cell0_raw"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     per_file = W.partitionBy("source_file").orderBy("row_idx")
 
@@ -208,7 +216,10 @@ def parsed_assignment_rows(
         F.when(F.col("is_pers_ditto"), F.lit(None)).otherwise(
             parse_personnel_udf(F.col("personnel_html"))
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # second barrier: the personnel-parser UDF (U1) output feeds the
+    # assignment explode AND the inspector-reject branch; persisting here
+    # keeps the parser single-run across the whole warehouse build
     qualifying = F.filter(
         F.col("parsed"),
         lambda a: a["name"].isNotNull() & ~a["is_vacancy"] & a["special_role"].isNull(),
@@ -329,25 +340,47 @@ def parsed_assignment_rows(
     return a
 
 
+def _sql_str(s: str) -> str:
+    """Escape a python string as a Spark SQL single-quoted literal body."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _lookup_full_name(key_col: str, dictionary: dict[str, str]) -> Column:
     """FullName_RU lookup with the reference's ±trailing-dot fallback
-    (populate_db_ru_v1.py:186-192)."""
-    expr: Column = F.lit(None).cast("string")
-    for k, v in dictionary.items():
-        if k:
-            expr = F.when(F.col(key_col) == k, F.lit(v)).otherwise(expr)
+    (populate_db_ru_v1.py:186-192).
+
+    Rendered as ONE ``F.expr`` CASE string instead of a chain of
+    ``F.when`` calls: each Column method is a py4j roundtrip (~1ms), and
+    the three dictionary ladders alone cost ~3.2s of plan-build time in
+    that form (profiled); a single parsed SQL string is one roundtrip.
+    WHEN order is the reverse of dict order, matching the original
+    later-entry-wraps-earlier nesting (conditions are mutually exclusive
+    per unique keys, so precedence is moot — preserved for fidelity).
+    """
+    items = [(k, v) for k, v in dictionary.items() if k]
+    if not items:
+        return F.lit(None).cast("string")
+    main = " ".join(
+        f"WHEN {key_col} = '{_sql_str(k)}' THEN '{_sql_str(v)}'" for k, v in reversed(items)
+    )
     # ±one-trailing-dot fallback, exactly as the reference probes key[:-1]
     # and key+'.'
-    stripped = F.regexp_replace(F.col(key_col), r"\.$", "")
-    fallback: Column = F.lit(None).cast("string")
-    for k, v in dictionary.items():
-        if not k:
-            continue
+    fb = []
+    for k, v in reversed(items):
         if k.endswith("."):
-            fallback = F.when(stripped == k[:-1], F.lit(v)).otherwise(fallback)
+            fb.append(
+                f"WHEN regexp_replace({key_col}, '\\\\.$', '') = '{_sql_str(k[:-1])}'"
+                f" THEN '{_sql_str(v)}'"
+            )
         else:
-            fallback = F.when(F.concat(F.col(key_col), F.lit(".")) == k + ".", F.lit(v)).otherwise(fallback)
-    return F.coalesce(expr, fallback)
+            fb.append(
+                f"WHEN concat({key_col}, '.') = '{_sql_str(k + '.')}'"
+                f" THEN '{_sql_str(v)}'"
+            )
+    return F.expr(
+        f"coalesce(CASE {main} ELSE CAST(NULL AS STRING) END, "
+        f"CASE {' '.join(fb)} ELSE CAST(NULL AS STRING) END)"
+    )
 
 
 def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, DataFrame]:
@@ -510,3 +543,40 @@ def write_warehouse(tables: dict[str, DataFrame], out_dir: str) -> None:
         if name == "assignments":
             writer = writer.partitionBy("year")
         writer.parquet(f"{out_dir}/{name}")
+
+
+def bootstrap_warehouse_catalog(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    database: str = "inspectors_wh",
+    location: str | None = None,
+) -> None:
+    """S4 DDL bootstrap, Spark-catalog form (reference: SQL_SCHEMA at
+    populate_db_ru_v1.py:160-169 — DROP TABLE CASCADE, CREATE TABLE,
+    CREATE INDEX on year/inspector/location/gubernia/okrug).
+
+    The Spark-idiomatic equivalents: ``CREATE DATABASE`` + overwrite
+    ``saveAsTable`` (the DROP+CREATE), with the fact table PARTITIONED BY
+    year — ``idx_assignments_year`` becomes partition pruning on the year
+    directory tree.  The remaining btree indexes map to parquet min/max
+    data skipping: the fact is sorted within each year partition on
+    (inspector_id, inspector_location_id) so row-group stats prune
+    point lookups on those keys.  After this, every table is queryable
+    as ``{database}.{name}`` from plain ``spark.sql``.
+    """
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+    for name, df in tables.items():
+        # the reference's DROP TABLE IF EXISTS ... CASCADE; also guards
+        # against a catalog entry pointing at a since-moved location
+        spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+        writer = df.write.mode("overwrite").format("parquet")
+        if name == "assignments":
+            # repartition by the write-partition key so each task owns
+            # whole years (no small-file explosion from every task
+            # writing every year), then sort for min/max stat pruning
+            df = df.repartition("year").sortWithinPartitions(
+                "inspector_id", "inspector_location_id"
+            )
+            writer = df.write.mode("overwrite").format("parquet").partitionBy("year")
+        writer.saveAsTable(f"{database}.{name}")

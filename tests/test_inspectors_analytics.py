@@ -116,3 +116,25 @@ def test_warehouse_roundtrip_partition_pruning(spark, warehouse, tmp_path):
     assert pruned.count() == 351
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan
+
+
+def test_warehouse_catalog_bootstrap(spark, warehouse, tmp_path):
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import (
+        bootstrap_warehouse_catalog,
+    )
+
+    spark.sql("DROP DATABASE IF EXISTS wh_test CASCADE")
+    bootstrap_warehouse_catalog(spark, warehouse, database="wh_test", location=str(tmp_path / "db"))
+    tables = {t.name for t in spark.catalog.listTables("wh_test")}
+    assert {"inspectors", "locations", "ranks", "professions", "educations",
+            "assignments", "rejects"} <= tables
+    # queryable via plain SQL, and the fact partition-prunes on year
+    n = spark.sql("SELECT count(*) AS n FROM wh_test.assignments").collect()[0]["n"]
+    assert n == 4127
+    pruned = spark.sql("SELECT count(*) AS n FROM wh_test.assignments WHERE year = 1905")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan
+    assert pruned.collect()[0]["n"] == 351
+    # overwrite bootstrap is idempotent (the reference's DROP+CREATE)
+    bootstrap_warehouse_catalog(spark, warehouse, database="wh_test", location=str(tmp_path / "db"))
+    assert spark.sql("SELECT count(*) AS n FROM wh_test.assignments").collect()[0]["n"] == 4127

@@ -1,0 +1,74 @@
+"""Deterministic hash sampling/splitting (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from factory_inspectors_db_etl_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    hash_topk_per_group,
+    stratified_hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"document number {i} with some text", "en" if i % 3 else "de") for i in range(300)],
+        ["doc_id", "text", "lang"],
+    ).cache()
+
+
+def test_split_is_partition_and_deterministic(docs):
+    out = hash_split(docs, "text", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 300
+    assert counts["train"] > counts.get("val", 0)
+    # deterministic: identical assignment on re-evaluation
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "text", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+
+
+def test_split_driftless_under_corpus_growth(spark, docs):
+    """Adding documents never reassigns an existing one."""
+    small = docs.filter(F.col("doc_id") < 100)
+    before = {r["doc_id"]: r["split"] for r in hash_split(small, "text", {"a": 0.5, "b": 0.5}).collect()}
+    after = {r["doc_id"]: r["split"] for r in hash_split(docs, "text", {"a": 0.5, "b": 0.5}).collect()}
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_split_fractions_must_sum_to_one(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "text", {"train": 0.5, "val": 0.1})
+
+
+def test_hash_sample_rate_and_subset(docs):
+    s10 = hash_sample(docs, "text", 0.10)
+    s50 = hash_sample(docs, "text", 0.50)
+    n10, n50 = s10.count(), s50.count()
+    assert 0 < n10 < n50 < 300
+    # nested: a lower-rate sample is a subset of a higher-rate one
+    ids10 = {r["doc_id"] for r in s10.select("doc_id").collect()}
+    ids50 = {r["doc_id"] for r in s50.select("doc_id").collect()}
+    assert ids10 <= ids50
+
+
+def test_stratified_rates_apply_per_stratum(docs):
+    out = stratified_hash_sample(docs, "text", "lang", {"en": 0.0}, default_rate=1.0)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"de"}  # en fully dropped, de fully kept
+    assert out.count() == docs.filter("lang = 'de'").count()
+
+
+def test_group_topk_sample_exact_k_and_stable(spark):
+    ev = spark.createDataFrame(
+        [(i, i % 7, f"k{i}") for i in range(140)], ["event_id", "user_id", "key"]
+    )
+    out = hash_topk_per_group(ev, ["user_id"], "key", 3)
+    sizes = {r["user_id"]: r["n"] for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 3 for n in sizes.values()) and len(sizes) == 7
+    again = hash_topk_per_group(ev, ["user_id"], "key", 3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
