@@ -119,19 +119,24 @@ def parsed_assignment_rows(
     (P6): rows/assignments the reference warn-and-drops
     (populate_db_ru_v1.py:718-719,748-749) routed to a sink with a reason
     column instead of vanishing into logs."""
-    from pyspark import StorageLevel
-
     # ``cell0_std`` computed once in its own projection (codegen size; see
     # _role_columns docstring).
-    # Persist the reader output: the HTML-tokenizer UDTF (U2) is the
+    # Checkpoint the reader output: the HTML-tokenizer UDTF (U2) is the
     # expensive Python island at the root of EVERY downstream branch (the
     # assignment rows, both reject branches) — without the barrier each
     # branch of the rejects union replayed the full file parse (measured:
     # the rejects table write alone cost ~100s of re-parsing; with the
-    # two persists here and in build_warehouse it is seconds).
+    # barriers here and in build_warehouse it is seconds).
+    # localCheckpoint (not persist): it ALSO truncates the logical plan,
+    # so every later withColumn/join doesn't re-analyze the whole upstream
+    # tree — eager analysis of the growing plan was costing ~75ms per
+    # withColumn and ~450ms per join of pure driver time (profiled; plan
+    # build dropped 13.2s -> ~3s).  On a multi-tenant cluster where
+    # executor loss must be survivable, swap for reliable checkpoint() or
+    # persist(MEMORY_AND_DISK_2); semantics are identical.
     rows = read_roster_rows(spark, paths).withColumn(
         "cell0_std", standardize_text(F.col("cell0_raw"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
 
     per_file = W.partitionBy("source_file").orderBy("row_idx")
 
@@ -216,10 +221,11 @@ def parsed_assignment_rows(
         F.when(F.col("is_pers_ditto"), F.lit(None)).otherwise(
             parse_personnel_udf(F.col("personnel_html"))
         ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     # second barrier: the personnel-parser UDF (U1) output feeds the
-    # assignment explode AND the inspector-reject branch; persisting here
-    # keeps the parser single-run across the whole warehouse build
+    # assignment explode AND the inspector-reject branch; the checkpoint
+    # keeps the parser single-run across the whole warehouse build and
+    # resets the analyzed-plan size before the window-heavy tail
     qualifying = F.filter(
         F.col("parsed"),
         lambda a: a["name"].isNotNull() & ~a["is_vacancy"] & a["special_role"].isNull(),
@@ -389,14 +395,13 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
 
     The parsed assignment rows ``a`` are the materialization point: five
     dims, the fact (whose plan embeds all five dim subtrees), and the
-    rejects union all re-derive them, so without a persist the HTML
+    rejects union all re-derive them, so without a barrier the HTML
     parse + personnel UDF would run once PER CONSUMER (~12x on a full
-    warehouse write).  MEMORY_AND_DISK keeps the barrier safe when the
-    parsed corpus outgrows executor memory."""
-    from pyspark import StorageLevel
-
+    warehouse write).  localCheckpoint also truncates the analyzed plan
+    (five dims + fact + rejects each re-analyze this subtree otherwise);
+    see the barrier notes in ``parsed_assignment_rows``."""
     a, rejects = parsed_assignment_rows(spark, paths, return_rejects=True)
-    a = a.persist(StorageLevel.MEMORY_AND_DISK)
+    a = a.localCheckpoint()
 
     inspectors = build_dim(
         a.filter(F.col("inspector_key").isNotNull()).select(
