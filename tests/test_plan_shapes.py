@@ -98,3 +98,42 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     # corpus is never nested-loop joined against itself
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sampling_is_scan_plus_filter_no_shuffle(spark, sf_dir):
+    # hash_split/hash_sample/stratified are pure scan->project/filter:
+    # a sampling pass over 100 TB must not shuffle anything
+    for q in ("p_hash_split", "p_stratified_sample"):
+        plan = _physical(QUERIES[q](spark, sf_dir))
+        assert "Exchange" not in plan, q
+        assert "Join" not in plan, q
+
+
+def test_group_sample_single_shuffle(spark, sf_dir):
+    # k-smallest-hash per group: exactly the window's shuffle, nothing more
+    plan = _physical(QUERIES["p_group_sample"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_lsh_neardup_never_cartesian(spark, sf_dir):
+    # banded candidate generation + rescore must stay equi-join shaped:
+    # no cartesian/broadcast-nested-loop anywhere in the pipeline
+    plan = _physical(QUERIES["d_embedding_neardup_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_never_cartesian(spark, sf_dir):
+    plan = _physical(QUERIES["d_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_meta_prunes_payload_from_scan(spark, sf_dir):
+    # metadata projection never deserializes media bytes downstream of the
+    # reader: the parquet scan reads only the referenced source columns
+    plan = _formatted(QUERIES["m_multimodal_meta"](spark, sf_dir))
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "text" in read_schema  # payload derives from text here
+    assert "source" not in read_schema and "n_chars" not in read_schema
