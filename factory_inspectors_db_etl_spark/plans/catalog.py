@@ -1322,15 +1322,114 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 O_D_SIMHASH_NEARDUP = _gen_simhash_neardup_oracle()
 
 
+_F1_DECOR_SPARK = None  # built lazily below
+
+
+def _f1_decorated(t: Column, did: Column) -> Column:
+    """Deterministically decorate corpus text so every stage of the F1
+    chain is exercised (the raw synthetic corpus is pure [a-z0-9 ]):
+    leading/trailing space+dot, trailing hard sign, comma spacing, the
+    СПб place replacement, the инж. тех. abbreviation, and pre-reform і.
+    Decorations deliberately avoid 3+ consecutive dots — the one spot
+    where the oracle's consuming-RE2 rewrite of the reference's negative
+    lookahead is not exactly equivalent."""
+    variants = F.array(
+        F.concat(F.lit("  "), t, F.lit(" .")),
+        F.concat(t, F.lit("ъ.")),
+        F.concat(t, F.lit(" , запятая")),
+        F.concat(F.lit("спб. "), t),
+        F.concat(t, F.lit(" инж. тех.")),
+        F.concat(F.lit("хорошій "), t),
+    )
+    return F.element_at(variants, (did % 6 + 1).cast("int"))
+
+
 def q_f1_standardize(spark: SparkSession, sf: str) -> DataFrame:
-    """F1: the reference's full standardize_text chain (translate, lookahead
-    regexes, conditional dot-strip) applied columnar.  Rows-only: DuckDB's
-    RE2 regex engine has no lookahead, so the oracle cannot express it; the
-    Python/columnar agreement property test covers semantics instead."""
+    """F1: the reference's full standardize_text chain (translate,
+    lookahead regexes, conditional dot-strip) applied columnar to
+    decorated corpus text (see ``_f1_decorated``).  The DuckDB oracle
+    re-runs the chain with RE2-consuming equivalents of each lookahead
+    (``x(?=d)`` -> ``x(d)`` with the delimiter re-emitted), which are
+    exactly equivalent except on 3+-dot runs that the decorations avoid;
+    the Python/columnar agreement property suite pins the full semantics
+    including those."""
     from ..functions.text import standardize_text
 
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", standardize_text(F.col("text")).alias("text_std"))
+    decorated = _f1_decorated(F.col("text"), F.col("doc_id"))
+    return d.select("doc_id", standardize_text(decorated).alias("text_std"))
+
+
+def _gen_f1_oracle() -> str:
+    from ..functions.text import (
+        ABBREV_REPLACEMENTS,
+        DOT_KEEP_LITERALS,
+        NEW_CHARS,
+        OLD_CHARS,
+        PLACE_REPLACEMENTS,
+    )
+
+    def dq(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "lower(regexp_replace(dec, '^\\s+|\\s+$', '', 'g'))"
+    for old, new in PLACE_REPLACEMENTS:
+        expr = f"replace({expr}, '{dq(old)}', '{dq(new)}')"
+    expr = f"translate({expr}, '{OLD_CHARS}', '{NEW_CHARS}')"
+    keep_list = ", ".join(f"'{dq(k)}'" for k in DOT_KEEP_LITERALS)
+    abbrevs = "s2"
+    for old, new in ABBREV_REPLACEMENTS:
+        abbrevs = f"replace({abbrevs}, '{dq(old)}', '{dq(new)}')"
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN '  ' || text || ' .'
+           WHEN 1 THEN text || 'ъ.'
+           WHEN 2 THEN text || ' , запятая'
+           WHEN 3 THEN 'спб. ' || text
+           WHEN 4 THEN text || ' инж. тех.'
+           ELSE 'хорошій ' || text
+         END AS dec
+  FROM documents
+), s1 AS (
+  SELECT doc_id, {expr} AS s1 FROM d0
+), s2 AS (  -- hard/soft sign before delimiter or end (consuming form)
+  SELECT doc_id, regexp_replace(regexp_replace(s1,
+           'ъ(\\s|[.,;:!?]|$)', '\\1', 'g'),
+           'ь(\\s|[.,;:!?]|$)', '\\1', 'g') AS s2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, {abbrevs} AS s3 FROM s2
+), s4 AS (  -- double-dot collapse unless followed by a cyrillic letter
+  SELECT doc_id, regexp_replace(s3,
+           '\\s*\\.\\s*\\.(\\s*)([^\\sа-яё]|$)', '.\\1\\2', 'g') AS s4
+  FROM s3
+), s5 AS (  -- space before dot swallowed when dot ends a token
+  SELECT doc_id, regexp_replace(s4, '\\s*\\.(\\s|$)', '.\\1', 'g') AS s5
+  FROM s4
+), s6 AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s5,
+           '\\s*,\\s*', ', ', 'g'),
+           '\\s+', ' ', 'g'),
+           '^\\s+|\\s+$', '', 'g') AS s6
+  FROM s5
+), s7 AS (
+  SELECT doc_id,
+         CASE WHEN (s6 LIKE '%.' OR s6 LIKE '%,')
+                   AND NOT (regexp_matches(s6, '(^|[^0-9a-zа-яё_])[а-яё]\\.$')
+                            OR regexp_matches(s6, '(^|[^0-9a-zа-яё_])[а-яё]\\.\\s*[а-яё]\\.$')
+                            OR regexp_matches(s6, '^[а-яё]{{1,3}}\\.$')
+                            OR s6 IN ({keep_list}))
+              THEN regexp_replace(substr(s6, 1, length(s6) - 1), '^\\s+|\\s+$', '', 'g')
+              ELSE s6 END AS s7
+  FROM s6
+)
+SELECT doc_id, CASE WHEN s7 = '' THEN NULL ELSE s7 END AS text_std FROM s7
+"""
+
+
+O_F1 = _gen_f1_oracle()
 
 
 _U3_OUT = "user_id long, median_value double, n long"
@@ -1600,9 +1699,11 @@ ORACLES: dict[str, str] = {
     "m_multimodal_meta": O_M_META,
     "m_multimodal_decode": O_M_DECODE,
     "m_frame_sample": O_M_FRAME,
+    "f1_standardize": O_F1,
     "u3_grouped_agg_udaf": O_U3,
     # rows-only (no SQL-expressible oracle): d_embedding_neardup_lsh
     # (sub-1.0 recall by design: candidates are a bounded subset of the
     # exact result, pinned by tests/test_dedup_similarity_scale.py),
-    # f1_standardize (lookahead regexes unsupported by DuckDB RE2)
+    # a5_approx_sketches (HLL++/GK sketches are Spark-implementation-
+    # specific approximations with no engine-independent ground truth)
 }
