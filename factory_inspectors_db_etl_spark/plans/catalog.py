@@ -922,6 +922,86 @@ WITH toks AS (
 O_D_SIMHASH = _gen_simhash_cte() + "\nSELECT doc, simhash FROM fp\n"
 
 
+def q_s2b_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction (the S2 theme generalized): parse the
+    JSON ``props`` column JVM-side (get_json_object, no UDF) and
+    aggregate the extracted value per event type.  At scale this is the
+    standard log-enrichment scan: pushdown-friendly, one shuffle for the
+    final small aggregate."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("k_avg"),
+        )
+    )
+
+
+O_S2B_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / count(*) AS k_avg
+FROM events GROUP BY event_type
+"""
+
+
+def q_t_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1) — the classic keyword-extraction /
+    feature-weighting pass.  Corpus size N enters the plan as a
+    broadcast 1-row aggregate (no driver-side collect); term ranking
+    orders by the ROUNDED score so cross-engine ulp noise in ln()
+    cannot flip ranks (ties break on the term itself)."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+O_T_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tf.term,
+         round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+)
+SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
 def q_p_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by content hash: reproducible,
     repartition-stable, driftless (new docs never move old ones), and
@@ -1625,6 +1705,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_ngram_jaccard": q_d_ngram_jaccard,
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
+    "s2b_json_extract": q_s2b_json_extract,
+    "t_tfidf_topk": q_t_tfidf_topk,
     "p_hash_split": q_p_hash_split,
     "p_stratified_sample": q_p_stratified_sample,
     "p_group_sample": q_p_group_sample,
@@ -1684,6 +1766,8 @@ ORACLES: dict[str, str] = {
     "d_minhash_lsh": O_D_MINHASH,
     "d_simhash": O_D_SIMHASH,
     "d_simhash_neardup": O_D_SIMHASH_NEARDUP,
+    "s2b_json_extract": O_S2B_JSON,
+    "t_tfidf_topk": O_T_TFIDF,
     "p_hash_split": O_P_HASH_SPLIT,
     "p_stratified_sample": O_P_STRATIFIED,
     "p_group_sample": O_P_GROUP_SAMPLE,
