@@ -279,6 +279,81 @@ def q_a3_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_w9_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """W9: time-RANGE window frame — trailing 30-minute count and sum per
+    user, ordered by an epoch-microsecond key derived with TIMESTAMP_NTZ
+    arithmetic (timezone-independent, so the hostile non-UTC session
+    cannot shift frame membership).  The sum aggregates DECIMAL(18,2)
+    casts: exact in both engines, immune to float summation-tree
+    differences (Spark sliding accumulation vs DuckDB segment trees)."""
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn(
+        "ts_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us").rangeBetween(-1_800_000_000, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_30m"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing_30m"),
+    )
+
+
+O_W9 = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_30m,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_a3b_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """A3b: full cube over (order status, priority) — every grouping-set
+    combination in one pass (partial aggregation map-side, one shuffle)."""
+    o = load_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+O_A3B = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_a6_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: pivot event counts per user into one column per event type.
+    The pivot value list is explicit (no extra distinct-scan job), so the
+    plan is a single groupBy aggregation with 5 conditional counts —
+    exactly the manual SUM(CASE) the oracle writes out."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+O_A6 = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM events GROUP BY user_id
+"""
+
+
 O_A3 = """
 SELECT r_name, n_name, COUNT(*) AS n_customers,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
@@ -419,6 +494,25 @@ def q_j5_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part")
     li = load_table(spark, sf, "lineitem")
     return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+def q_j5b_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J5b: membership without multiplying rows == left_semi join
+    (customers with at least one open order).  Semi joins never
+    duplicate the probe side, so the output cardinality is bounded by
+    the left table — the safe existence-check shape at scale."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o.filter(F.col("o_orderstatus") == "O"), c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+O_J5B = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
 
 
 O_J5 = """
@@ -1679,6 +1773,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_pricing_summary": q_a1_pricing_summary,
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
+    "a3b_cube": q_a3b_cube,
+    "a6_pivot": q_a6_pivot,
     "a5_approx_sketches": q_a5_approx_sketches,
     "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
@@ -1686,6 +1782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_nullsafe_join": q_j3_nullsafe_join,
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
+    "j5b_semi_join": q_j5b_semi_join,
     "j6_asof_fill": q_j6_asof_fill,
     "j8_range_join": q_j8_range_join,
     "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
@@ -1694,6 +1791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w6_global_surrogate": q_w6_global_surrogate,
     "w7_lag_delta": q_w7_lag_delta,
     "w8_rank_suite": q_w8_rank_suite,
+    "w9_range_frame": q_w9_range_frame,
     "o5_topk": q_o5_topk,
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
@@ -1740,12 +1838,15 @@ ORACLES: dict[str, str] = {
     "a1_pricing_summary": O_A1,
     "a2_skew_safe_distinct": O_A2_SKEW,
     "a3_rollup": O_A3,
+    "a3b_cube": O_A3B,
+    "a6_pivot": O_A6,
     "a4_distinct_counts": O_A4,
     "j1_broadcast_dim_join": O_J1,
     "j2_surrogate_dim": O_J2,
     "j3_nullsafe_join": O_J3,
     "j4_case_insensitive_join": O_J4,
     "j5_anti_join": O_J5,
+    "j5b_semi_join": O_J5B,
     "j6_asof_fill": O_J6,
     "j8_range_join": O_J8,
     "j8b_range_join_bucketed": O_J8B,
@@ -1754,6 +1855,7 @@ ORACLES: dict[str, str] = {
     "w6_global_surrogate": O_W6,
     "w7_lag_delta": O_W7,
     "w8_rank_suite": O_W8,
+    "w9_range_frame": O_W9,
     "o5_topk": O_O5,
     "e1_union_dedup": O_E1,
     "e2_except": O_E2,
