@@ -35,6 +35,11 @@ HEADLINE = [
     "s9b_sliding_window",
     "s10_session_window",
     "f11_typed_date",
+    "s2b_json_extract",
+    "a6_pivot",
+    "w9_range_frame",
+    "t_tfidf_topk",
+    "p_hash_split",
     "d_exact_dedup",
     "d_ngram_jaccard",
     "d_minhash_lsh",

@@ -148,8 +148,13 @@ def ngram_jaccard_pairs(
         # Cap BEFORE building any list: a fixed-width count aggregate finds
         # hot shingles, and collect_list only ever runs over shingles that
         # passed the cap — the giant posting row is never materialized.
-        # The count agg and the join probe share the same hash partitioning
-        # on sh, so AQE reuses the exchange (no extra shuffle of sh).
+        # The probe join is a second shuffle of sh (no exchange reuse: the
+        # agg side exchanges partial-agg output, not raw sh), but both
+        # shuffles are skew-protected — the count agg by map-side partial
+        # aggregation, the join by AQE skew splitting.  A window-based
+        # single-shuffle variant would ship EVERY row of a hot shingle to
+        # one task with no partial-agg protection, which is exactly the
+        # straggler this cap exists to avoid.
         freq = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))

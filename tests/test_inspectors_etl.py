@@ -13,8 +13,6 @@ spot-checked against the reference's semantics.
 
 from __future__ import annotations
 
-import re
-
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -202,16 +200,23 @@ _corpusish = st.text(
 
 @given(_corpusish)
 @settings(max_examples=200, deadline=None)
-def test_standardize_idempotent(s):
-    once = standardize_text_py(s)
-    # The reference (populate_db_ru_v1.py:81-88) strips ONE trailing
-    # punctuation mark per call, so punctuation-only residues like "."
-    # (from ".,") legitimately re-standardize to None — idempotency is
-    # only the contract for outputs that still contain a word character
-    # (hypothesis-discovered counterexample: ".,").
-    if once is not None and re.search(r"[0-9a-zа-яё]", once) is None:
-        return
-    assert standardize_text_py(once) == once
+def test_standardize_converges_and_normalizes(s):
+    # Strict idempotency is NOT a property of the reference: each call
+    # strips ONE trailing punctuation/hard-sign per pass
+    # (populate_db_ru_v1.py:64-65,81-88), so "ъъ" -> "ъ" -> None and
+    # "x,." -> "x," -> "x" take multiple passes (hypothesis-discovered).
+    # The true properties: repeated application converges to a fixed
+    # point quickly, and every output is whitespace-normalized.
+    seen = s
+    for _ in range(6):
+        nxt = standardize_text_py(seen)
+        if nxt is not None:
+            assert nxt == nxt.strip(), "output must be trimmed"
+            assert "  " not in nxt, "no double spaces in output"
+        if nxt == seen:
+            return  # fixed point reached
+        seen = nxt
+    raise AssertionError(f"no fixed point within 6 iterations for {s!r}")
 
 
 @given(st.one_of(st.none(), st.integers(), _corpusish))
