@@ -279,6 +279,43 @@ def q_a3_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_a6b_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A6b: unpivot (melt) — the inverse of A6.  The three lineitem
+    charge components become (key, value) rows via the native unpivot
+    operator: a zero-shuffle row-expansion, 3x rows out of one scan."""
+    li = load_table(spark, sf, "lineitem")
+    src = li.filter(F.col("l_orderkey") <= 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        _dec("l_extendedprice").cast("double").alias("extendedprice"),
+        _dec("l_discount").cast("double").alias("discount"),
+        _dec("l_tax").cast("double").alias("tax"),
+    )
+    return src.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount", "tax"],
+        "component",
+        "amount",
+    )
+
+
+O_A6B = """
+SELECT l_orderkey, l_linenumber, component, amount FROM (
+  SELECT l_orderkey, l_linenumber, 'extendedprice' AS component,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+  FROM lineitem WHERE l_orderkey <= 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount',
+         CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE)
+  FROM lineitem WHERE l_orderkey <= 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax',
+         CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE)
+  FROM lineitem WHERE l_orderkey <= 100
+)
+"""
+
+
 def q_w9_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     """W9: time-RANGE window frame — trailing 30-minute count and sum per
     user, ordered by an epoch-microsecond key derived with TIMESTAMP_NTZ
@@ -1775,6 +1812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
     "a6_pivot": q_a6_pivot,
+    "a6b_unpivot": q_a6b_unpivot,
     "a5_approx_sketches": q_a5_approx_sketches,
     "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
@@ -1840,6 +1878,7 @@ ORACLES: dict[str, str] = {
     "a3_rollup": O_A3,
     "a3b_cube": O_A3B,
     "a6_pivot": O_A6,
+    "a6b_unpivot": O_A6B,
     "a4_distinct_counts": O_A4,
     "j1_broadcast_dim_join": O_J1,
     "j2_surrogate_dim": O_J2,
