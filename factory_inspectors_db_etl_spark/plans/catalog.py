@@ -279,6 +279,47 @@ def q_a3_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_w10_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """W10: ordered-event funnel — per user, did view precede signup and
+    signup precede purchase?  One conditional-min aggregation per stage
+    (single shuffle on user_id, map-side partial aggs), then ordering
+    comparisons — the standard conversion-funnel shape, no self-joins."""
+    ev = load_table(spark, sf, "events")
+    tmin = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    agg = ev.groupBy("user_id").agg(
+        tmin("view").alias("t_view"),
+        tmin("signup").alias("t_signup"),
+        tmin("purchase").alias("t_purchase"),
+    )
+    reached_signup = F.col("t_view").isNotNull() & F.col("t_signup").isNotNull() & (
+        F.col("t_view") < F.col("t_signup")
+    )
+    reached_purchase = reached_signup & F.col("t_purchase").isNotNull() & (
+        F.col("t_signup") < F.col("t_purchase")
+    )
+    return agg.select(
+        "user_id",
+        reached_signup.alias("view_then_signup"),
+        reached_purchase.alias("full_funnel"),
+    )
+
+
+O_W10 = """
+WITH agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       (t_view IS NOT NULL AND t_signup IS NOT NULL AND t_view < t_signup) AS view_then_signup,
+       (t_view IS NOT NULL AND t_signup IS NOT NULL AND t_view < t_signup
+        AND t_purchase IS NOT NULL AND t_signup < t_purchase) AS full_funnel
+FROM agg
+"""
+
+
 def q_a6b_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """A6b: unpivot (melt) — the inverse of A6.  The three lineitem
     charge components become (key, value) rows via the native unpivot
@@ -1830,6 +1871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w7_lag_delta": q_w7_lag_delta,
     "w8_rank_suite": q_w8_rank_suite,
     "w9_range_frame": q_w9_range_frame,
+    "w10_funnel": q_w10_funnel,
     "o5_topk": q_o5_topk,
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
@@ -1895,6 +1937,7 @@ ORACLES: dict[str, str] = {
     "w7_lag_delta": O_W7,
     "w8_rank_suite": O_W8,
     "w9_range_frame": O_W9,
+    "w10_funnel": O_W10,
     "o5_topk": O_O5,
     "e1_union_dedup": O_E1,
     "e2_except": O_E2,
