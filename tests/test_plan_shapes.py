@@ -137,3 +137,25 @@ def test_multimodal_meta_prunes_payload_from_scan(spark, sf_dir):
     read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
     assert "text" in read_schema  # payload derives from text here
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_range_frame_and_funnel_single_shuffle(spark, sf_dir):
+    # both per-user patterns pay exactly one exchange on user_id
+    for q in ("w9_range_frame", "w10_funnel"):
+        plan = _physical(QUERIES[q](spark, sf_dir))
+        assert plan.count("Exchange") == 1, q
+
+
+def test_pivot_no_distinct_scan_and_no_join(spark, sf_dir):
+    # explicit value list => no separate distinct-values job and no join;
+    # the plan is the two standard aggregations (count by (user, type),
+    # then pivotfirst by user), each with map-side partials
+    plan = _physical(QUERIES["a6_pivot"](spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    assert "pivotfirst" in plan
+
+
+def test_unpivot_zero_shuffle(spark, sf_dir):
+    plan = _physical(QUERIES["a6b_unpivot"](spark, sf_dir))
+    assert "Exchange" not in plan
