@@ -279,6 +279,35 @@ def q_a3_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_j6b_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6b/J8: true as-of join — for each purchase event, the value of
+    the user's latest view event at-or-before it.  Union-based
+    single-shuffle implementation (tag sides, one window per key,
+    forward-fill the right payload); the oracle is DuckDB's native
+    ASOF LEFT JOIN.  The right side is pre-deduped to one row per
+    (user, ts) so tie-winner choice cannot differ between engines."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(left, right, keys=["user_id"], on="ts", payload=["view_value"])
+    return out.select("event_id", "user_id", "view_value")
+
+
+O_J6B = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, r.view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_w10_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """W10: ordered-event funnel — per user, did view precede signup and
     signup precede purchase?  One conditional-min aggregation per stage
@@ -1863,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j5_anti_join": q_j5_anti_join,
     "j5b_semi_join": q_j5b_semi_join,
     "j6_asof_fill": q_j6_asof_fill,
+    "j6b_asof_join": q_j6b_asof_join,
     "j8_range_join": q_j8_range_join,
     "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
     "w1_forward_fill": q_w1_forward_fill,
@@ -1929,6 +1959,7 @@ ORACLES: dict[str, str] = {
     "j5_anti_join": O_J5,
     "j5b_semi_join": O_J5B,
     "j6_asof_fill": O_J6,
+    "j6b_asof_join": O_J6B,
     "j8_range_join": O_J8,
     "j8b_range_join_bucketed": O_J8B,
     "w1_forward_fill": O_W1,
