@@ -435,6 +435,27 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_a7_collect_set(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: set aggregation — distinct order statuses per priority as a
+    canonical (sorted, joined) string.  collect_set order is engine-
+    nondeterministic, so the deterministic surface is sort-then-join;
+    the stringified form also keeps the driver's canonicalizer happy
+    (no array-typed output columns)."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+O_A7 = """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_a6_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """A6: pivot event counts per user into one column per event type.
     The pivot value list is explicit (no extra distinct-scan job), so the
@@ -1882,6 +1903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
     "a6_pivot": q_a6_pivot,
+    "a7_collect_set": q_a7_collect_set,
     "a6b_unpivot": q_a6b_unpivot,
     "a5_approx_sketches": q_a5_approx_sketches,
     "a4_distinct_counts": q_a4_distinct_counts,
@@ -1950,6 +1972,7 @@ ORACLES: dict[str, str] = {
     "a3_rollup": O_A3,
     "a3b_cube": O_A3B,
     "a6_pivot": O_A6,
+    "a7_collect_set": O_A7,
     "a6b_unpivot": O_A6B,
     "a4_distinct_counts": O_A4,
     "j1_broadcast_dim_join": O_J1,
