@@ -110,6 +110,47 @@ def char_ngram_fingerprints(text: Column, n: int = 8, keep: int = 4, normalized:
     return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
 
 
+def chunk_windows(text: Column, size: int, overlap: int) -> Column:
+    """Split a document into overlapping word windows (the training-data
+    chunking pass): windows of ``size`` words with stride
+    ``size - overlap``; the final partial window is kept.  Pure
+    higher-order-function expression — zero shuffles, explodes linearly
+    (one output row per stride step) at any corpus scale."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    words = F.split(F.regexp_replace(F.trim(text), r"\s+", " "), " ")
+    n = F.size(words)
+    n_windows = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    idx = F.sequence(F.lit(0), n_windows - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, i * stride + 1, size)).alias("chunk"),
+        ),
+    )
+
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails before bare digit runs
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Regex PII scrubbing (emails, phone-like digit runs, SSN shapes) —
+    the standard pre-training redaction pass.  Lookahead-free patterns,
+    so any RE2 engine reproduces the result byte-for-byte; chained
+    regexp_replace stays inside whole-stage codegen."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def language_guess(text: Column) -> Column:
     """Stopword-vote language heuristic over LANG_STOPWORDS; 'und'
     (undetermined) when no language scores > 0.  Ties break by language

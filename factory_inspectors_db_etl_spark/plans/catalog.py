@@ -1224,6 +1224,71 @@ WHERE rn <= 3
 """
 
 
+def q_t_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data chunking: overlapping 20-word windows (overlap 5)
+    per document, exploded to one row per chunk.  Zero shuffles — the
+    window list is a per-row higher-order expression."""
+    d = load_table(spark, sf, "documents")
+    chunks = d.select(
+        "doc_id", F.explode(TA.chunk_windows(F.col("text"), 20, 5)).alias("c")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+O_T_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, w, CAST(greatest(ceil((len(w) - 5) / 15.0), 1) AS INTEGER) AS n_windows FROM t
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(w, i * 15 + 1, i * 15 + 20), ' ') AS chunk
+FROM n, UNNEST(range(0, n_windows)) AS u(i)
+"""
+
+
+def q_t_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction pass: the corpus has no PII, so synthetic contact
+    strings are appended deterministically by doc_id, then scrubbed with
+    the lookahead-free pattern chain (reproduced verbatim by RE2 in the
+    oracle)."""
+    d = load_table(spark, sf, "documents")
+    contact = F.element_at(
+        F.array(
+            F.lit("reach me at bob.smith+test@example.co.uk today"),
+            F.lit("call +7 812 1234567 now"),
+            F.lit("ssn 123-45-6789 on file"),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    decorated = F.concat(F.col("text"), F.lit(" contact: "), contact)
+    return d.select("doc_id", TA.redact_pii(decorated).alias("clean_text"))
+
+
+def _gen_pii_oracle() -> str:
+    from ..operators.text_analysis import PII_PATTERNS
+
+    expr = """(text || ' contact: ' ||
+      CASE doc_id % 3
+        WHEN 0 THEN 'reach me at bob.smith+test@example.co.uk today'
+        WHEN 1 THEN 'call +7 812 1234567 now'
+        ELSE 'ssn 123-45-6789 on file' END)"""
+    for pat, token in PII_PATTERNS:
+        # duckdb '...' literals are not escape-processed: keep backslashes
+        # single (RE2 reads them directly), only quotes need doubling
+        esc = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean_text FROM documents"
+
+
+O_T_PII = _gen_pii_oracle()
+
+
 def q_p_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by content hash: reproducible,
     repartition-stable, driftless (new docs never move old ones), and
@@ -1937,6 +2002,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_simhash": q_d_simhash,
     "s2b_json_extract": q_s2b_json_extract,
     "t_tfidf_topk": q_t_tfidf_topk,
+    "t_chunk_windows": q_t_chunk_windows,
+    "t_pii_redact": q_t_pii_redact,
     "p_hash_split": q_p_hash_split,
     "p_stratified_sample": q_p_stratified_sample,
     "p_group_sample": q_p_group_sample,
@@ -2006,6 +2073,8 @@ ORACLES: dict[str, str] = {
     "d_simhash_neardup": O_D_SIMHASH_NEARDUP,
     "s2b_json_extract": O_S2B_JSON,
     "t_tfidf_topk": O_T_TFIDF,
+    "t_chunk_windows": O_T_CHUNKS,
+    "t_pii_redact": O_T_PII,
     "p_hash_split": O_P_HASH_SPLIT,
     "p_stratified_sample": O_P_STRATIFIED,
     "p_group_sample": O_P_GROUP_SAMPLE,
