@@ -133,10 +133,11 @@ def chunk_windows(text: Column, size: int, overlap: int) -> Column:
 
 
 PII_PATTERNS: list[tuple[str, str]] = [
-    # order matters: emails before bare digit runs
+    # order matters: specific shapes before general digit runs (an SSN
+    # would otherwise be eaten by the phone pattern), emails first
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
 ]
 
 

@@ -72,3 +72,52 @@ def test_group_topk_sample_exact_k_and_stable(spark):
     assert all(n == 3 for n in sizes.values()) and len(sizes) == 7
     again = hash_topk_per_group(ev, ["user_id"], "key", 3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_chunk_windows_edges(spark):
+    from factory_inspectors_db_etl_spark.operators.text_analysis import chunk_windows
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(47))), (2, "a b c"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = (
+        df.select("doc_id", F.explode(chunk_windows(F.col("text"), 20, 5)).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    # 47 words, stride 15: windows at 0,15,30 -> 3 (ceil((47-5)/15)=3)
+    assert len(by_doc[1]) == 3
+    # consecutive windows share exactly `overlap` words
+    w0, w1 = by_doc[1][0][1].split(), by_doc[1][1][1].split()
+    assert w0[-5:] == w1[:5]
+    # short and empty docs produce exactly one window
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == "a b c"
+    assert len(by_doc[3]) == 1
+    with _pytest.raises(ValueError):
+        chunk_windows(F.col("text"), 10, 10)
+
+
+def test_redact_pii_examples(spark):
+    from factory_inspectors_db_etl_spark.operators.text_analysis import redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@d-e.org now"),
+            (2, "tel +1 555-123 4567 ok"),
+            (3, "ssn 123-45-6789."),
+            (4, "clean text stays"),
+        ],
+        ["i", "t"],
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", redact_pii(F.col("t")).alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "tel <PHONE> ok"
+    assert got[3] == "ssn <SSN>."
+    assert got[4] == "clean text stays"
