@@ -90,6 +90,40 @@ def stratified_hash_sample(
     return df.filter(bucket < (rate_expr * buckets).cast("int"))
 
 
+def pack_token_bins(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    shards: int = 64,
+) -> DataFrame:
+    """Contiguous-fill packing of documents into fixed token budgets
+    (the training-batch assembly pass): within each of ``shards`` hash
+    shards, documents are ordered by content hash and greedily assigned
+    to bins by cumulative size — bin boundaries at
+    ``floor((cumsum - size) / budget)``.
+
+    Sharding is the scale decision: a single global cumulative-sum
+    window funnels the whole corpus through one task, so packing is done
+    per hash shard (deterministic membership, ``shards``-way parallel,
+    bounded per-task state).  Bins never span shards; the (shard, bin)
+    pair is the global bin id.  Oversized single documents get a bin to
+    themselves (contiguous fill never splits a document).
+    """
+    h = portable_hash60(F.col(key_col))
+    shard = (h % F.lit(shards)).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "_cum", F.sum(size_col).over(w)
+    )
+    bin_id = F.floor((F.col("_cum") - F.col(size_col)) / F.lit(budget)).cast("int")
+    return out.withColumn("bin", bin_id).drop("_cum")
+
+
 def hash_topk_per_group(
     df: DataFrame, group_cols: list[str], key_col: str, k: int
 ) -> DataFrame:

@@ -1224,6 +1224,37 @@ WHERE rn <= 3
 """
 
 
+def q_p_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget packing: documents fill 2000-token bins by
+    cumulative size within 16 deterministic hash shards (a global
+    cumsum window would funnel the corpus through one task; per-shard
+    packing is N-way parallel with bounded state).  n_chars stands in
+    for the token count."""
+    from ..operators.sampling import pack_token_bins
+
+    d = load_table(spark, sf, "documents")
+    out = pack_token_bins(d, "text", "n_chars", budget=2000, shards=16)
+    return out.select("doc_id", "shard", "bin")
+
+
+O_P_PACK = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, {_portable60_sql("text")} AS h, text FROM documents
+), s AS (
+  SELECT doc_id, n_chars, h, h % 16 AS shard, text FROM h
+), c AS (
+  SELECT doc_id, shard,
+         sum(n_chars) OVER (PARTITION BY shard ORDER BY h, text
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         n_chars
+  FROM s
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(floor((cum - n_chars) / 2000.0) AS INTEGER) AS bin
+FROM c
+"""
+
+
 def q_t_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Training-data chunking: overlapping 20-word windows (overlap 5)
     per document, exploded to one row per chunk.  Zero shuffles — the
@@ -2007,6 +2038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_hash_split": q_p_hash_split,
     "p_stratified_sample": q_p_stratified_sample,
     "p_group_sample": q_p_group_sample,
+    "p_pack_bins": q_p_pack_bins,
     "t_text_stats": q_t_text_stats,
     "t_language_guess": q_t_language_guess,
     "t_quality_score": q_t_quality_score,
@@ -2078,6 +2110,7 @@ ORACLES: dict[str, str] = {
     "p_hash_split": O_P_HASH_SPLIT,
     "p_stratified_sample": O_P_STRATIFIED,
     "p_group_sample": O_P_GROUP_SAMPLE,
+    "p_pack_bins": O_P_PACK,
     "t_text_stats": O_T_STATS,
     "t_language_guess": O_T_LANG,
     "t_quality_score": O_T_QUALITY,

@@ -121,3 +121,30 @@ def test_redact_pii_examples(spark):
     assert got[2] == "tel <PHONE> ok"
     assert got[3] == "ssn <SSN>."
     assert got[4] == "clean text stays"
+
+
+def test_pack_bins_budget_and_contiguity(spark):
+    from factory_inspectors_db_etl_spark.operators.sampling import pack_token_bins
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 700) for i in range(60)] + [(100, "huge", 5000)],
+        ["doc_id", "text", "n_tok"],
+    )
+    out = pack_token_bins(df, "text", "n_tok", budget=2000, shards=4).collect()
+    # every (shard, bin) holds documents whose sizes sum within budget,
+    # except a bin whose FIRST doc alone exceeds it (never split)
+    bins = {}
+    for r in out:
+        bins.setdefault((r["shard"], r["bin"]), []).append(r["n_tok"])
+    for sizes in bins.values():
+        assert sum(sizes) <= 2000 + max(0, max(sizes) - 2000) + 2000
+    # the oversized doc sits alone in its bin
+    huge_bin = next((r["shard"], r["bin"]) for r in out if r["doc_id"] == 100)
+    others_in_bin = [r for r in out if (r["shard"], r["bin"]) == huge_bin]
+    # contiguous fill may start the bin with small docs before the huge
+    # one, but nothing is placed after it in the same bin
+    assert sum(r["n_tok"] for r in others_in_bin) < 5000 + 2000
+    # deterministic across reruns
+    again = pack_token_bins(df, "text", "n_tok", budget=2000, shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
