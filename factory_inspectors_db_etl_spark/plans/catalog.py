@@ -1255,6 +1255,55 @@ FROM c
 """
 
 
+def q_d_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test contamination check: for each test-split document, how
+    many train-split documents share at least one 5-gram shingle.
+    Composes the deterministic hash split with the inverted shingle
+    index — the decontamination pass every training corpus needs.
+    Inverted-index equi-join on the shingle hash (never a cross join);
+    shingle sets are distinct per doc so counts are pair-level."""
+    from ..operators.dedup import _with_words, portable_hash60, shingles
+    from ..operators.sampling import hash_split
+
+    d = hash_split(
+        load_table(spark, sf, "documents"), "text", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    sh = _with_words(d, "text").select(
+        "doc_id", "split", F.explode(shingles(F.col("_words"), 5)).alias("sh")
+    ).select("doc_id", "split", portable_hash60(F.col("sh")).alias("sh"))
+    test = sh.filter(F.col("split") == "test").select(F.col("doc_id").alias("test_doc"), "sh")
+    train = sh.filter(F.col("split") == "train").select(F.col("doc_id").alias("train_doc"), "sh")
+    return (
+        test.join(train, "sh")
+        .select("test_doc", "train_doc")
+        .distinct()
+        .groupBy("test_doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminating_train_docs"))
+    )
+
+
+O_D_CONTAM = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN {_portable60_sql("text")} % 10000 < 8000 THEN 'train'
+              WHEN {_portable60_sql("text")} % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM split
+), sh AS (
+  SELECT DISTINCT doc_id, split,
+         {_portable60_sql("array_to_string(list_slice(w, i, i + 4), ' ')")} AS sh
+  FROM toks, UNNEST(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)
+)
+SELECT a.doc_id AS test_doc, count(DISTINCT b.doc_id) AS n_contaminating_train_docs
+FROM sh a JOIN sh b ON a.sh = b.sh AND a.split = 'test' AND b.split = 'train'
+GROUP BY 1
+"""
+
+
 def q_t_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Training-data chunking: overlapping 20-word windows (overlap 5)
     per document, exploded to one row per chunk.  Zero shuffles — the
@@ -2053,6 +2102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_multimodal_decode": q_m_multimodal_decode,
     "m_frame_sample": q_m_frame_sample,
     "d_simhash_neardup": q_d_simhash_neardup,
+    "d_contamination": q_d_contamination,
     "f1_standardize": q_f1_standardize,
     "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
 }
@@ -2103,6 +2153,7 @@ ORACLES: dict[str, str] = {
     "d_minhash_lsh": O_D_MINHASH,
     "d_simhash": O_D_SIMHASH,
     "d_simhash_neardup": O_D_SIMHASH_NEARDUP,
+    "d_contamination": O_D_CONTAM,
     "s2b_json_extract": O_S2B_JSON,
     "t_tfidf_topk": O_T_TFIDF,
     "t_chunk_windows": O_T_CHUNKS,
