@@ -16,6 +16,14 @@ Scale design:
                         candidate pairs only — never the O(n^2) cross join.
 * SimHash            -- bit-vote aggregation over token hashes; near-dup
                         candidates via band equi-join on bit slices.
+
+Algorithm provenance (public literature): MinHash resemblance sketches —
+Broder, "On the resemblance and containment of documents" (SEQUENCES
+1997); LSH banding and the 1-(1-s^r)^b S-curve — Leskovec/Rajaraman/
+Ullman, "Mining of Massive Datasets" ch.3; SimHash — Charikar,
+"Similarity estimation techniques from rounding algorithms" (STOC 2002),
+applied at crawl scale in Manku/Jain/Das Sarma (WWW 2007), whose
+pigeonhole band trick `simhash_near_duplicates` uses.
 """
 
 from __future__ import annotations

@@ -13,6 +13,13 @@ Scale design:
   sides; only same-bucket pairs are scored (equi-join on the bucket key),
   trading recall for a ~(2^bits)x reduction in scored pairs.  Hyperplanes
   are deterministic (seeded, numpy) and shipped as literal arrays.
+
+Algorithm provenance (public literature): locality-sensitive hashing —
+Indyk/Motwani (STOC 1998) and Gionis/Indyk/Motwani (VLDB 1999);
+sign-of-random-projection buckets for cosine — Charikar (STOC 2002);
+inverted-file (IVF) coarse quantization with multi-cell probing —
+Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011), minus the PQ residual codes (exact re-scoring instead).
 """
 
 from __future__ import annotations

@@ -159,3 +159,15 @@ def test_pivot_no_distinct_scan_and_no_join(spark, sf_dir):
 def test_unpivot_zero_shuffle(spark, sf_dir):
     plan = _physical(QUERIES["a6b_unpivot"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_pack_bins_single_shuffle(spark, sf_dir):
+    # per-shard packing: exactly the window's one exchange on shard
+    plan = _physical(QUERIES["p_pack_bins"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_contamination_no_cartesian(spark, sf_dir):
+    plan = _physical(QUERIES["d_contamination"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

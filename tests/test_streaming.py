@@ -248,3 +248,41 @@ def test_roster_file_stream_matches_batch_reader(spark, tmp_path):
     assert _rows(got, "source_file", "row_idx", "row_kind") == _rows(
         want, "source_file", "row_idx", "row_kind"
     )
+
+
+def test_stream_json_enrichment_matches_batch(spark, tmp_path):
+    """Scalar JVM-side transformations (get_json_object) compose with
+    readStream exactly as with batch: streaming the same files through
+    the enrichment yields the batch result."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # file streams need a DIRECTORY source
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    path = str(src)
+    # events.parquet stores TIMESTAMP(NANOS); read nanos as long exactly
+    # like sources.tables.load_table (ts is unused here)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(path)
+
+    def enrich(df):
+        return df.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        )
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        enrich(stream)
+        .writeStream.format("memory")
+        .queryName("json_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["k"]) for r in spark.sql("select * from json_enrich").collect()}
+    want = {(r["event_id"], r["k"]) for r in enrich(batch).collect()}
+    assert got == want and len(got) > 0
