@@ -39,8 +39,11 @@ HEADLINE = [
     "a6_pivot",
     "w9_range_frame",
     "t_tfidf_topk",
+    "t_chunk_windows",
     "p_hash_split",
+    "p_pack_bins",
     "d_exact_dedup",
+    "d_contamination",
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "t_text_stats",
