@@ -18,8 +18,10 @@ from .sampling import (
     hash_sample,
     hash_split,
     hash_topk_per_group,
+    pack_token_bins,
     stratified_hash_sample,
 )
+from .text_analysis import chunk_windows, redact_pii
 from .similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
@@ -40,7 +42,10 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "hash_topk_per_group",
+    "pack_token_bins",
     "stratified_hash_sample",
+    "chunk_windows",
+    "redact_pii",
     "exact_dedup",
     "minhash_lsh_candidates",
     "minhash_signatures",

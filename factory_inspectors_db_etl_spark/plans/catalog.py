@@ -349,6 +349,38 @@ FROM agg
 """
 
 
+def q_w11_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """W11: cohort retention — users grouped by first-activity day,
+    distinct active users per (cohort_day, activity_day).  Two
+    aggregations (first-touch per user, then the cohort matrix); day
+    boundaries via date_trunc on the NTZ timestamp, so the session
+    timezone cannot move users between cohorts."""
+    ev = load_table(spark, sf, "events")
+    # ISO date STRINGS, not date/timestamp values: date_trunc returns a
+    # timestamp in Spark but a DATE in DuckDB, and collected temporal
+    # representations are driver-config-dependent; strings hash
+    # identically everywhere (same lesson as f11_typed_date)
+    day = lambda c: F.date_format(F.date_trunc("DAY", c), "yyyy-MM-dd")  # noqa: E731
+    first_touch = ev.groupBy("user_id").agg(day(F.min("ts")).alias("cohort_day"))
+    return (
+        ev.join(first_touch, "user_id")
+        .groupBy("cohort_day", day(F.col("ts")).alias("activity_day"))
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+O_W11 = """
+WITH first_touch AS (
+  SELECT user_id, strftime(date_trunc('day', min(ts)), '%Y-%m-%d') AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day, strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS activity_day,
+       count(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN first_touch f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_a6b_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """A6b: unpivot (melt) — the inverse of A6.  The three lineitem
     charge components become (key, value) rows via the native unpivot
@@ -2069,6 +2101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w8_rank_suite": q_w8_rank_suite,
     "w9_range_frame": q_w9_range_frame,
     "w10_funnel": q_w10_funnel,
+    "w11_cohort_retention": q_w11_cohort_retention,
     "o5_topk": q_o5_topk,
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
@@ -2141,6 +2174,7 @@ ORACLES: dict[str, str] = {
     "w8_rank_suite": O_W8,
     "w9_range_frame": O_W9,
     "w10_funnel": O_W10,
+    "w11_cohort_retention": O_W11,
     "o5_topk": O_O5,
     "e1_union_dedup": O_E1,
     "e2_except": O_E2,
