@@ -5,6 +5,7 @@ from .ops import (  # noqa: F401
     stateful_running_stats,
     stream_events,
     stream_roster_rows,
+    stream_stream_view_purchase_join,
     streaming_dedup,
     tumbling_counts,
 )

@@ -170,6 +170,39 @@ def stateful_running_stats(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def stream_stream_view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "10 minutes",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's view events in the preceding ``horizon``.
+
+    State-bounding contract (what makes this survive unbounded streams):
+    BOTH sides carry watermarks, and the join condition bounds the
+    event-time distance, so the engine evicts buffered rows once the
+    watermark passes ``purchase_ts - horizon`` (views) /
+    ``view_ts + horizon`` (purchases).  Without the time-range predicate
+    the view buffer would grow forever."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "view_ts", "view_value")
+
+
 def stream_roster_rows(spark: SparkSession, dir_glob: str) -> DataFrame:
     """Incremental roster ingestion: file-stream whole HTML documents and
     push them through the batch ETL's reader UDTF — new yearly files are

@@ -286,3 +286,39 @@ def test_stream_json_enrichment_matches_batch(spark, tmp_path):
     got = {(r["event_id"], r["k"]) for r in spark.sql("select * from json_enrich").collect()}
     want = {(r["event_id"], r["k"]) for r in enrich(batch).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
+    """Watermarked stream-stream inner join (purchases x prior views
+    within 30 min) equals the batch join: with availableNow the data
+    co-arrives, so no state eviction can drop matches and the
+    time-range predicate is pure semantics."""
+    from factory_inspectors_db_etl_spark.streaming import stream_stream_view_purchase_join
+
+    views = events_stream.filter(F.col("event_type") == "view")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = run_available_now(
+        stream_stream_view_purchase_join(views, purchases), "t_ss_join"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = bp.join(
+        bv,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "view_ts", "view_value")
+
+    g = sorted((r[0], r[1], str(r[2]), r[3]) for r in got.collect())
+    w = sorted((r[0], r[1], str(r[2]), r[3]) for r in want.collect())
+    assert g == w and len(g) > 0
