@@ -129,11 +129,15 @@ def parsed_assignment_rows(
     # barriers here and in build_warehouse it is seconds).
     # localCheckpoint (not persist): it ALSO truncates the logical plan,
     # so every later withColumn/join doesn't re-analyze the whole upstream
-    # tree — eager analysis of the growing plan was costing ~75ms per
-    # withColumn and ~450ms per join of pure driver time (profiled; plan
-    # build dropped 13.2s -> ~3s).  On a multi-tenant cluster where
-    # executor loss must be survivable, swap for reliable checkpoint() or
-    # persist(MEMORY_AND_DISK_2); semantics are identical.
+    # tree — eager analysis of the growing plan cost ~75ms per withColumn
+    # and ~450ms per join of pure driver time (profiled).  Net effect:
+    # build_warehouse() now spends its time EXECUTING the two Python
+    # islands once (eager checkpoint), analysis overhead collapses, and
+    # the downstream table writes dropped from 13.6/5.0/2.5s to
+    # ~1.2/1.5/1.9s (full-corpus warehouse bench 45.6s -> ~15s).  On a
+    # multi-tenant cluster where executor loss must be survivable, swap
+    # for reliable checkpoint() or persist(MEMORY_AND_DISK_2); semantics
+    # are identical.
     rows = read_roster_rows(spark, paths).withColumn(
         "cell0_std", standardize_text(F.col("cell0_raw"))
     ).localCheckpoint()
