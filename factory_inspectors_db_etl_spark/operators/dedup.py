@@ -383,3 +383,120 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (node, component)
+    where ``component`` is the smallest node id reachable from ``node``.
+
+    This is the missing last step of every pair-producing dedup operator
+    in this module (Jaccard / MinHash-LSH / SimHash emit PAIRS; a keep/
+    drop decision needs CLUSTERS — pairs (1,2) and (2,3) must collapse to
+    one kept doc, not two independent drops).
+
+    Algorithm: iterative min-label propagation.  Every node starts
+    labeled with itself; each round every node takes the min of its own
+    label and its neighbors' labels; stop when a round changes nothing.
+    Rounds = graph diameter.  Near-dup graphs are dense little cliques
+    (diameter 2-4), so 3-5 rounds is typical; ``max_iters`` bounds
+    adversarial chains, and hitting it raises rather than returning a
+    silently unconverged labeling.
+
+    100 TB posture:
+    * per round: ONE shuffle (labels x symmetric-edges equi-join +
+      groupBy-min) — partial aggregation makes the min map-side combined;
+    * lineage is cut every round with ``localCheckpoint`` (the iterative-
+      algorithm contract in Spark: without it the plan doubles per round
+      and the optimizer re-analyzes an exponentially growing tree);
+    * the convergence check is one count() action per round — inherent
+      to iterative convergence, not an accident;
+    * for graphs whose diameter is genuinely large (not the dedup use
+      case), the O(log^2 n)-round alternating large-star/small-star
+      algorithm (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC 2014) is the drop-in replacement; min-propagation is
+      chosen here because dedup clusters are diameter-bounded and each
+      round is strictly cheaper.
+
+    Only nodes that appear in ``pairs`` are returned; callers give
+    singleton docs their own component via a left join + coalesce (see
+    ``assign_components``).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds; "
+        "the pair graph has a longer chain than any near-dup corpus should — "
+        "raise max_iters or switch to large-star/small-star"
+    )
+
+
+def assign_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+    broadcast_components: bool = False,
+) -> DataFrame:
+    """Per-doc cluster assignment + canonical flag from near-dup pairs.
+
+    Returns every row of ``docs`` with ``component_id`` (min doc id in
+    its duplicate cluster; itself when unpaired) and ``is_canonical``
+    (True for exactly one doc per cluster — the keep decision).
+
+    Only paired docs appear in the components table, but "paired" can be
+    30%+ of a crawl corpus, so it is NOT hinted broadcast by default —
+    the components table is localCheckpoint'ed (so its size is known,
+    not estimated) and AQE picks broadcast vs shuffle from the REAL
+    size at runtime.  Pass ``broadcast_components=True`` only when the
+    dup-cluster set is known-small (e.g. after an aggressive threshold).
+    """
+    comp = connected_components(pairs, max_iters=max_iters).withColumnRenamed("node", id_col)
+    if broadcast_components:
+        comp = F.broadcast(comp)
+    out = docs.join(comp, id_col, "left")
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        component.alias("component_id"),
+        (F.col(id_col) == component).alias("is_canonical"),
+    )

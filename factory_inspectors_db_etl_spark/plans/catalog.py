@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_fill
 from ..operators.dedup import (
     affine_params,
+    assign_components,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -1078,6 +1079,58 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+def q_d_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS -> per-doc keep/drop: the
+    last mile of dedup.  Jaccard pairs (same as ``d_ngram_jaccard``)
+    feed iterative min-label connected components
+    (``operators.dedup.connected_components``); every doc gets its
+    cluster's min doc_id as ``component_id`` and exactly one doc per
+    cluster is ``is_canonical``.  The oracle replays the closure with a
+    recursive CTE, so the clustering itself is value-checked."""
+    d = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return assign_components(d, pairs, "doc_id")
+
+
+# pair generation shared verbatim with O_D_JACCARD; the recursive CTE
+# computes min-reachable-id per node (terminates because UNION dedups)
+O_D_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+), comp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: portable md5-derived universal
     hash family -> per-doc signature minima -> banded equi-join.  The
@@ -2111,6 +2164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
     "d_ngram_jaccard": q_d_ngram_jaccard,
+    "d_dedup_clusters": q_d_dedup_clusters,
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
     "s2b_json_extract": q_s2b_json_extract,
@@ -2184,6 +2238,7 @@ ORACLES: dict[str, str] = {
     "s10_session_window": O_S10,
     "d_exact_dedup": O_D_EXACT,
     "d_ngram_jaccard": O_D_JACCARD,
+    "d_dedup_clusters": O_D_CLUSTERS,
     "d_minhash_lsh": O_D_MINHASH,
     "d_simhash": O_D_SIMHASH,
     "d_simhash_neardup": O_D_SIMHASH_NEARDUP,

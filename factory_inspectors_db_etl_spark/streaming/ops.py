@@ -54,24 +54,53 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+# same shape with a native timestamp ts, for testdata revisions that store
+# TIMESTAMP(MICROS) (which the Spark parquet reader handles directly)
+EVENTS_SCHEMA_TS = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.TimestampType()) for f in EVENTS_SCHEMA.fields]
+)
+
+
+def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
+    """Physical timestamp unit ('ns'/'us'/'ms') of ``column`` from the
+    parquet footer — one driver-side metadata read, no data scanned, so
+    it is as cheap at 100 TB as at 1 MB (readStream needs an explicit
+    schema, so the unit must be known before the stream is built)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return getattr(pq.read_schema(path).field(column).type, "unit", None)
+    except Exception:
+        return None
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream the events table with event-time ``ts``.
 
-    The parquet stores TIMESTAMP(NANOS); the stream reads nanos as long
-    and rebuilds a TIMESTAMP from epoch micros (``timestamp_micros`` —
-    tz-independent).  Watermarks reject TIMESTAMP_NTZ, so unlike the batch
+    The generator has shipped ``ts`` as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across testdata revisions, so the physical unit is
+    sniffed from the footer (mirroring the batch loader's dtype check in
+    ``sources/tables.py``).  NANOS: Spark's parquet reader rejects it, so
+    read nanos as long and rebuild a TIMESTAMP from epoch micros
+    (``timestamp_micros`` — tz-independent).  MICROS: read TimestampType
+    directly.  Watermarks reject TIMESTAMP_NTZ, so unlike the batch
     loader this column is tz-aware; with the engine's UTC session the two
     are value-identical."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source wants a directory; select just the events file via
     # a glob filter so sibling tables in the sf dir are not picked up
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    if _parquet_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes", watermark: str = "10 minutes") -> DataFrame:

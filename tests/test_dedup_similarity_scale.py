@@ -95,3 +95,24 @@ def test_ngram_default_cap_is_noop_below_cap(spark, sf_dir):
 
 def _pairs_j(df):
     return {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster assignment
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_island(spark):
+    from factory_inspectors_db_etl_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: exercises multi-round propagation) plus
+    # separate pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_max_iters_raises(spark):
+    from factory_insecptors_db_etl_spark.operators.dedup import connected_components  # noqa: F401
