@@ -408,13 +408,16 @@ def connected_components(
     silently unconverged labeling.
 
     100 TB posture:
-    * per round: ONE shuffle (labels x symmetric-edges equi-join +
-      groupBy-min) — partial aggregation makes the min map-side combined;
+    * per round: the neighbor-min propagation (labels x symmetric-edges
+      equi-join + map-side-combined groupBy-min) plus one left join back
+      onto the label table — no other joins;
+    * the convergence check is FOLDED INTO the label update: the same
+      select that computes the new label also emits a ``changed`` flag,
+      and convergence is a single sum() over the just-checkpointed
+      result — no extra labels-vs-labels self-join per round;
     * lineage is cut every round with ``localCheckpoint`` (the iterative-
       algorithm contract in Spark: without it the plan doubles per round
       and the optimizer re-analyzes an exponentially growing tree);
-    * the convergence check is one count() action per round — inherent
-      to iterative convergence, not an accident;
     * for graphs whose diameter is genuinely large (not the dedup use
       case), the O(log^2 n)-round alternating large-star/small-star
       algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -444,23 +447,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+        )
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
+                new_label.alias("label"),
+                # convergence flag computed IN the update (labels only ever
+                # decrease, so changed == strictly smaller) — no self-join
+                (new_label < F.col("label")).cast("long").alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(

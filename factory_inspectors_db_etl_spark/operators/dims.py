@@ -14,9 +14,10 @@ Spark-first, the whole pattern inverts into set operations:
 
 Scale notes: dims stay broadcastable (bounded key domains); the only
 shuffle is the dedup inside ``build_dim``, which is a partial-agg-friendly
-``dropDuplicates`` on the natural key.  The global ``row_number`` window for
-surrogate keys is a single-partition pass over the *deduplicated* dim (tiny),
-never over the fact table.
+``dropDuplicates`` on the natural key.  Surrogate minting is TWO-PHASE
+(per-head-key ``row_number`` + broadcast cumulative offsets over the tiny
+distinct-head set), so no non-tiny dim is ever funneled through a
+single-partition global window.
 """
 
 from __future__ import annotations
@@ -25,6 +26,43 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _mint_surrogate_ids(
+    dedup: DataFrame, nk: Sequence[str], id_col: str, start_id: int = 1
+) -> DataFrame:
+    """Mint dense ids identical to ``row_number() OVER (ORDER BY nk)``
+    without a global single-partition window.
+
+    Phase 1: ``row_number`` partitioned by the FIRST natural-key column
+    (parallel windows, one per head value).  Phase 2: cumulative offsets
+    computed over the distinct head-key set only (bounded — one row per
+    head value) and broadcast back.  Because the global sort order is
+    lexicographic with the head column first, per-head rank + offset of
+    all earlier heads equals the global rank exactly.  Same pattern as
+    ``catalog.q_w6_global_surrogate``; null head keys are handled with a
+    null-safe offset join and nulls-first ordering on both sides.
+    """
+    nk = list(nk)
+    head = nk[0]
+    order = [F.col(c).asc_nulls_first() for c in nk]
+    local = dedup.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(head).orderBy(*order))
+    )
+    counts = dedup.groupBy(head).agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy(F.col(head).asc_nulls_first()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counts.withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+        .withColumnRenamed(head, "_head")
+        .select("_head", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), local[head].eqNullSafe(F.col("_head")))
+        .withColumn(id_col, (F.col("_rn") + F.col("_off") + F.lit(start_id - 1)).cast("int"))
+        .drop("_rn", "_off", "_head")
+    )
 
 
 def build_dim(
@@ -44,8 +82,7 @@ def build_dim(
     nk = list(natural_key)
     aggs = [F.first(c, ignorenulls=True).alias(c) for c in extra_cols]
     dedup = df.groupBy(*nk).agg(*aggs) if aggs else df.select(*nk).dropDuplicates(nk)
-    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in nk])
-    return dedup.withColumn(id_col, (F.row_number().over(w) + F.lit(start_id - 1)).cast("int"))
+    return _mint_surrogate_ids(dedup, nk, id_col, start_id)
 
 
 def build_dim_incremental(
@@ -69,12 +106,11 @@ def build_dim_incremental(
         existing.select(*nk), on=nk, how="left_anti"
     )
     base = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
-    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in nk])
     minted = (
-        novel.withColumn("_rn", F.row_number().over(w))
+        _mint_surrogate_ids(novel, nk, "_relid")
         .crossJoin(F.broadcast(base))
-        .withColumn(id_col, (F.col("_rn") + F.col("m")).cast("int"))
-        .drop("_rn", "m")
+        .withColumn(id_col, (F.col("_relid") + F.col("m")).cast("int"))
+        .drop("_relid", "m")
     )
     return existing.unionByName(minted.select(*existing.columns))
 

@@ -506,11 +506,11 @@ def q_a6_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 O_A6 = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
 """
 
@@ -1250,7 +1250,7 @@ def q_s2b_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 O_S2B_JSON = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / count(*) AS k_avg
 FROM events GROUP BY event_type
 """
@@ -2119,7 +2119,41 @@ GROUP BY r_name, n_name
 # Registry
 # ---------------------------------------------------------------------------
 
+# Ordering contract: the external driver verifies the FIRST 50 keys of this
+# dict per round.  Round 2 checked the 50 §2-core keys; round 3 leads with
+# the 22 queries that had no round-2 driver row (LLM-pipeline tail) plus the
+# two round-2 hash-FAILs (a6_pivot, s2b_json_extract — oracle-typing fixes
+# that need a fresh driver row), so that across r2+r3 every registered query
+# has a driver CORRECTNESS entry.  Do NOT park the greenest queries up
+# front — rotate previously-unchecked ones in each round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-3 rotation: never-driver-checked in r2 ---
+    "t_pii_redact": q_t_pii_redact,
+    "p_hash_split": q_p_hash_split,
+    "p_stratified_sample": q_p_stratified_sample,
+    "p_group_sample": q_p_group_sample,
+    "p_pack_bins": q_p_pack_bins,
+    "t_text_stats": q_t_text_stats,
+    "t_language_guess": q_t_language_guess,
+    "t_quality_score": q_t_quality_score,
+    "t_token_count_bpe": q_t_token_count_bpe,
+    "t_char_fingerprint": q_t_char_fingerprint,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "d_embedding_neardup": q_d_embedding_neardup,
+    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
+    "d_simhash_neardup": q_d_simhash_neardup,
+    "d_contamination": q_d_contamination,
+    "m_multimodal_meta": q_m_multimodal_meta,
+    "m_multimodal_decode": q_m_multimodal_decode,
+    "m_frame_sample": q_m_frame_sample,
+    "f1_standardize": q_f1_standardize,
+    "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
+    # --- round-2 hash-FAILs, oracles fixed (CAST ... AS BIGINT) ---
+    "a6_pivot": q_a6_pivot,
+    "s2b_json_extract": q_s2b_json_extract,
+    # --- already-green §2 core fills the rest of the 50-slot window ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
     "f2_clean_number": q_f2_clean_number,
@@ -2132,7 +2166,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
-    "a6_pivot": q_a6_pivot,
     "a7_collect_set": q_a7_collect_set,
     "a6b_unpivot": q_a6b_unpivot,
     "a5_approx_sketches": q_a5_approx_sketches,
@@ -2167,31 +2200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_clusters": q_d_dedup_clusters,
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
-    "s2b_json_extract": q_s2b_json_extract,
     "t_tfidf_topk": q_t_tfidf_topk,
     "t_chunk_windows": q_t_chunk_windows,
-    "t_pii_redact": q_t_pii_redact,
-    "p_hash_split": q_p_hash_split,
-    "p_stratified_sample": q_p_stratified_sample,
-    "p_group_sample": q_p_group_sample,
-    "p_pack_bins": q_p_pack_bins,
-    "t_text_stats": q_t_text_stats,
-    "t_language_guess": q_t_language_guess,
-    "t_quality_score": q_t_quality_score,
-    "sim_cosine_topk": q_sim_cosine_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "d_embedding_neardup": q_d_embedding_neardup,
-    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
-    "t_token_count_bpe": q_t_token_count_bpe,
-    "t_char_fingerprint": q_t_char_fingerprint,
-    "m_multimodal_meta": q_m_multimodal_meta,
-    "m_multimodal_decode": q_m_multimodal_decode,
-    "m_frame_sample": q_m_frame_sample,
-    "d_simhash_neardup": q_d_simhash_neardup,
-    "d_contamination": q_d_contamination,
-    "f1_standardize": q_f1_standardize,
-    "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
 }
 
 ORACLES: dict[str, str] = {

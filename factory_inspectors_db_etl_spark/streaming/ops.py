@@ -61,17 +61,16 @@ EVENTS_SCHEMA_TS = T.StructType(
 )
 
 
-def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
-    """Physical timestamp unit ('ns'/'us'/'ms') of ``column`` from the
-    parquet footer — one driver-side metadata read, no data scanned, so
-    it is as cheap at 100 TB as at 1 MB (readStream needs an explicit
-    schema, so the unit must be known before the stream is built)."""
-    try:
-        import pyarrow.parquet as pq
-
-        return getattr(pq.read_schema(path).field(column).type, "unit", None)
-    except Exception:
-        return None
+def _events_ts_is_nanos(spark: SparkSession, path: str, column: str = "ts") -> bool:
+    """Pyarrow-free physical-unit sniff, mirroring the batch loader
+    (``sources/tables.py``): under ``nanosAsLong`` a TIMESTAMP(NANOS)
+    column surfaces as ``bigint`` in the batch-read schema.  One
+    driver-side footer read, no data scanned — as cheap at 100 TB as at
+    1 MB (readStream needs an explicit schema, so the unit must be known
+    before the stream is built).  An unreadable footer raises loudly here
+    instead of silently mis-routing to the MICROS branch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return dict(spark.read.parquet(path).dtypes).get(column) == "bigint"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,8 +87,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     are value-identical."""
     # the file source wants a directory; select just the events file via
     # a glob filter so sibling tables in the sf dir are not picked up
-    if _parquet_ts_unit(f"{sf_dir}/events.parquet") == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if _events_ts_is_nanos(spark, f"{sf_dir}/events.parquet"):
         raw = (
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("pathGlobFilter", "events.parquet")

@@ -52,6 +52,55 @@ def norm_cell(x):
     return str(x)
 
 
+# DuckDB types that round-trip cleanly through the driver's pandas
+# canonicalizer.  HUGEINT (what sum(int) returns by default) and DECIMAL
+# do NOT — pandas renders them as float64/object and the value hash
+# diverges from Spark's bigint/double even when the values are identical.
+# Every oracle must CAST aggregates into one of these.
+PORTABLE_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "TIMESTAMP_NS",
+    "TIMESTAMP WITH TIME ZONE",
+}
+
+
+def oracle_rows_via_pandas(ores):
+    """Fetch oracle results the way the REAL driver does — through pandas
+    (`.df()`), not `fetchall()` — so dtype artifacts (HUGEINT -> float64,
+    DECIMAL -> object) surface here instead of only in CORRECTNESS_r{N}.
+
+    One deliberate reconciliation: an INT-family column containing NULLs
+    is upcast by pandas to float64 ("2.0"); the real driver's r2 results
+    prove it treats that as equal to Spark's int ("2"), so such columns
+    are restored to nullable Int64 before hashing.  HUGEINT/DECIMAL are
+    NOT reconciled — they fail the PORTABLE_ORACLE_TYPES gate instead,
+    which is exactly the class of bug the r2 driver flagged."""
+    import numpy as np
+    import pandas as pd
+
+    int_family = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"}
+    otypes = [str(t) for t in ores.types]
+    cols = list(ores.columns)
+    pdf = ores.df()
+    for c, t in zip(cols, otypes):
+        if t in int_family and str(pdf[c].dtype) == "float64":
+            pdf[c] = pdf[c].astype("Int64")
+
+    def _cell(x):
+        if isinstance(x, (list, tuple, np.ndarray, dict)):
+            return x
+        try:
+            if pd.isna(x):
+                return None
+        except (TypeError, ValueError):
+            pass
+        return x
+
+    rows = [tuple(_cell(x) for x in r) for r in pdf.itertuples(index=False, name=None)]
+    return rows, list(pdf.columns)
+
+
 def unhashable_cols(rows, cols):
     """The real driver canonicalizes results through pandas sort_values,
     which factorizes object columns — a list/dict/array cell raises
@@ -100,8 +149,20 @@ for name, fn in mod.queries().items():
             results[name] = {"status": "rows-only", "rows": len(srows), "sec": round(time.time() - t0, 2)}
             continue
         ores = con.sql(oracles[name])
-        orows = ores.fetchall()
-        ocols = [d[0] for d in ores.description]
+        otypes = [str(t) for t in ores.types]
+        nonportable = [
+            f"{c}:{t}" for c, t in zip(ores.columns, otypes)
+            if t.split("(")[0].strip() not in PORTABLE_ORACLE_TYPES
+        ]
+        orows, ocols = oracle_rows_via_pandas(ores)
+        if nonportable:
+            results[name] = {
+                "status": "ORACLE_TYPE",
+                "rows": len(srows),
+                "nonportable": nonportable,
+                "sec": round(time.time() - t0, 2),
+            }
+            continue
         # normalize python datetimes both sides via str()
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)

@@ -115,4 +115,24 @@ def test_connected_components_chain_and_island(spark):
 
 
 def test_connected_components_max_iters_raises(spark):
-    from factory_insecptors_db_etl_spark.operators.dedup import connected_components  # noqa: F401
+    from factory_inspectors_db_etl_spark.operators.dedup import connected_components
+
+    # a 30-node chain needs ~29 min-propagation rounds to converge; with
+    # max_iters=2 the operator must raise rather than return a silently
+    # unconverged labeling
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+
+
+def test_connected_components_converges_with_headroom(spark):
+    from factory_inspectors_db_etl_spark.operators.dedup import connected_components
+
+    # same chain with enough rounds: one component labeled by the min node
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(11)}
