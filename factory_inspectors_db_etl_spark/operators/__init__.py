@@ -10,7 +10,7 @@ from .dedup import (
     simhash,
     simhash_near_duplicates,
 )
-from .dims import build_dim, build_dim_incremental, null_safe_join, resolve_fk
+from .dims import build_dim, build_dim_incremental, mint_surrogate_ids, null_safe_join, resolve_fk
 from .fill import forward_fill, forward_fill_expr
 from .multimodal import decode_and_featurize, payload_metadata, sample_frames, with_payload
 from .sampling import (
@@ -54,6 +54,7 @@ __all__ = [
     "simhash_near_duplicates",
     "build_dim",
     "build_dim_incremental",
+    "mint_surrogate_ids",
     "null_safe_join",
     "resolve_fk",
     "forward_fill",

@@ -28,40 +28,56 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _mint_surrogate_ids(
-    dedup: DataFrame, nk: Sequence[str], id_col: str, start_id: int = 1
+def mint_surrogate_ids(
+    dedup: DataFrame,
+    nk: Sequence[str],
+    id_col: str,
+    start_id: int = 1,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Mint dense ids identical to ``row_number() OVER (ORDER BY nk)``
-    without a global single-partition window.
+    with NO global window anywhere in the plan.
 
-    Phase 1: ``row_number`` partitioned by the FIRST natural-key column
-    (parallel windows, one per head value).  Phase 2: cumulative offsets
-    computed over the distinct head-key set only (bounded — one row per
-    head value) and broadcast back.  Because the global sort order is
-    lexicographic with the head column first, per-head rank + offset of
-    all earlier heads equals the global rank exactly.  Same pattern as
-    ``catalog.q_w6_global_surrogate``; null head keys are handled with a
-    null-safe offset join and nulls-first ordering on both sides.
+    Phase 1: ``row_number`` partitioned by an order-preserving bucket
+    (default: the first natural-key column) — parallel windows, one per
+    bucket value.  Phase 2: each bucket's offset = total rows in all
+    strictly-earlier buckets, computed as a broadcast inequality
+    self-join over the per-bucket COUNTS (B buckets -> B^2 comparisons
+    on a B-row table — trivial) and broadcast back.  Because the global
+    sort order compares the bucket first, per-bucket rank + earlier-
+    bucket totals equals the global rank exactly.  Unlike a cumsum
+    window over the counts, the join form never funnels anything through
+    a single partition, so the plan is warning-free and shape-stable at
+    any scale.
+
+    ``bucket`` must be ORDER-PRESERVING w.r.t. ``nk[0]`` (sorting by
+    (bucket, nk) must equal sorting by nk).  Pass one when ``nk[0]`` has
+    unbounded cardinality — e.g. ``F.substring(name, 1, 1)`` for a string
+    key (a string sorts after every string with a smaller first char), or
+    a year/file column — so B stays bounded while phase 1 still
+    parallelizes.  Nulls: bucket NULL groups sort first on both sides
+    (``asc_nulls_first`` + the explicit null branch in the join
+    condition), matching ``ORDER BY nk ASC NULLS FIRST``.
     """
     nk = list(nk)
-    head = nk[0]
     order = [F.col(c).asc_nulls_first() for c in nk]
-    local = dedup.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy(head).orderBy(*order))
+    b = bucket if bucket is not None else F.col(nk[0])
+    local = dedup.withColumn("_b", b).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_b").orderBy(*order))
     )
-    counts = dedup.groupBy(head).agg(F.count(F.lit(1)).alias("_n"))
-    off_w = Window.orderBy(F.col(head).asc_nulls_first()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    counts = local.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    cb = counts.select(F.col("_b").alias("_b2"), F.col("_n").alias("_n2"))
+    earlier = (F.col("_b2").isNull() & F.col("_b").isNotNull()) | (F.col("_b2") < F.col("_b"))
     offsets = (
-        counts.withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
-        .withColumnRenamed(head, "_head")
-        .select("_head", "_off")
+        counts.join(F.broadcast(cb), earlier, "left")
+        .groupBy("_b")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
+        .select(F.col("_b").alias("_b3"), "_off")
     )
     return (
-        local.join(F.broadcast(offsets), local[head].eqNullSafe(F.col("_head")))
+        local.join(F.broadcast(offsets), local["_b"].eqNullSafe(F.col("_b3")))
         .withColumn(id_col, (F.col("_rn") + F.col("_off") + F.lit(start_id - 1)).cast("int"))
-        .drop("_rn", "_off", "_head")
+        .drop("_b", "_b3", "_rn", "_off")
     )
 
 
@@ -71,18 +87,21 @@ def build_dim(
     id_col: str,
     extra_cols: Sequence[str] = (),
     start_id: int = 1,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Deduplicate ``natural_key`` and mint dense surrogate ids.
 
     Surrogate ids are ordered by the natural key so they are deterministic
     across runs/partitionings (documented divergence from the reference's
     insertion-order SERIAL ids — equivalence is on natural keys, SURVEY.md §7).
-    ``extra_cols`` are carried with ``first()`` per key.
+    ``extra_cols`` are carried with ``first()`` per key.  ``bucket`` is the
+    optional order-preserving phase-1 partition key for high-cardinality
+    natural keys (see ``mint_surrogate_ids``).
     """
     nk = list(natural_key)
     aggs = [F.first(c, ignorenulls=True).alias(c) for c in extra_cols]
     dedup = df.groupBy(*nk).agg(*aggs) if aggs else df.select(*nk).dropDuplicates(nk)
-    return _mint_surrogate_ids(dedup, nk, id_col, start_id)
+    return mint_surrogate_ids(dedup, nk, id_col, start_id, bucket=bucket)
 
 
 def build_dim_incremental(
@@ -107,7 +126,7 @@ def build_dim_incremental(
     )
     base = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
     minted = (
-        _mint_surrogate_ids(novel, nk, "_relid")
+        mint_surrogate_ids(novel, nk, "_relid")
         .crossJoin(F.broadcast(base))
         .withColumn(id_col, (F.col("_relid") + F.col("m")).cast("int"))
         .drop("_relid", "m")

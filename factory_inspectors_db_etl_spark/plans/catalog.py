@@ -817,14 +817,18 @@ def q_w6_global_surrogate(spark: SparkSession, sf: str) -> DataFrame:
     local = d.withColumn(
         "_rn", F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
     )
+    # offsets = totals of all strictly-earlier sources, via a broadcast
+    # inequality self-join over the tiny per-source counts — a cumsum
+    # window over the counts would itself be an unpartitioned WindowExec
+    # (single-partition funnel, warning at any size); the join form has
+    # no global window anywhere in the plan
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
-    offsets = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_n").over(W.orderBy("source").rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select("source", "_off")
+    cb = counts.select(F.col("source").alias("_s2"), F.col("_n").alias("_n2"))
+    offsets = (
+        counts.join(F.broadcast(cb), F.col("_s2") < F.col("source"), "left")
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
+    )
     return (
         local.join(F.broadcast(offsets), "source")
         .select("doc_id", "source", (F.col("_rn") + F.col("_off")).cast("int").alias("row_id"))

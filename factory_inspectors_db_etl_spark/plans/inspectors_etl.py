@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.dictionaries import KNOWN_EDUCATIONS, KNOWN_PROFESSIONS, KNOWN_RANKS, ROLE_MAP_STD
 from ..functions.personnel_parser import parse_personnel_udf
 from ..functions.text import canonicalize_person_name, clean_number, standardize_text
-from ..operators.dims import build_dim
+from ..operators.dims import build_dim, mint_surrogate_ids
 from ..operators.fill import forward_fill_expr
 from ..sources.html_table import read_roster_rows
 
@@ -407,12 +407,16 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
     a, rejects = parsed_assignment_rows(spark, paths, return_rejects=True)
     a = a.localCheckpoint()
 
+    # bucket = first letter of the name: order-preserving (a string sorts
+    # after every string with a smaller first char), so phase-1 windows
+    # parallelize over ~30 letter groups instead of one per distinct name
     inspectors = build_dim(
         a.filter(F.col("inspector_key").isNotNull()).select(
             F.col("inspector_key").alias("full_name")
         ),
         ["full_name"],
         "inspector_id",
+        bucket=F.substring(F.col("full_name"), 1, 1),
     ).withColumn("notes", F.lit(None).cast("string"))
 
     locations = (
@@ -420,12 +424,9 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
         .agg(F.min_by("city_std", "global_order").alias("city_name"))
         .withColumn("location_type", F.lit("Город"))
     )
-    loc_w = W.orderBy(
-        F.col("city_key").asc_nulls_first(),
-        F.col("gubernia_std").asc_nulls_first(),
-        F.col("okrug_std").asc_nulls_first(),
-    )
-    locations = locations.withColumn("location_id", F.row_number().over(loc_w).cast("int")).select(
+    locations = mint_surrogate_ids(
+        locations, ["city_key", "gubernia_std", "okrug_std"], "location_id"
+    ).select(
         "location_id", "city_name", "city_key",
         F.col("gubernia_std").alias("gubernia_name"),
         F.col("okrug_std").alias("okrug_name"),
@@ -492,17 +493,17 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
         "_rn",
         F.row_number().over(W.partitionBy("source_file").orderBy("global_order")),
     )
+    # offsets = rows in all earlier-year files, via a broadcast inequality
+    # self-join over the 13-row per-file counts (no cumsum window — see
+    # operators.dims.mint_surrogate_ids for the pattern rationale)
+    counts = fact.groupBy("source_file").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("year").alias("_yr")
+    )
+    cb = counts.select(F.col("_yr").alias("_yr2"), F.col("_n").alias("_n2"))
     offsets = (
-        fact.groupBy("source_file")
-        .agg(F.count(F.lit(1)).alias("_n"), F.min("year").alias("_yr"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(W.orderBy("_yr").rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0),
-            ),
-        )
-        .select("source_file", "_off")
+        counts.join(F.broadcast(cb), F.col("_yr2") < F.col("_yr"), "left")
+        .groupBy("source_file")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
     )
     fact = local.join(F.broadcast(offsets), "source_file").withColumn(
         "assignment_id", (F.col("_rn") + F.col("_off")).cast("long")
@@ -546,7 +547,22 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
 
 def write_warehouse(tables: dict[str, DataFrame], out_dir: str) -> None:
     """S4/S5 sink: parquet star schema, fact partitioned by year (the
-    reference's year index -> partition pruning)."""
+    reference's year index -> partition pruning).
+
+    DOCUMENTED SUBSTITUTION (S5): the reference's sink is a PostgreSQL
+    row-at-a-time parameterized INSERT with a per-file commit
+    (populate_db_ru_v1.py:765-769).  The Spark-native batch equivalent
+    is ``df.write.jdbc(url, table, mode="append", properties=...)`` —
+    each task opens one connection and batch-inserts its partition
+    (``batchsize`` option), which is the same append-with-txn-batching
+    semantics at executor parallelism.  This repo standardizes on
+    parquet / ``saveAsTable`` instead because (a) no JDBC database
+    exists in the test environment, and (b) at the 100 TB design point a
+    relational sink is the bottleneck — the warehouse IS the engine's
+    storage.  The JDBC form is sketched (and its call shape pinned) in
+    tests/test_inspectors_analytics.py::test_jdbc_sink_call_shape, kept
+    skip-marked until a reachable JDBC endpoint exists.
+    """
     for name, df in tables.items():
         writer = df.write.mode("overwrite")
         if name == "assignments":

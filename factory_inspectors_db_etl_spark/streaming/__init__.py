@@ -3,6 +3,7 @@ from .ops import (  # noqa: F401
     session_counts,
     sliding_counts,
     stateful_running_stats,
+    stateful_running_stats_tws,
     stream_events,
     stream_roster_rows,
     stream_stream_view_purchase_join,

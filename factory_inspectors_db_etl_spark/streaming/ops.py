@@ -12,7 +12,9 @@ pattern IS Spark's file streaming source, so the module provides:
 * ``streaming_dedup`` — ``dropDuplicatesWithinWatermark`` keyed on
   event_id (at-least-once source -> effectively-once downstream);
 * ``stateful_running_stats`` — ``applyInPandasWithState`` per-user
-  running aggregate (the custom-stateful-operator shape);
+  running aggregate (the custom-stateful-operator shape), plus the
+  ``transformWithStateInPandas`` form (``stateful_running_stats_tws``,
+  RocksDB-backed state, pyspark >= 4.0);
 * ``stream_roster_rows`` — incremental ingestion of new yearly roster
   HTML files through the SAME reader UDTF the batch ETL uses (one code
   path for batch and streaming, the Spark ideal).
@@ -193,6 +195,64 @@ def stateful_running_stats(events: DataFrame, watermark: str = "10 minutes") -> 
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stateful_running_stats_tws(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Same per-user running (count, sum, max) via the newer
+    ``transformWithStateInPandas`` API (SURVEY §2.9 names both stateful
+    APIs; ``stateful_running_stats`` above is the ``applyInPandasWithState``
+    form).  The two must agree row-for-row — pinned by
+    tests/test_streaming.py.
+
+    Differences that matter at scale: transformWithState keeps state in
+    the RocksDB state store (required by the API — callers must set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``RocksDBStateStoreProvider``), which spills to disk instead of
+    holding all user state on-heap, and supports per-key timers/TTL for
+    state expiry — the right substrate when key cardinality x state size
+    outgrows executor memory.  Requires pyspark >= 4.0 AND the
+    ``protobuf`` package (the Python<->JVM state-server protocol is
+    protobuf-based; the streaming runner crashes at init without it).
+    Callers on older/leaner runtimes fall back to
+    ``stateful_running_stats`` — same semantics, on-heap state."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            (user_id,) = key
+            if self._stats.exists():
+                n, total, vmax = self._stats.get()
+            else:
+                n, total, vmax = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    vmax = max(vmax, float(pdf["value"].max()))
+            self._stats.update((n, total, vmax))
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "total_value": total, "max_value": vmax}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=_RUNNING_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )
 

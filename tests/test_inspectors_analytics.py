@@ -138,3 +138,26 @@ def test_warehouse_catalog_bootstrap(spark, warehouse, tmp_path):
     # overwrite bootstrap is idempotent (the reference's DROP+CREATE)
     bootstrap_warehouse_catalog(spark, warehouse, database="wh_test", location=str(tmp_path / "db"))
     assert spark.sql("SELECT count(*) AS n FROM wh_test.assignments").collect()[0]["n"] == 4127
+
+
+@pytest.mark.skip(
+    reason="S5 documented substitution: the reference's PostgreSQL INSERT "
+    "(populate_db_ru_v1.py:765-769) maps to df.write.jdbc; no JDBC endpoint "
+    "exists in this environment, so the call shape is pinned but not executed"
+)
+def test_jdbc_sink_call_shape(spark, warehouse):
+    """Sketch of the reference-parity relational sink: batch append of the
+    fact table over JDBC.  Each task opens one connection and inserts its
+    partition in ``batchsize``-row transactions — the reference's
+    per-file-commit semantics at executor parallelism."""
+    (
+        warehouse["assignments"]
+        .write.mode("append")
+        .option("batchsize", 10_000)  # rows per INSERT batch per task
+        .option("isolationLevel", "READ_COMMITTED")
+        .jdbc(
+            url="jdbc:postgresql://localhost:5432/factory_inspections",
+            table="Assignments",
+            properties={"user": "postgres", "driver": "org.postgresql.Driver"},
+        )
+    )

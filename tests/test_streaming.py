@@ -118,6 +118,68 @@ def test_stateful_running_stats(spark, sf_dir, events_stream):
     )
 
 
+def test_stateful_running_stats_tws_agrees_with_apply_and_batch(spark, sf_dir, events_stream):
+    """SURVEY §2.9 names BOTH stateful APIs; the transformWithStateInPandas
+    form must produce the same final per-user state as the
+    applyInPandasWithState form and the batch aggregate."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("transformWithStateInPandas requires pyspark >= 4.0")
+    # the transformWithState state-server protocol is protobuf-based; the
+    # worker crashes at init without it (STREAMING_PYTHON_RUNNER_
+    # INITIALIZATION_FAILURE).  Gate, don't install (environment contract).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires google.protobuf at runtime")
+
+    from factory_inspectors_db_etl_spark.streaming import stateful_running_stats_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_available_now(
+            stateful_running_stats_tws(stream_events(spark, sf_dir)),
+            "t_state_tws",
+            output_mode="update",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    from pyspark.sql import Window
+
+    latest = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.col("n_events").desc())),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("total_value"),
+    )
+    assert _rows(latest, "user_id", "n_events", "max_value") == _rows(
+        want, "user_id", "n_events", "max_value"
+    )
+    # float totals accumulate in batch-arrival order; compare with tolerance
+    got_tot = {r["user_id"]: r["total_value"] for r in latest.collect()}
+    want_tot = {r["user_id"]: r["total_value"] for r in want.collect()}
+    assert set(got_tot) == set(want_tot)
+    assert all(abs(got_tot[u] - want_tot[u]) < 1e-6 for u in got_tot)
+
+
 def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     """Real late-data semantics, asserting only what the engine
     guarantees.  Spark's late-record filter uses the watermark that was
