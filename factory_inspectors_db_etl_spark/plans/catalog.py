@@ -382,6 +382,92 @@ GROUP BY 1, 2
 """
 
 
+def q_w12_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """W12: EXACT per-group quartiles (linear interpolation) — the
+    non-sketch complement of a5's GK quantiles.  One hash aggregation
+    (Spark's percentile is a true aggregate, not a window): at scale the
+    per-group state is the value multiset, so this is for bounded-
+    cardinality value domains / moderate groups; unbounded domains go
+    through a5's mergeable sketches instead.
+
+    Cross-engine determinism: percentiles are computed in integer-CENT
+    space.  Interpolating integers at the dyadic fractions .25/.5/.75 is
+    exact in binary floating point under EITHER interpolation formula
+    (a+(b-a)f or (1-f)a+fb), so both engines produce the identical cent
+    value; the final /100 is then the same double on both sides.
+    Rounding the dollar value instead is a knife-edge: a true quantile of
+    x.xx5 dollars rounds differently per engine ulp."""
+    li = load_table(spark, sf, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("long").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(cents, F.lit(0.25)) / 100).alias("p25"),
+        (F.percentile(cents, F.lit(0.5)) / 100).alias("p50"),
+        (F.percentile(cents, F.lit(0.75)) / 100).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+O_W12 = """
+SELECT l_returnflag,
+       quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DOUBLE), 0.25) / 100 AS p25,
+       quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DOUBLE), 0.5) / 100 AS p50,
+       quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DOUBLE), 0.75) / 100 AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_w13_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """W13: batch sessionization (gaps-and-islands) — the batch twin of
+    the streaming session_window (s10): a new session starts when the
+    gap to the user's previous event exceeds 30 minutes; sessions are
+    numbered per user by a cumulative sum over the new-session flags.
+    ONE shuffle on user_id serves both windows AND the final aggregate
+    (same partitioning); gap arithmetic is NTZ-interval-based so the
+    session timezone cannot move boundaries; boundary timestamps are
+    emitted as ISO strings (same cross-engine lesson as w11)."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")
+    new_s = F.when(gap_break | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    return (
+        ev.withColumn("_new", new_s)
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            fmt(F.min("ts")).alias("session_start"),
+            fmt(F.max("ts")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+O_W13 = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def q_a6b_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """A6b: unpivot (melt) — the inverse of A6.  The three lineitem
     charge components become (key, value) rows via the native unpivot
@@ -465,6 +551,34 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_a3c_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """A3c: explicit GROUPING SETS — the general form rollup/cube are
+    sugar for: exactly the requested combinations ((status, priority),
+    (status), ()), still ONE pass / one shuffle (Spark expands the sets
+    map-side, partial-aggregates each).  ``grouping_id`` disambiguates
+    which set a row came from (NULL data values vs NULL-because-rolled-up)."""
+    o = load_table(spark, sf, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+O_A3C = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
@@ -2157,6 +2271,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-2 hash-FAILs, oracles fixed (CAST ... AS BIGINT) ---
     "a6_pivot": q_a6_pivot,
     "s2b_json_extract": q_s2b_json_extract,
+    # --- NEW in round 3 (must sit inside the 50-slot window to get a
+    #     driver row this round; the r2-green core they displace keeps
+    #     its r2 CORRECTNESS rows, so combined coverage stays total) ---
+    "a3c_grouping_sets": q_a3c_grouping_sets,
+    "w12_exact_percentiles": q_w12_exact_percentiles,
+    "w13_sessionize": q_w13_sessionize,
     # --- already-green §2 core fills the rest of the 50-slot window ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
@@ -2221,6 +2341,9 @@ ORACLES: dict[str, str] = {
     "a2_skew_safe_distinct": O_A2_SKEW,
     "a3_rollup": O_A3,
     "a3b_cube": O_A3B,
+    "a3c_grouping_sets": O_A3C,
+    "w12_exact_percentiles": O_W12,
+    "w13_sessionize": O_W13,
     "a6_pivot": O_A6,
     "a7_collect_set": O_A7,
     "a6b_unpivot": O_A6B,

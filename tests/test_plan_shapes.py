@@ -171,3 +171,20 @@ def test_contamination_no_cartesian(spark, sf_dir):
     plan = _physical(QUERIES["d_contamination"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle_serves_windows_and_agg(spark, sf_dir):
+    # gaps-and-islands: lag window, cumsum window, and the session
+    # aggregate all reuse ONE hash partitioning on user_id
+    plan = _physical(QUERIES["w13_sessionize"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_grouping_sets_single_aggregation_pass(spark, sf_dir):
+    # explicit grouping sets expand map-side: one partial+final aggregate
+    # pair, one exchange, no union of per-set scans
+    plan = _physical(QUERIES["a3c_grouping_sets"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
