@@ -384,3 +384,61 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
     g = sorted((r[0], r[1], str(r[2]), r[3]) for r in got.collect())
     w = sorted((r[0], r[1], str(r[2]), r[3]) for r in want.collect())
     assert g == w and len(g) > 0
+
+
+def test_foreachbatch_incremental_dim_maintenance(spark, tmp_path):
+    """Streaming warehouse maintenance: each micro-batch upserts a user
+    dimension through build_dim_incremental inside foreachBatch — the
+    streaming form of the reference's get-or-create dim cache (J2).
+    Ids minted in batch 1 must survive batch 2 unchanged (the SERIAL
+    stability property), and the final dim must cover exactly the
+    distinct keys seen across both batches."""
+    import pandas as pd
+
+    from factory_inspectors_db_etl_spark.operators.dims import build_dim, build_dim_incremental
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    dim_path = str(tmp_path / "user_dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = "user_key string"
+
+    def upsert(batch_df, batch_id):  # noqa: ANN001
+        try:
+            existing = spark.read.parquet(dim_path)
+        except Exception:  # first batch: empty dim  # noqa: BLE001
+            existing = build_dim(batch_df.limit(0), ["user_key"], "user_id")
+        updated = build_dim_incremental(existing, batch_df, ["user_key"], "user_id")
+        # rewrite-on-upsert: fine for a dim (small by construction); a
+        # cluster deployment swaps this for MERGE INTO on a table format
+        updated.toPandas().to_parquet(f"{dim_path}/dim.parquet")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .format("csv")
+            .load(str(src))
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(dim_path)
+
+    import os
+    os.makedirs(dim_path, exist_ok=True)
+    (src / "b1.csv").write_text("alice\nbob\ncarol\nalice\n")
+    dim1 = run_once()
+    ids1 = {r["user_key"]: r["user_id"] for r in dim1.collect()}
+    assert set(ids1) == {"alice", "bob", "carol"}
+    assert sorted(ids1.values()) == [1, 2, 3]
+
+    (src / "b2.csv").write_text("bob\ndave\neve\n")
+    dim2 = run_once()
+    ids2 = {r["user_key"]: r["user_id"] for r in dim2.collect()}
+    # batch-1 ids unchanged; only unseen keys got new ids, after the max
+    assert all(ids2[k] == v for k, v in ids1.items())
+    assert set(ids2) == {"alice", "bob", "carol", "dave", "eve"}
+    assert sorted(ids2.values()) == [1, 2, 3, 4, 5]
