@@ -562,12 +562,26 @@ def write_warehouse(tables: dict[str, DataFrame], out_dir: str) -> None:
     storage.  The JDBC form is sketched (and its call shape pinned) in
     tests/test_inspectors_analytics.py::test_jdbc_sink_call_shape, kept
     skip-marked until a reachable JDBC endpoint exists.
+
+    The table writes are independent jobs over already-checkpointed
+    inputs, so they are submitted from a driver-side thread pool and run
+    concurrently under Spark's scheduler — this overlaps per-write
+    task-scheduling and commit latency (each write still parallelizes
+    across its own tasks; with one sequential write the cluster idles
+    between the small dim jobs).
     """
-    for name, df in tables.items():
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, DataFrame]) -> None:
+        name, df = item
         writer = df.write.mode("overwrite")
         if name == "assignments":
             writer = writer.partitionBy("year")
         writer.parquet(f"{out_dir}/{name}")
+
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        # list() drains the iterator so the first write error re-raises
+        list(pool.map(_write, tables.items()))
 
 
 def bootstrap_warehouse_catalog(
