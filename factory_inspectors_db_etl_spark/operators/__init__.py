@@ -2,6 +2,9 @@ from .asof import asof_fill, asof_join
 from .bucketing import bucketed_join, write_bucketed
 from .dedup import (
     affine_params,
+    assign_components,
+    connected_components,
+    connected_components_large_star,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -37,6 +40,9 @@ __all__ = [
     "bucketed_join",
     "write_bucketed",
     "affine_params",
+    "assign_components",
+    "connected_components",
+    "connected_components_large_star",
     "portable_hash60",
     "hash_bucket",
     "hash_sample",

@@ -468,7 +468,105 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds; "
         "the pair graph has a longer chain than any near-dup corpus should — "
-        "raise max_iters or switch to large-star/small-star"
+        "raise max_iters or switch to connected_components_large_star"
+    )
+
+
+def connected_components_large_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components via alternating Large-Star / Small-Star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the scale path for graphs whose DIAMETER is unbounded,
+    where ``connected_components``'s min-propagation (rounds = diameter)
+    would not terminate in reasonable rounds.  Converges in
+    O(log^2 n) rounds on ANY graph shape.
+
+    Per round (all hash shuffles on node ids, no global barrier beyond
+    the convergence count):
+
+    * Large-Star: every node u computes m = min({u} ∪ N(u)) over the
+      SYMMETRIC edge list and re-points its strictly-larger neighbors at
+      m: emit (v, m) for v ∈ N(u), v > u.
+    * Small-Star: edges canonicalized to (hi, lo); every hi computes
+      m = min({hi} ∪ smaller-neighbors) and connects itself and all its
+      smaller neighbors to m.
+
+    Both operations preserve connectivity and strictly shrink the
+    potential function; the fixed point is a set of stars whose centers
+    are the component minima.  Convergence is detected when a round
+    leaves the canonical edge set unchanged.
+
+    Returns (node, component) for every node appearing in ``pairs``,
+    identical to ``connected_components`` output.  Same
+    lineage-truncation contract (``localCheckpoint`` per round).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # node universe from the UNfiltered pairs so self-paired nodes get a
+    # (node, node) row, matching connected_components exactly
+    all_nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (u > v) after large-star's (larger -> m) emit
+        can = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = can.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+        joined = can.join(m, "u")
+        pointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            joined.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return (
+            pointed.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        old = edges
+        edges = new_edges
+        if changed == 0:
+            # fixed point: stars centered at component minima.  Every
+            # non-center node appears as u exactly once with v = center.
+            labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+            centers_and_singletons = all_nodes.join(
+                labels, all_nodes.node == labels.node, "left_anti"
+            ).select("node", F.col("node").alias("component"))
+            return labels.union(centers_and_singletons)
+    raise RuntimeError(
+        f"connected_components_large_star did not converge in {max_iters} "
+        "rounds; O(log^2 n) bounds make this unreachable for any graph that "
+        "fits in storage — check for non-deterministic node ids"
     )
 
 

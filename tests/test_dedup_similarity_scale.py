@@ -136,3 +136,34 @@ def test_connected_components_converges_with_headroom(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(11)}
+
+
+def test_large_star_agrees_with_min_propagation(spark):
+    from factory_inspectors_db_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_large_star,
+    )
+
+    # chain + clique + singleton-pair + self-pair: every structural case
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21), (30, 30)],
+        "id_a long, id_b long",
+    )
+    want = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    got = {r["node"]: r["component"] for r in connected_components_large_star(pairs).collect()}
+    assert got == want
+
+
+def test_large_star_converges_on_long_chain(spark):
+    from factory_inspectors_db_etl_spark.operators.dedup import (
+        connected_components_large_star,
+    )
+
+    # a 60-node chain: min-propagation needs ~59 rounds (raises at the
+    # default 25); large-star/small-star is O(log^2 n) and must converge
+    # comfortably inside 20 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components_large_star(pairs).collect()}
+    assert got == {i: 0 for i in range(61)}
