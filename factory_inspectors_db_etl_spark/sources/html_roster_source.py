@@ -1,0 +1,78 @@
+"""`html_roster` — a PySpark Python Data Source (Spark 4 DataSource API)
+wrapping the HTML roster reader, so the corpus reads as a first-class
+format:
+
+    spark.dataSource.register(HtmlRosterDataSource)
+    df = spark.read.format("html_roster").load("/data/diplom/fabric*.html")
+
+SURVEY.md §4 lists a DataSource implementation as the natural upgrade of
+the S2 `mapInPandas` reader ("nice-to-have; mapInPandas suffices").  Both
+paths share ONE parser body (`html_table._emit_file_rows`), so row
+semantics are pinned by the same golden tests; what the source adds:
+
+* **partition = file**: `partitions()` returns one `InputPartition` per
+  matched file, so scan parallelism equals corpus size with no
+  driver-side content reads (files open executor-side in `read()`), and
+  the per-file row order the downstream windows rely on (W1-W4) holds
+  within each partition by construction.
+* **catalog ergonomics**: the format string composes with
+  `spark.read.load`, schema is declared (never inferred), and readers
+  that only need a column subset still parse once per file (HTML is not
+  column-prunable — the docstring, not the plan, states that honestly).
+
+At 100 TB the same shape holds: the file listing is driver-side
+metadata; content I/O and parsing are fully distributed, one task per
+document file.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .html_table import READER_SCHEMA, _YEAR_RE, _emit_file_rows
+
+_FIELD_ORDER = [f.name for f in READER_SCHEMA.fields]
+
+
+class _RosterFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class HtmlRosterReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("html_roster requires a path, e.g. .load('/dir/fabric*.html')")
+        self._paths = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per FILE: scan parallelism = corpus size, and the
+        # document-order contract (row_idx within source_file) is local to
+        # a single task
+        return [_RosterFilePartition(p) for p in self._paths]
+
+    def read(self, partition: _RosterFilePartition) -> Iterator[tuple]:
+        base = partition.path.rsplit("/", 1)[-1]
+        m = _YEAR_RE.search(base)
+        if not m:
+            return  # same warn-and-skip as the reference's file loop (:507)
+        with open(partition.path, encoding="utf-8", errors="replace") as f:
+            content = f.read()
+        for row in _emit_file_rows(base, int(m.group(1)), content):
+            yield tuple(row[c] for c in _FIELD_ORDER)
+
+
+class HtmlRosterDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "html_roster"
+
+    def schema(self):
+        return READER_SCHEMA
+
+    def reader(self, schema) -> HtmlRosterReader:
+        return HtmlRosterReader(self.options)
