@@ -576,12 +576,20 @@ def assign_components(
     id_col: str = "doc_id",
     max_iters: int = 25,
     broadcast_components: bool = False,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Per-doc cluster assignment + canonical flag from near-dup pairs.
 
     Returns every row of ``docs`` with ``component_id`` (min doc id in
     its duplicate cluster; itself when unpaired) and ``is_canonical``
     (True for exactly one doc per cluster — the keep decision).
+
+    ``algorithm``: ``"min_label"`` (rounds = diameter; the right default
+    for near-dup cliques), ``"large_star"`` (O(log^2 n) rounds, any
+    diameter), or ``"auto"`` — min-label first, falling back to
+    large-star if the diameter bound is exceeded instead of raising.
+    Both algorithms produce identical (node, min-id) labelings, so the
+    fallback changes cost, never results.
 
     Only paired docs appear in the components table, but "paired" can be
     30%+ of a crawl corpus, so it is NOT hinted broadcast by default —
@@ -590,7 +598,18 @@ def assign_components(
     size at runtime.  Pass ``broadcast_components=True`` only when the
     dup-cluster set is known-small (e.g. after an aggressive threshold).
     """
-    comp = connected_components(pairs, max_iters=max_iters).withColumnRenamed("node", id_col)
+    if algorithm == "large_star":
+        comp = connected_components_large_star(pairs, max_iters=max_iters)
+    elif algorithm == "auto":
+        try:
+            comp = connected_components(pairs, max_iters=max_iters)
+        except RuntimeError:
+            comp = connected_components_large_star(pairs)
+    elif algorithm == "min_label":
+        comp = connected_components(pairs, max_iters=max_iters)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: min_label | large_star | auto")
+    comp = comp.withColumnRenamed("node", id_col)
     if broadcast_components:
         comp = F.broadcast(comp)
     out = docs.join(comp, id_col, "left")

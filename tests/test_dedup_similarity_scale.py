@@ -167,3 +167,16 @@ def test_large_star_converges_on_long_chain(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components_large_star(pairs).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def test_assign_components_auto_falls_back_on_long_chain(spark):
+    from factory_inspectors_db_etl_spark.operators.dedup import assign_components
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # 40-node chain: min-label would raise at max_iters=3; auto must fall
+    # back to large-star and produce the correct single cluster
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)], "id_a long, id_b long")
+    got = assign_components(docs, pairs, max_iters=3, algorithm="auto")
+    rows = {r["doc_id"]: (r["component_id"], r["is_canonical"]) for r in got.collect()}
+    assert all(c == 0 for c, _ in rows.values())
+    assert [d for d, (_, canon) in rows.items() if canon] == [0]
