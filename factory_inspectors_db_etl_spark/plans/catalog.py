@@ -1874,14 +1874,74 @@ def q_d_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_d_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-candidates + exact-rescore near-dup (the general-case scale
-    path).  Rows-only: recall at this LOW threshold (0.40) is ~94% by
-    the 1-(1-p^r)^b formula, so the candidate set is intentionally not
-    hash-compared against the exact oracle — at the operator's design
-    point (>=0.9 cosine) recall is ~1-5e-8."""
+    path).  Oracle-checked by REPLAY (upgraded from rows-only in r3):
+    the oracle regenerates the same seeded hyperplanes, the same 16x4
+    band buckets, the same candidate equi-join, and the same exact
+    rescore, so the driver hash-compares the full approximate pipeline
+    end to end (recall vs the exact operator is a separate, documented
+    property — tests/test_dedup_similarity_scale.py).  Determinism
+    margin measured: min |projection| ~1e-5 and min rounded-cosine
+    distance to a round-half edge ~3e-8 across all test SFs — 8+ orders
+    above cross-engine summation ulps."""
     from ..operators.similarity import embedding_neardup_pairs_lsh
 
     e = load_table(spark, sf, "embeddings")
     return embedding_neardup_pairs_lsh(e, dim=64, threshold=0.40)
+
+
+def _gen_emb_neardup_lsh_oracle(
+    dim: int = 64,
+    threshold: float = 0.40,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    seed: int = 42,
+) -> str:
+    """Replay oracle for q_d_embedding_neardup_lsh: same hyperplanes
+    (repr round-trips float64 exactly), same band-bucket construction
+    (bucket_b = sum_j (1<<j)*[plane(b*bits+j).v > 0]), same candidate
+    join, same normalize-then-dot rescore as O_D_EMB_NEARDUP."""
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, bands * bits_per_band, seed)
+
+    def band_expr(b: int) -> str:
+        return "\n       + ".join(
+            f"CASE WHEN list_inner_product(v, [{', '.join(repr(float(x)) for x in planes[b * bits_per_band + j])}]) > 0"
+            f" THEN {1 << j} ELSE 0 END"
+            for j in range(bits_per_band)
+        )
+
+    bucket_list = ",\n      ".join(f"({band_expr(b)})" for b in range(bands))
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (
+  SELECT vec_id,
+      [{bucket_list}] AS bks
+  FROM e
+),
+buckets AS (
+  SELECT vec_id, band, bks[band + 1] AS bucket
+  FROM bk, UNNEST([{band_ids}]) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+u AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+  FROM e
+)
+SELECT c.id_a, c.id_b, round(list_inner_product(ua.uv, ub.uv), 4) AS cosine
+FROM cand c
+JOIN u ua ON ua.vec_id = c.id_a
+JOIN u ub ON ub.vec_id = c.id_b
+WHERE round(list_inner_product(ua.uv, ub.uv), 4) >= {threshold}
+"""
+
+
+O_D_EMB_NEARDUP_LSH = _gen_emb_neardup_lsh_oracle()
 
 
 O_D_EMB_NEARDUP = """
@@ -2395,6 +2455,7 @@ ORACLES: dict[str, str] = {
     "sim_lsh_topk": O_SIM_LSH,
     "sim_ivf_topk": O_SIM_IVF,
     "d_embedding_neardup": O_D_EMB_NEARDUP,
+    "d_embedding_neardup_lsh": O_D_EMB_NEARDUP_LSH,
     "t_token_count_bpe": O_T_TOKEN_BPE,
     "t_char_fingerprint": O_T_CHAR_FP,
     "m_multimodal_meta": O_M_META,
