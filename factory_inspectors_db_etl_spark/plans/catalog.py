@@ -1744,6 +1744,73 @@ FROM m
 """
 
 
+def q_t_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted to the newline-free synthetic corpus): per-doc duplicate-word
+    fraction and top-bigram share — the standard cheap filters for
+    boilerplate / degenerate repetition in pretraining corpora.
+
+    Scale shape: word stats are pure columnar array ops (zero shuffle);
+    the top-bigram share explodes to (doc, bigram) and aggregates twice
+    on the doc-keyed stream — partial aggregation map-side, both
+    shuffles on doc_id so AQE coalesces them into one exchange chain.
+    Determinism: both ratios are single IEEE divisions of exact integer
+    counts — bit-identical in any engine, no rounding needed."""
+    d = load_table(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+        ).alias("dup_word_frac"),
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ).alias("_bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_mx"))
+    )
+    return (
+        base.drop("_bigrams")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            (F.col("_mx").cast("double") / (F.col("n_words") - 1)).alias("top_bigram_share"),
+        )
+    )
+
+
+O_T_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), base AS (
+  SELECT doc_id, len(ws) AS n_words,
+         1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+         ws
+  FROM w
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, max(c) AS mx FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_words AS INTEGER) AS n_words, b.dup_word_frac,
+       CAST(t.mx AS DOUBLE) / (b.n_words - 1) AS top_bigram_share
+FROM base b JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact cosine top-5 for the first 10 query vectors.
     Double-precision left-to-right dot products in both engines."""
@@ -2337,6 +2404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3c_grouping_sets": q_a3c_grouping_sets,
     "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
+    "t_repetition_stats": q_t_repetition_stats,
     # --- already-green §2 core fills the rest of the 50-slot window ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
@@ -2402,6 +2470,7 @@ ORACLES: dict[str, str] = {
     "a3_rollup": O_A3,
     "a3b_cube": O_A3B,
     "a3c_grouping_sets": O_A3C,
+    "t_repetition_stats": O_T_REPETITION,
     "w12_exact_percentiles": O_W12,
     "w13_sessionize": O_W13,
     "a6_pivot": O_A6,
