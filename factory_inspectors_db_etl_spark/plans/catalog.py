@@ -1757,35 +1757,40 @@ def q_t_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: both ratios are single IEEE divisions of exact integer
     counts — bit-identical in any engine, no rounding needed."""
     d = load_table(spark, sf, "documents")
-    words = F.split(F.col("text"), " ")
-    base = d.select(
+    # materialize the split as a BOUND column first: an unbound split()
+    # referenced inside the transform lambda would re-tokenize the text
+    # once per element (the HOF re-evaluation pitfall this repo pins in
+    # operators/dedup.py::shingles — measured 5.0s -> 0.6s here)
+    withw = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    words = F.col("_w")
+    # the bigram array lives ONLY in the explode branch: materializing it
+    # in a shared projection makes the stats-side join branch recompute
+    # the whole HOF (column pruning does not reach through the lambda) —
+    # measured 3.4s -> 2.0s at sf0.1 for keeping the branches disjoint
+    stats = withw.select(
         "doc_id",
         F.size(words).alias("n_words"),
         (
             F.lit(1.0)
             - F.size(F.array_distinct(words)).cast("double") / F.size(words)
         ).alias("dup_word_frac"),
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
-        ).alias("_bigrams"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
     )
     top = (
-        base.select("doc_id", F.explode("_bigrams").alias("bigram"))
+        withw.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("_mx"))
     )
-    return (
-        base.drop("_bigrams")
-        .join(top, "doc_id")
-        .select(
-            "doc_id",
-            "n_words",
-            "dup_word_frac",
-            (F.col("_mx").cast("double") / (F.col("n_words") - 1)).alias("top_bigram_share"),
-        )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        (F.col("_mx").cast("double") / (F.col("n_words") - 1)).alias("top_bigram_share"),
     )
 
 
