@@ -70,13 +70,19 @@ def main() -> None:
         write_warehouse,
     )
 
-    out = tempfile.mkdtemp(prefix="bench_wh_")
-    try:
-        t0 = time.time()
-        write_warehouse(build_warehouse(spark, "/root/reference/diplom/fabric*.html"), out)
-        timings["etl_warehouse_build"] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    # min-of-2 like the queries: the first build pays one-time Python
+    # worker spin-up for the two UDF islands, and single-run timings for
+    # this pipeline varied 8-20s across otherwise identical sessions
+    runs = []
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="bench_wh_")
+        try:
+            t0 = time.time()
+            write_warehouse(build_warehouse(spark, "/root/reference/diplom/fabric*.html"), out)
+            runs.append(time.time() - t0)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    timings["etl_warehouse_build"] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -87,7 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "timing": "min_of_2 per query (steady-state); etl single-run",
+                "timing": "min_of_2 per query and for the etl build (steady-state)",
             }
         )
     )
