@@ -1775,10 +1775,17 @@ def q_t_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
             - F.size(F.array_distinct(words)).cast("double") / F.size(words)
         ).alias("dup_word_frac"),
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
-    )
+    # guard single-word docs: sequence(0, -1) DESCENDS in Spark ([0,-1])
+    # and the lambda would index out of range; emit an empty bigram array
+    # instead, and LEFT-join so those docs keep a row (NULL share — the
+    # oracle's LEFT JOIN + NULL/0 division agrees)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     top = (
         withw.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
@@ -1786,7 +1793,7 @@ def q_t_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("_mx"))
     )
-    return stats.join(top, "doc_id").select(
+    return stats.join(top, "doc_id", "left").select(
         "doc_id",
         "n_words",
         "dup_word_frac",
@@ -1812,7 +1819,7 @@ WITH w AS (
 )
 SELECT b.doc_id, CAST(b.n_words AS INTEGER) AS n_words, b.dup_word_frac,
        CAST(t.mx AS DOUBLE) / (b.n_words - 1) AS top_bigram_share
-FROM base b JOIN top t ON b.doc_id = t.doc_id
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
 """
 
 

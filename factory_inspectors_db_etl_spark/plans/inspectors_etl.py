@@ -499,9 +499,19 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
     counts = fact.groupBy("source_file").agg(
         F.count(F.lit(1)).alias("_n"), F.min("year").alias("_yr")
     )
-    cb = counts.select(F.col("_yr").alias("_yr2"), F.col("_n").alias("_n2"))
+    cb = counts.select(
+        F.col("source_file").alias("_sf2"), F.col("_yr").alias("_yr2"), F.col("_n").alias("_n2")
+    )
+    # tie-break on source_file so two files sharing a year would get
+    # DISJOINT id ranges.  Today the fabric(\d{4}).html name contract
+    # makes a tie impossible (one file per year by construction); the
+    # tie-break is defense-in-depth for future multi-file-per-year
+    # sources, where a year-only inequality would collide ids
+    earlier = (F.col("_yr2") < F.col("_yr")) | (
+        (F.col("_yr2") == F.col("_yr")) & (F.col("_sf2") < F.col("source_file"))
+    )
     offsets = (
-        counts.join(F.broadcast(cb), F.col("_yr2") < F.col("_yr"), "left")
+        counts.join(F.broadcast(cb), earlier, "left")
         .groupBy("source_file")
         .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
     )

@@ -70,9 +70,22 @@ def _events_ts_is_nanos(spark: SparkSession, path: str, column: str = "ts") -> b
     driver-side footer read, no data scanned — as cheap at 100 TB as at
     1 MB (readStream needs an explicit schema, so the unit must be known
     before the stream is built).  An unreadable footer raises loudly here
-    instead of silently mis-routing to the MICROS branch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return dict(spark.read.parquet(path).dtypes).get(column) == "bigint"
+    instead of silently mis-routing to the MICROS branch.
+
+    The ``nanosAsLong`` conf is needed only for the probe (and for the
+    subsequent NANOS read path); when the column turns out to be MICROS
+    the prior value is RESTORED so the probe cannot silently change how
+    unrelated NANOS parquet reads behave later in the session."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    is_nanos = dict(spark.read.parquet(path).dtypes).get(column) == "bigint"
+    if not is_nanos:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return is_nanos
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

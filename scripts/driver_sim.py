@@ -86,6 +86,11 @@ def oracle_rows_via_pandas(ores):
     for c, t in zip(cols, otypes):
         if t in int_family and str(pdf[c].dtype) == "float64":
             pdf[c] = pdf[c].astype("Int64")
+        if t == "DATE" and str(pdf[c].dtype).startswith("datetime64"):
+            # DuckDB DATE surfaces as midnight datetime64 in pandas;
+            # Spark collects datetime.date — normalize so str() agrees
+            # ('1995-03-15', not '1995-03-15 00:00:00')
+            pdf[c] = pdf[c].dt.date
 
     def _cell(x):
         if isinstance(x, (list, tuple, np.ndarray, dict)):
@@ -154,8 +159,10 @@ for name, fn in mod.queries().items():
             f"{c}:{t}" for c, t in zip(ores.columns, otypes)
             if t.split("(")[0].strip() not in PORTABLE_ORACLE_TYPES
         ]
-        orows, ocols = oracle_rows_via_pandas(ores)
         if nonportable:
+            # gate BEFORE materializing through pandas: the exotic dtype
+            # is exactly what could crash the conversion and mask this
+            # precise diagnostic behind a generic ERROR
             results[name] = {
                 "status": "ORACLE_TYPE",
                 "rows": len(srows),
@@ -163,6 +170,7 @@ for name, fn in mod.queries().items():
                 "sec": round(time.time() - t0, 2),
             }
             continue
+        orows, ocols = oracle_rows_via_pandas(ores)
         # normalize python datetimes both sides via str()
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)

@@ -77,3 +77,22 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_repetition_stats_single_word_doc(spark, tmp_path):
+    """A one-word document must not crash the bigram build (Spark
+    sequence(0,-1) DESCENDS) and must keep its row with a NULL
+    top_bigram_share, matching the oracle's LEFT JOIN semantics."""
+    import pandas as pd
+
+    from factory_inspectors_db_etl_spark.plans.catalog import q_t_repetition_stats
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {"doc_id": [1, 2], "source": ["s", "s"], "lang": ["en", "en"],
+         "text": ["one", "two words two"]}
+    ).to_parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: (r["n_words"], r["top_bigram_share"])
+           for r in q_t_repetition_stats(spark, sf).collect()}
+    assert got[1] == (1, None)
+    assert got[2][0] == 3 and abs(got[2][1] - 0.5) < 1e-12
