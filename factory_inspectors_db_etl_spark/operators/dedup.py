@@ -137,10 +137,17 @@ def ngram_jaccard_pairs(
     listener).  Exact mode: ``max_df=None``; on corpora where no shingle
     reaches the cap (e.g. the driver tables) the result is identical.
     """
+    # Materialize the hashed shingle stream ONCE: it feeds three
+    # consumers (sizes, the frequency probe, the postings join) and Spark
+    # plans no reuse across them — without the barrier the full
+    # text-scan+tokenize+explode runs three times.  The stream is compact
+    # (doc id + 64-bit hash = 16 B/shingle); at extreme corpus scale swap
+    # localCheckpoint for persist(StorageLevel.DISK_ONLY), or drop the
+    # barrier entirely to trade storage back for recompute.
     sh = _with_words(df, text_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col("_words"), k)).alias("sh"),
-    ).select("doc", F.xxhash64("sh").alias("sh"))
+    ).select("doc", F.xxhash64("sh").alias("sh")).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # Inverted index: shingle -> posting list, then emit pairs from each
     # list.  Equivalent to the shingle self-join but computes the shingle
@@ -257,8 +264,14 @@ def minhash_lsh_candidates(
     match probability is 1-(1-s^r)^b for Jaccard s.  The digest hash
     matches ``hash_family`` so a "portable" pipeline is oracle-checkable
     end to end.
+
+    Signatures are materialized before the band self-join: without the
+    barrier the whole shingle->minhash aggregation runs once PER SIDE
+    (no ReusedExchange is planned across the self-join).  (doc,
+    signature) is 8*num_hashes bytes per doc — cheap at any scale.
     """
     digest_hash = F.xxhash64 if hash_family == "xxhash64" else portable_hash60
+    signatures = signatures.localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(
@@ -349,8 +362,17 @@ def simhash_near_duplicates(
     slice, so the candidate join is an equi-join on (slice index, slice
     value).  ``bits`` must match the fingerprint width (60 for portable
     SimHash, 64 for xxhash64).
+
+    The fingerprint table is materialized (``localCheckpoint``) before
+    the self-join: Spark plans no ReusedExchange across the two sides
+    here, so without the barrier the 60-aggregate SimHash computation
+    executes TWICE (measured 2x the hash cost at sf0.1).  The
+    checkpointed table is (doc, fingerprint) — 16 bytes/doc, cheap at
+    any scale; swap for persist()/reliable checkpoint on a cluster where
+    executor loss must be survivable.
     """
     width = bits // bands
+    fingerprints = fingerprints.localCheckpoint(eager=True)
     slices = F.array(
         *[
             F.struct(

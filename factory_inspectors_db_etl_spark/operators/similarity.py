@@ -460,9 +460,13 @@ def embedding_neardup_pairs_lsh(
     planes = random_hyperplanes(dim, bands * bits_per_band, seed)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     hasher = band_buckets_udf(planes, bands, bits_per_band)
+    # materialize the buckets before the self-join: no ReusedExchange is
+    # planned across the two sides, so without the barrier the Arrow/BLAS
+    # hashing UDF executes once PER SIDE.  (id, band, bucket) is ~20 B
+    # per (doc, band) — cheap at any scale.
     buckets = v.select(
         "id", F.posexplode(hasher(F.col("vec"))).alias("band", "bucket")
-    )
+    ).localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
