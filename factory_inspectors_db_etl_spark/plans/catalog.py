@@ -1383,7 +1383,15 @@ def q_t_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cannot flip ranks (ties break on the term itself)."""
     d = load_table(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the doc-frequency aggregate and the scoring join and
+    # Spark plans no reuse between them — barrier it so the tokenize +
+    # explode + per-doc-term aggregation runs once (compact: one row per
+    # distinct (doc, term))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
