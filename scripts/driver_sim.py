@@ -33,6 +33,7 @@ if HOSTILE:
     b = (
         b.config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "200")
     )
 spark = b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
