@@ -68,3 +68,31 @@ def test_clean_number_forms_agree(spark, corpus_strings):
 
 def test_name_canonicalization_forms_agree(spark, corpus_strings):
     _compare(spark, corpus_strings, canonicalize_person_name, canonicalize_person_name_py)
+
+
+def test_sql_surface_registration(spark, sf_dir):
+    """The thin SQL surface: views + registered functions answer plain
+    spark.sql, and the SQL functions agree with the columnar forms."""
+    from pyspark.sql import functions as F
+
+    from factory_inspectors_db_etl_spark.functions.text import standardize_text
+    from factory_inspectors_db_etl_spark.sql_surface import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    got = spark.sql(
+        "SELECT n_name, standardize_text(n_name) AS s, clean_number('1.503') AS n "
+        "FROM nation ORDER BY n_name"
+    ).collect()
+    assert all(r["n"] == 1503 for r in got)
+    want = {
+        r["n_name"]: r["s"]
+        for r in spark.table("nation").select(
+            "n_name", standardize_text(F.col("n_name")).alias("s")
+        ).collect()
+    }
+    assert {r["n_name"]: r["s"] for r in got} == want
+    # the flagship parser UDF is SQL-reachable (U1 via SQL)
+    parsed = spark.sql(
+        "SELECT explode(parse_personnel('Иванов И. И.')) AS a"
+    ).select("a.name").collect()
+    assert len(parsed) == 1 and "иванов" in parsed[0]["name"]
