@@ -96,3 +96,36 @@ def test_repetition_stats_single_word_doc(spark, tmp_path):
            for r in q_t_repetition_stats(spark, sf).collect()}
     assert got[1] == (1, None)
     assert got[2][0] == 3 and abs(got[2][1] - 0.5) < 1e-12
+
+
+def test_w13_gaps_islands_equals_native_session_window(spark, sf_dir):
+    """The gaps-and-islands sessionization must produce exactly the
+    sessions Spark's native session_window(30 minutes) builds — same
+    (user, start, end, count) set.  (Boundary note: w13 keeps an event
+    exactly 30:00.000000 after its predecessor in-session (strict >),
+    session_window starts a new one (half-open window); the synthetic
+    microsecond timestamps cannot hit that measure-zero case.)"""
+    from pyspark.sql import functions as F
+
+    from factory_inspectors_db_etl_spark.plans.catalog import q_w13_sessionize
+    from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in q_w13_sessionize(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                fmt(F.min("ts")).alias("session_start"),
+                fmt(F.max("ts")).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        ).collect()
+    }
+    assert got == want
