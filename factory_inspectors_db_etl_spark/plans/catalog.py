@@ -1435,6 +1435,37 @@ WHERE rn <= 3
 """
 
 
+def q_p_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass column profiling (the standard pre-training data-QA
+    sweep): per column of the events table, total rows, null count, and
+    exact distinct count — ONE aggregation job computing all metrics for
+    all columns, then a zero-shuffle stack to long format.  Counts only
+    (BIGINT everywhere): min/max/mean are deliberately excluded from the
+    hashed contract because cross-engine float/timestamp FORMATTING is
+    not canonical, while counts are."""
+    ev = load_table(spark, sf, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+    one = ev.agg(*aggs)
+    stack = ", ".join(f"'{c}', _null_{c}, _dist_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column_name, n_null, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+O_P_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+)
+
+
 def q_p_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget packing: documents fill 2000-token bins by
     cumulative size within 16 deterministic hash shards (a global
@@ -2425,6 +2456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
     "t_repetition_stats": q_t_repetition_stats,
+    "p_profile_columns": q_p_profile_columns,
     # --- already-green §2 core fills the rest of the 50-slot window ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
@@ -2491,6 +2523,7 @@ ORACLES: dict[str, str] = {
     "a3b_cube": O_A3B,
     "a3c_grouping_sets": O_A3C,
     "t_repetition_stats": O_T_REPETITION,
+    "p_profile_columns": O_P_PROFILE,
     "w12_exact_percentiles": O_W12,
     "w13_sessionize": O_W13,
     "a6_pivot": O_A6,
