@@ -417,6 +417,51 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_w14_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 interval construction: collapse a change history into
+    validity ranges — one row per (user, event_type) RUN with
+    [valid_from, valid_to) bounds, valid_to NULL for the current run.
+    The standard slowly-changing-dimension build the reference's static
+    dims never needed, done the scalable way: a lag window detects
+    change points, a lead window over ONLY the change points closes the
+    intervals — both windows and the filter share one shuffle on
+    user_id.  Timestamps emitted as ISO strings (w11's cross-engine
+    lesson)."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    changes = (
+        ev.withColumn("_chg", prev.isNull() | (F.col("event_type") != prev))
+        .filter(F.col("_chg"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        fmt(F.col("ts")).alias("valid_from"),
+        fmt(F.lead("ts").over(w2)).alias("valid_to"),
+    )
+
+
+O_W14 = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM marked WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_w13_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """W13: batch sessionization (gaps-and-islands) — the batch twin of
     the streaming session_window (s10): a new session starts when the
@@ -2457,6 +2502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w13_sessionize": q_w13_sessionize,
     "t_repetition_stats": q_t_repetition_stats,
     "p_profile_columns": q_p_profile_columns,
+    "w14_scd2_intervals": q_w14_scd2_intervals,
     # --- already-green §2 core fills the rest of the 50-slot window ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
@@ -2524,6 +2570,7 @@ ORACLES: dict[str, str] = {
     "a3c_grouping_sets": O_A3C,
     "t_repetition_stats": O_T_REPETITION,
     "p_profile_columns": O_P_PROFILE,
+    "w14_scd2_intervals": O_W14,
     "w12_exact_percentiles": O_W12,
     "w13_sessionize": O_W13,
     "a6_pivot": O_A6,
