@@ -1511,6 +1511,41 @@ FROM events"""
 )
 
 
+def q_p_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Capstone corpus-curation pass: the full pretraining keep/drop
+    decision composed from the catalog's own signal operators — exact-
+    dedup canonical flag, composite quality score, repetition filter,
+    language gate — joined on doc_id and reduced to one boolean.  Each
+    signal is the SAME implementation its standalone query verifies, so
+    the composition is oracle-checked end to end; at scale every branch
+    is an independent scan-shaped job over the same corpus and the joins
+    shuffle on doc_id (AQE-splittable, no branch reads another's
+    intermediate state)."""
+    qlt = q_t_quality_score(spark, sf).select("doc_id", "quality")
+    rep = q_t_repetition_stats(spark, sf).select("doc_id", "dup_word_frac")
+    lang = q_t_language_guess(spark, sf)
+    d = load_table(spark, sf, "documents")
+    canon = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+        ).alias("is_canonical"),
+    )
+    out = qlt.join(rep, "doc_id").join(lang, "doc_id").join(canon, "doc_id")
+    keep = (
+        F.col("is_canonical")
+        & (F.col("quality") >= 0.5)
+        & (F.col("dup_word_frac") <= 0.3)
+        & (F.col("lang_guess") == "en")
+    )
+    return out.select(
+        "doc_id", "lang_guess", "quality", "dup_word_frac", "is_canonical",
+        keep.alias("keep"),
+    )
+
+
+
 def q_p_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget packing: documents fill 2000-token bins by
     cumulative size within 16 deterministic hash shards (a global
@@ -2460,6 +2495,24 @@ GROUP BY r_name, n_name
 # Registry
 # ---------------------------------------------------------------------------
 
+O_P_CURATE = f"""
+WITH q AS ({O_T_QUALITY}),
+r AS ({O_T_REPETITION}),
+l AS ({O_T_LANG}),
+c AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+)
+SELECT q.doc_id, l.lang_guess, q.quality, r.dup_word_frac, c.is_canonical,
+       (c.is_canonical AND q.quality >= 0.5 AND r.dup_word_frac <= 0.3
+        AND l.lang_guess = 'en') AS keep
+FROM q
+JOIN r ON q.doc_id = r.doc_id
+JOIN l ON q.doc_id = l.doc_id
+JOIN c ON q.doc_id = c.doc_id
+"""
+
 # Ordering contract: the external driver verifies the FIRST 50 keys of this
 # dict per round.  Round 2 checked the 50 §2-core keys; round 3 leads with
 # the 22 queries that had no round-2 driver row (LLM-pipeline tail) plus the
@@ -2503,6 +2556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_repetition_stats": q_t_repetition_stats,
     "p_profile_columns": q_p_profile_columns,
     "w14_scd2_intervals": q_w14_scd2_intervals,
+    "p_curate_corpus": q_p_curate_corpus,
     # --- already-green §2 core fills the rest of the 50-slot window ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
@@ -2571,6 +2625,7 @@ ORACLES: dict[str, str] = {
     "t_repetition_stats": O_T_REPETITION,
     "p_profile_columns": O_P_PROFILE,
     "w14_scd2_intervals": O_W14,
+    "p_curate_corpus": O_P_CURATE,
     "w12_exact_percentiles": O_W12,
     "w13_sessionize": O_W13,
     "a6_pivot": O_A6,
