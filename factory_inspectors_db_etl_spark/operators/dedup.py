@@ -143,7 +143,11 @@ def ngram_jaccard_pairs(
     # text-scan+tokenize+explode runs three times.  The stream is compact
     # (doc id + 64-bit hash = 16 B/shingle); at extreme corpus scale swap
     # localCheckpoint for persist(StorageLevel.DISK_ONLY), or drop the
-    # barrier entirely to trade storage back for recompute.
+    # barrier entirely to trade storage back for recompute.  eager=True
+    # deliberately: a LAZY checkpoint lets the consuming stages race the
+    # cache and re-compute (measured +30-50% on every barriered query);
+    # the cost is that plan-only callers (the audit tool) execute the
+    # upstream job at construction time.
     sh = _with_words(df, text_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col("_words"), k)).alias("sh"),

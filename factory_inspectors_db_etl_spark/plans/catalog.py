@@ -435,12 +435,13 @@ def q_w14_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
         ev.withColumn("_chg", prev.isNull() | (F.col("event_type") != prev))
         .filter(F.col("_chg"))
     )
-    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # window specs are unbound descriptors: the SAME spec applied to the
+    # filtered frame gives the interval-closing lead
     return changes.select(
         "user_id",
         "event_type",
         fmt(F.col("ts")).alias("valid_from"),
-        fmt(F.lead("ts").over(w2)).alias("valid_to"),
+        fmt(F.lead("ts").over(w)).alias("valid_to"),
     )
 
 
@@ -1480,6 +1481,9 @@ WHERE rn <= 3
 """
 
 
+PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
 def q_p_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     """Single-pass column profiling (the standard pre-training data-QA
     sweep): per column of the events table, total rows, null count, and
@@ -1489,7 +1493,7 @@ def q_p_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     hashed contract because cross-engine float/timestamp FORMATTING is
     not canonical, while counts are."""
     ev = load_table(spark, sf, "events")
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    cols = PROFILE_COLS
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
@@ -1507,7 +1511,7 @@ O_P_PROFILE = "\nUNION ALL\n".join(
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
 FROM events"""
-    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for c in PROFILE_COLS
 )
 
 

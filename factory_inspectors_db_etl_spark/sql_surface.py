@@ -45,7 +45,12 @@ def register_sql_surface(spark: SparkSession, sf_dir: str | None = None) -> None
         for name in TABLE_NAMES:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     spark.udf.register("standardize_text", standardize_text_py, T.StringType())
-    spark.udf.register("clean_number", clean_number_py, T.IntegerType())
+    # LongType, NOT IntegerType: the pickle serializer silently WRAPS a
+    # python int that exceeds 32 bits under IntegerType (verified:
+    # clean_number('4000000000') returned -294967296).  The columnar twin
+    # casts to int and raises under ANSI for the same input — neither
+    # form may silently corrupt.
+    spark.udf.register("clean_number", clean_number_py, T.LongType())
     spark.udf.register(
         "canonicalize_person_name", canonicalize_person_name_py, T.StringType()
     )
