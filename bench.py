@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the full per-query JSON ({"metric", "value", "unit",
+"queries": {name: sec}, "sf", "timing"}) is printed first and written to
+bench_detail.json; the FINAL stdout line is a compact headline
+({"metric", "value", "unit", "sf", "n_queries", "detail"}) small enough
+to survive tail capture (round 3's single long line was truncated —
+VERDICT.md r3 "What's missing" #1).
 
 Queries execute via the no-op sink (full pipeline runs, no driver collect
 cost), matching how a cluster job would be bounded by compute+shuffle, not
@@ -85,15 +90,32 @@ def main() -> None:
     timings["etl_warehouse_build"] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Per-query detail goes to a file plus an EARLY stdout line; the FINAL
+    # stdout line is a compact headline only.  Round 3's single ~5 KB JSON
+    # line was truncated by the driver's tail capture (BENCH_r03.json
+    # "parsed": null), losing the headline total — keep the last line short
+    # so any tail-reading consumer can parse it.
+    detail = {
+        "metric": "headline_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "timing": "min_of_2 per query and for the etl build (steady-state)",
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_query_set_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                "timing": "min_of_2 per query and for the etl build (steady-state)",
+                "n_queries": len(timings),
+                "detail": "bench_detail.json",
             }
         )
     )

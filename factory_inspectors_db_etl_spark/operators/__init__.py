@@ -1,6 +1,7 @@
 from .asof import asof_fill, asof_join
 from .bucketing import bucketed_join, write_bucketed
 from .dedup import (
+    NonConvergenceError,
     affine_params,
     assign_components,
     connected_components,
@@ -15,6 +16,7 @@ from .dedup import (
 )
 from .dims import build_dim, build_dim_incremental, mint_surrogate_ids, null_safe_join, resolve_fk
 from .fill import forward_fill, forward_fill_expr
+from .materialize import MATERIALIZE_MODE_CONF, materialize
 from .multimodal import decode_and_featurize, payload_metadata, sample_frames, with_payload
 from .sampling import (
     hash_bucket,
@@ -35,6 +37,9 @@ from .similarity import (
 from .skew import salted_agg, skew_safe_count_distinct
 
 __all__ = [
+    "MATERIALIZE_MODE_CONF",
+    "NonConvergenceError",
+    "materialize",
     "asof_fill",
     "asof_join",
     "bucketed_join",

@@ -33,6 +33,15 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
+
+class NonConvergenceError(RuntimeError):
+    """An iterative algorithm hit its round bound before reaching a fixed
+    point.  Distinct from RuntimeError so callers (``assign_components``'s
+    ``auto`` path) can fall back on THIS specifically without masking
+    unrelated runtime failures (lost executors, OOM, bad input)."""
+
 # -- portable 60-bit hash (cross-engine deterministic) -----------------------
 #
 # xxhash64 is JVM-only; for results that must be verifiable by ANY engine
@@ -141,17 +150,22 @@ def ngram_jaccard_pairs(
     # consumers (sizes, the frequency probe, the postings join) and Spark
     # plans no reuse across them — without the barrier the full
     # text-scan+tokenize+explode runs three times.  The stream is compact
-    # (doc id + 64-bit hash = 16 B/shingle); at extreme corpus scale swap
-    # localCheckpoint for persist(StorageLevel.DISK_ONLY), or drop the
-    # barrier entirely to trade storage back for recompute.  eager=True
-    # deliberately: a LAZY checkpoint lets the consuming stages race the
-    # cache and re-compute (measured +30-50% on every barriered query);
-    # the cost is that plan-only callers (the audit tool) execute the
-    # upstream job at construction time.
-    sh = _with_words(df, text_col).select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col("_words"), k)).alias("sh"),
-    ).select("doc", F.xxhash64("sh").alias("sh")).localCheckpoint(eager=True)
+    # (doc id + 64-bit hash = 16 B/shingle); durability is session-
+    # configurable via spark.graft.materialize.mode (local checkpoint by
+    # default; 'reliable' survives executor loss — see operators/
+    # materialize.py).  eager=True deliberately: a LAZY checkpoint lets
+    # the consuming stages race the cache and re-compute (measured
+    # +30-50% on every barriered query); the cost is that plan-only
+    # callers (the audit tool) execute the upstream job at construction
+    # time.
+    sh = materialize(
+        _with_words(df, text_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col("_words"), k)).alias("sh"),
+        )
+        .select("doc", F.xxhash64("sh").alias("sh"))
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # Inverted index: shingle -> posting list, then emit pairs from each
     # list.  Equivalent to the shingle self-join but computes the shingle
@@ -275,7 +289,7 @@ def minhash_lsh_candidates(
     signature) is 8*num_hashes bytes per doc — cheap at any scale.
     """
     digest_hash = F.xxhash64 if hash_family == "xxhash64" else portable_hash60
-    signatures = signatures.localCheckpoint(eager=True)
+    signatures = materialize(signatures)
     band_structs = F.array(
         *[
             F.struct(
@@ -372,11 +386,11 @@ def simhash_near_duplicates(
     here, so without the barrier the 60-aggregate SimHash computation
     executes TWICE (measured 2x the hash cost at sf0.1).  The
     checkpointed table is (doc, fingerprint) — 16 bytes/doc, cheap at
-    any scale; swap for persist()/reliable checkpoint on a cluster where
-    executor loss must be survivable.
+    any scale; set spark.graft.materialize.mode='reliable' on a cluster
+    where executor loss must be survivable.
     """
     width = bits // bands
-    fingerprints = fingerprints.localCheckpoint(eager=True)
+    fingerprints = materialize(fingerprints)
     slices = F.array(
         *[
             F.struct(
@@ -455,17 +469,17 @@ def connected_components(
     singleton docs their own component via a left join + coalesce (see
     ``assign_components``).
     """
-    edges = (
+    edges = materialize(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        iterative=True,
     )
-    labels = (
+    labels = materialize(
         edges.select(F.col("u").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        iterative=True,
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -476,22 +490,21 @@ def connected_components(
         new_label = F.least(
             F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
-            .select(
+        new_labels = materialize(
+            labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
                 "node",
                 new_label.alias("label"),
                 # convergence flag computed IN the update (labels only ever
                 # decrease, so changed == strictly smaller) — no self-join
                 (new_label < F.col("label")).cast("long").alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            iterative=True,
         )
         changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
-    raise RuntimeError(
+    raise NonConvergenceError(
         f"connected_components did not converge in {max_iters} rounds; "
         "the pair graph has a longer chain than any near-dup corpus should — "
         "raise max_iters or switch to connected_components_large_star"
@@ -530,22 +543,20 @@ def connected_components_large_star(
     identical to ``connected_components`` output.  Same
     lineage-truncation contract (``localCheckpoint`` per round).
     """
-    edges = (
+    edges = materialize(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct(),
+        iterative=True,
     )
     # node universe from the UNfiltered pairs so self-paired nodes get a
     # (node, node) row, matching connected_components exactly
-    all_nodes = (
+    all_nodes = materialize(
         pairs.select(F.col(src).alias("node"))
         .union(pairs.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        iterative=True,
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -574,7 +585,7 @@ def connected_components_large_star(
         )
 
     for _ in range(max_iters):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = materialize(_small_star(_large_star(edges)), iterative=True)
         changed = (
             new_edges.exceptAll(edges).limit(1).count()
             + edges.exceptAll(new_edges).limit(1).count()
@@ -589,7 +600,7 @@ def connected_components_large_star(
                 labels, all_nodes.node == labels.node, "left_anti"
             ).select("node", F.col("node").alias("component"))
             return labels.union(centers_and_singletons)
-    raise RuntimeError(
+    raise NonConvergenceError(
         f"connected_components_large_star did not converge in {max_iters} "
         "rounds; O(log^2 n) bounds make this unreachable for any graph that "
         "fits in storage — check for non-deterministic node ids"
@@ -615,7 +626,12 @@ def assign_components(
     diameter), or ``"auto"`` — min-label first, falling back to
     large-star if the diameter bound is exceeded instead of raising.
     Both algorithms produce identical (node, min-id) labelings, so the
-    fallback changes cost, never results.
+    fallback changes cost, never results.  The fallback triggers ONLY on
+    ``NonConvergenceError`` (any other runtime failure propagates) and
+    runs large-star with ``max(max_iters, 20)`` rounds: the caller's
+    budget bounded DIAMETER rounds, while large-star needs O(log^2 n) —
+    a deliberately tight min-label budget (fast bail to the fallback)
+    must not also starve the fallback itself.
 
     Only paired docs appear in the components table, but "paired" can be
     30%+ of a crawl corpus, so it is NOT hinted broadcast by default —
@@ -629,8 +645,8 @@ def assign_components(
     elif algorithm == "auto":
         try:
             comp = connected_components(pairs, max_iters=max_iters)
-        except RuntimeError:
-            comp = connected_components_large_star(pairs)
+        except NonConvergenceError:
+            comp = connected_components_large_star(pairs, max_iters=max(max_iters, 20))
     elif algorithm == "min_label":
         comp = connected_components(pairs, max_iters=max_iters)
     else:

@@ -109,6 +109,7 @@ def build_dim_incremental(
     new_rows: DataFrame,
     natural_key: Sequence[str],
     id_col: str,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Incremental get-or-create (SURVEY.md §2.4 J2, incremental variant):
     append only UNSEEN natural keys to an existing dimension, minting ids
@@ -119,6 +120,10 @@ def build_dim_incremental(
     row_number over the (small, deduplicated) novelty set.  The anti-join
     broadcasts the existing dim key set when small; at scale it is a
     shuffle on the natural key — still one pass over the increment only.
+    ``bucket`` is forwarded to ``mint_surrogate_ids`` exactly as in
+    ``build_dim``: pass an order-preserving coarse bucket when ``nk[0]``
+    has unbounded cardinality, or phase 2's BxB count-join degenerates to
+    distinct-key-count squared.
     """
     nk = list(natural_key)
     novel = new_rows.select(*nk).dropDuplicates(nk).join(
@@ -126,7 +131,7 @@ def build_dim_incremental(
     )
     base = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
     minted = (
-        mint_surrogate_ids(novel, nk, "_relid")
+        mint_surrogate_ids(novel, nk, "_relid", bucket=bucket)
         .crossJoin(F.broadcast(base))
         .withColumn(id_col, (F.col("_relid") + F.col("m")).cast("int"))
         .drop("_relid", "m")

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .materialize import materialize
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -464,9 +466,9 @@ def embedding_neardup_pairs_lsh(
     # planned across the two sides, so without the barrier the Arrow/BLAS
     # hashing UDF executes once PER SIDE.  (id, band, bucket) is ~20 B
     # per (doc, band) — cheap at any scale.
-    buckets = v.select(
-        "id", F.posexplode(hasher(F.col("vec"))).alias("band", "bucket")
-    ).localCheckpoint(eager=True)
+    buckets = materialize(
+        v.select("id", F.posexplode(hasher(F.col("vec"))).alias("band", "bucket"))
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

@@ -35,6 +35,7 @@ from ..operators.dedup import (
 )
 from ..operators.dims import build_dim, null_safe_join
 from ..operators.fill import forward_fill
+from ..operators.materialize import materialize
 from ..operators import multimodal as MM
 from ..operators.similarity import (
     cosine_topk_bruteforce,
@@ -1433,11 +1434,7 @@ def q_t_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # Spark plans no reuse between them — barrier it so the tokenize +
     # explode + per-doc-term aggregation runs once (compact: one row per
     # distinct (doc, term))
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    tf = materialize(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (

@@ -47,7 +47,20 @@ class HtmlRosterReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("html_roster requires a path, e.g. .load('/dir/fabric*.html')")
+        # driver-side glob => LOCAL filesystem only; reject object-store /
+        # remote URI schemes loudly instead of silently globbing nothing
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                f"html_roster reads the local filesystem only (driver-side glob); "
+                f"got non-local path {path!r} — copy the corpus locally or use the "
+                f"mapInPandas reader in sources/html_table.py over a distributed FS"
+            )
         self._paths = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+        if not self._paths:
+            raise FileNotFoundError(
+                f"html_roster: glob {path!r} matched no files "
+                f"(a typo'd path would otherwise yield an empty DataFrame)"
+            )
 
     def partitions(self) -> list[InputPartition]:
         # one partition per FILE: scan parallelism = corpus size, and the

@@ -79,12 +79,18 @@ def _events_ts_is_nanos(spark: SparkSession, path: str, column: str = "ts") -> b
     key = "spark.sql.legacy.parquet.nanosAsLong"
     old = spark.conf.get(key, None)
     spark.conf.set(key, "true")
-    is_nanos = dict(spark.read.parquet(path).dtypes).get(column) == "bigint"
-    if not is_nanos:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    # try/finally so a failed probe (missing file, transient FS error)
+    # cannot leave the session-wide conf flipped; the conf stays set only
+    # on the successful NANOS path, where the caller's read needs it
+    is_nanos = False
+    try:
+        is_nanos = dict(spark.read.parquet(path).dtypes).get(column) == "bigint"
+    finally:
+        if not is_nanos:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
     return is_nanos
 
 

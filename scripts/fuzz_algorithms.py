@@ -23,10 +23,6 @@ from factory_inspectors_db_etl_spark.operators.dedup import (
 from factory_inspectors_db_etl_spark.operators.dims import mint_surrogate_ids
 from factory_inspectors_db_etl_spark.session import get_spark
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-rng = random.Random(20260814)
-
-
 def cc_reference(edges):
     parent = {}
 
@@ -46,11 +42,15 @@ def cc_reference(edges):
     return {n: find(n) for n in parent}
 
 
-def main() -> None:
-    spark = get_spark("fuzz")
-    spark.sparkContext.setLogLevel("ERROR")
+def run_fuzz(spark, n: int, seed: int = 20260814, verbose: bool = True) -> int:
+    """Run ``n`` fuzz iterations; return the number of mismatches.
+
+    Importable so the CI suite can run a small budget on every invocation
+    (tests/test_fuzz_slow.py) while this script keeps the deep ad-hoc
+    budget."""
+    rng = random.Random(seed)
     bad = 0
-    for it in range(N):
+    for it in range(n):
         n_nodes = rng.randint(2, 60)
         n_edges = rng.randint(1, 90)
         edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
@@ -88,9 +88,17 @@ def main() -> None:
         if got_ids != want_ids:
             bad += 1
             print(f"MINT MISMATCH iter={it} keys={sorted(set(keys))}")
-        if (it + 1) % 10 == 0:
-            print(f"{it + 1}/{N} iterations, {bad} mismatches", flush=True)
-    print(f"done: {N} iterations, {bad} mismatches")
+        if verbose and (it + 1) % 10 == 0:
+            print(f"{it + 1}/{n} iterations, {bad} mismatches", flush=True)
+    return bad
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    spark = get_spark("fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = run_fuzz(spark, n)
+    print(f"done: {n} iterations, {bad} mismatches")
     sys.exit(1 if bad else 0)
 
 
