@@ -32,6 +32,7 @@ from .similarity import (
     embedding_neardup_pairs,
     embedding_neardup_pairs_matrix,
     ivf_topk,
+    kmeans_centroids,
     lsh_bucket_topk,
 )
 from .skew import salted_agg, skew_safe_count_distinct
@@ -78,6 +79,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_matrix",
     "ivf_topk",
+    "kmeans_centroids",
     "lsh_bucket_topk",
     "salted_agg",
     "skew_safe_count_distinct",

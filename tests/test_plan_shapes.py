@@ -100,6 +100,24 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_kmeans_probe_join_same_shape(spark, sf_dir):
+    """The trained-centroid variant must keep the deterministic variant's
+    probe-join plan shape: tiny broadcast centroid set, cell equi-join,
+    never a corpus-against-itself cartesian (VERDICT r3 item #4)."""
+    from factory_inspectors_db_etl_spark.operators.similarity import ivf_topk
+    from factory_inspectors_db_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    df = ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=2,
+        centroids="kmeans",
+    )
+    plan = _formatted(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sampling_is_scan_plus_filter_no_shuffle(spark, sf_dir):
     # hash_split/hash_sample/stratified are pure scan->project/filter:
     # a sampling pass over 100 TB must not shuffle anything

@@ -93,6 +93,24 @@ def test_streaming_dedup_bounded_state(spark, sf_dir, events_stream):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_streaming_dedup_matches_batch_twin_on_duped_input(spark, sf_dir, events_stream):
+    """s11_stream_dedup's contract: on the same at-least-once input (every
+    10th event re-delivered 2 minutes late), dropDuplicatesWithinWatermark
+    keeps exactly one row per event_id — the key set the batch twin
+    reports.  (Which DELIVERY survives is processing-order-dependent in
+    streaming, so the pin is on keys and counts, not on the kept ts.)"""
+    from factory_inspectors_db_etl_spark.plans.catalog import QUERIES
+
+    dupes = events_stream.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 MINUTES")
+    )
+    got = run_available_now(streaming_dedup(events_stream.unionByName(dupes)), "t_dedup_twin")
+    want = QUERIES["s11_stream_dedup"](spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == got.count()
+    assert _rows(got, "event_id") == _rows(want, "event_id")
+
+
 def test_stateful_running_stats(spark, sf_dir, events_stream):
     got = run_available_now(
         stateful_running_stats(events_stream), "t_state", output_mode="update"
