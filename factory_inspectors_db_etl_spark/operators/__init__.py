@@ -16,6 +16,7 @@ from .dedup import (
 )
 from .dims import build_dim, build_dim_incremental, mint_surrogate_ids, null_safe_join, resolve_fk
 from .fill import forward_fill, forward_fill_expr
+from .merge import apply_cdc, latest_changes
 from .materialize import MATERIALIZE_MODE_CONF, materialize
 from .multimodal import decode_and_featurize, payload_metadata, sample_frames, with_payload
 from .sampling import (
@@ -23,6 +24,7 @@ from .sampling import (
     hash_sample,
     hash_split,
     hash_topk_per_group,
+    mixture_sample,
     pack_token_bins,
     stratified_hash_sample,
 )
@@ -34,6 +36,7 @@ from .similarity import (
     ivf_topk,
     kmeans_centroids,
     lsh_bucket_topk,
+    semantic_dedup,
 )
 from .skew import salted_agg, skew_safe_count_distinct
 
@@ -81,6 +84,10 @@ __all__ = [
     "ivf_topk",
     "kmeans_centroids",
     "lsh_bucket_topk",
+    "semantic_dedup",
+    "apply_cdc",
+    "latest_changes",
+    "mixture_sample",
     "salted_agg",
     "skew_safe_count_distinct",
 ]

@@ -90,6 +90,66 @@ def stratified_hash_sample(
     return df.filter(bucket < (rate_expr * buckets).cast("int"))
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    target_weights: dict[str, float],
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample a corpus to a target source/domain MIXTURE (e.g. the
+    published data-mixture weights of large LM training sets — Gopher,
+    Rae et al. '21 table 2; The Pile, Gao et al. '20): the output's
+    per-stratum proportions match ``target_weights`` as closely as
+    downsampling alone can, maximizing total output size without ever
+    upsampling.
+
+    Unlike ``stratified_hash_sample`` the keep RATES are computed from
+    the data: with ``n_s`` rows observed in stratum ``s`` and target
+    weight ``w_s``, the largest feasible output is ``T = min_s(n_s /
+    w_s)`` total rows, giving ``rate_s = w_s * T / n_s <= 1`` (the
+    binding stratum keeps 100%).  Strata absent from ``target_weights``
+    are dropped — weight 0 in the target mixture.
+
+    Plan at scale: one partial-aggregated count per stratum (tiny
+    result), the feasible total as a 1-row aggregate cross-joined back,
+    and a broadcast join of the per-stratum rate ladder onto the corpus
+    — the corpus itself is scanned once and never shuffled.  Membership
+    is the same portable-hash bucket test as every sampler here:
+    deterministic, repartition-stable, driftless, re-derivable by the
+    SQL oracle.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    total_w = sum(target_weights.values())
+    if total_w <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    names = list(target_weights)
+    wexpr = None
+    for s in names:
+        w_norm = target_weights[s] / total_w
+        cond = F.col(stratum_col) == s
+        wexpr = F.when(cond, w_norm) if wexpr is None else wexpr.when(cond, w_norm)
+    in_mix = df.filter(F.col(stratum_col).isin(names))
+    counts = (
+        in_mix.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", wexpr)
+    )
+    feasible = counts.select(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    rates = counts.crossJoin(F.broadcast(feasible)).select(
+        stratum_col,
+        F.least(F.lit(1.0), F.col("_w") * F.col("_t") / F.col("_n")).alias("_rate"),
+    )
+    bucket = hash_bucket(F.col(key_col), buckets, salt)
+    return (
+        in_mix.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.floor(F.col("_rate") * buckets).cast("long"))
+        .drop("_rate")
+    )
+
+
 def pack_token_bins(
     df: DataFrame,
     key_col: str,

@@ -135,6 +135,29 @@ def kmeans_centroids(
     )
 
 
+def _assign_cells(
+    df: DataFrame, cents: DataFrame, out_id: str, vec_out: str, top: int
+) -> DataFrame:
+    """Assign each vector to its ``top`` nearest centroid cells: broadcast
+    nested-loop against the tiny centroid set, then a top-N window keyed
+    on the vector id.  Shared by ``ivf_topk`` (corpus top-1 / query
+    n_probe) and ``semantic_dedup`` (cluster assignment)."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(out_id),
+        F.col(vec_out),
+        "centroid_id",
+        F.round(cosine(F.col(vec_out), F.col("_cent")), 6).alias("_cscore"),
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("_cscore").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= top)
+        .drop("_cscore", "_crank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -180,30 +203,16 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown centroids mode {centroids!r}: first_n | kmeans")
 
-    def assign(df: DataFrame, out_id: str, vec_out: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            F.col(out_id),
-            F.col(vec_out),
-            "centroid_id",
-            F.round(cosine(F.col(vec_out), F.col("_cent")), 6).alias("_cscore"),
-        )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("_cscore").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= top)
-            .drop("_cscore", "_crank")
-        )
-
-    c = assign(
+    c = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        cents,
         "neighbor_id",
         "_cvec",
         top=1,
     )
-    q = assign(
+    q = _assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        cents,
         "query_id",
         "_qvec",
         top=n_probe,
@@ -253,6 +262,98 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    round_to: int = 4,
+    centroids: str = "first_n",
+    kmeans_seed: int = 7,
+    kmeans_train_filter: Column | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then search
+    for near-duplicate pairs ONLY within each cluster — the O(n²/k)
+    restriction that makes embedding dedup feasible at corpus scale,
+    because semantically near-identical documents land in the same cell.
+
+    Per vector the result carries ``(id, cluster_id, keep)`` where
+    ``keep`` is false iff a SAME-CLUSTER vector with a SMALLER id has
+    cosine >= ``threshold`` (greedy keep-lowest-id — deterministic and
+    order-free; the paper's keep-farthest-from-centroid variant swaps
+    only the tiebreak, not the plan).  Cross-cluster near-dups are
+    missed by construction — that is the documented recall trade of the
+    method; raise ``n_clusters`` resolution with trained centroids
+    (``centroids="kmeans"``) on real, clustered corpora.
+
+    Plan at scale: centroid set is tiny (broadcast nested-loop assign +
+    per-id top-1 window), the pair search is an equi-join on
+    ``cluster_id`` (never a global cross join), and the keep flag is one
+    aggregation over the dup pairs joined back — shuffles are sized by
+    the cluster cells, not the corpus square.
+    """
+    if centroids == "kmeans":
+        cents = kmeans_centroids(
+            vectors,
+            vec_col,
+            n_clusters,
+            seed=kmeans_seed,
+            train_filter=kmeans_train_filter,
+        )
+    elif centroids == "first_n":
+        cents = vectors.filter(F.col(id_col) < n_clusters).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+        )
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}: first_n | kmeans")
+
+    assigned = _assign_cells(
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        cents,
+        "_id",
+        "_v",
+        top=1,
+    )
+    # Assignment scores raw vectors (same expression as ivf_topk's oracle);
+    # pair scoring pre-normalizes once per row, same as
+    # embedding_neardup_pairs — both shapes already value-pinned vs DuckDB.
+    assigned = (
+        assigned.withColumn("_n", l2_norm(F.col("_v")))
+        .withColumn(
+            "_u", F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_n"))
+        )
+        .drop("_v", "_n")
+    )
+    # Barrier: the assignment feeds THREE plan branches (both pair sides
+    # + the verdict join).  Without it the scan + broadcast-NL centroid
+    # assignment executes three times per run — at corpus scale, three
+    # full passes instead of one.
+    assigned = materialize(assigned)
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_u").alias("_ua"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_u").alias("_ub"), "centroid_id"
+    )
+    dup_ids = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(F.round(dot(F.col("_ua"), F.col("_ub")), round_to) >= threshold)
+        .select(F.col("id_a").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids, assigned["_id"] == dup_ids["_dup_id"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("_dup_id").isNull().alias("keep"),
+        )
     )
 
 

@@ -37,11 +37,13 @@ from ..operators.dims import build_dim, null_safe_join
 from ..operators.fill import forward_fill
 from ..operators.materialize import materialize
 from ..operators import multimodal as MM
+from ..operators.merge import apply_cdc
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    semantic_dedup,
 )
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
@@ -2609,6 +2611,211 @@ GROUP BY r_name, n_name
 """
 
 
+def q_d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse k=16
+    clustering of the embedding space, near-dup search ONLY within each
+    cluster, greedy keep-lowest-id.  Deterministic first-n centroids so
+    the full pipeline — assignment argmax, within-cell pair scores, keep
+    flags — replays in the oracle."""
+    e = load_table(spark, sf, "embeddings")
+    return semantic_dedup(e, n_clusters=16, threshold=0.40)
+
+
+O_D_SEMANTIC_DEDUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, ev, centroid_id FROM (
+    SELECT v.vec_id, v.ev, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_inner_product(v.ev, c.cv) / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(list_inner_product(c.cv, c.cv))), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1
+),
+u AS (SELECT vec_id, centroid_id,
+             list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+      FROM asg),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM u a JOIN u b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE round(list_inner_product(a.uv, b.uv), 4) >= 0.40
+)
+SELECT u.vec_id, u.centroid_id AS cluster_id, d.vec_id IS NULL AS keep
+FROM u LEFT JOIN dups d ON u.vec_id = d.vec_id
+"""
+
+
+_MIXTURE_WEIGHTS = {"en": 0.25, "de": 0.25, "es": 0.25, "fr": 0.25}
+
+
+def q_p_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture resampling: downsample the corpus so the surviving
+    language proportions match the target mixture (Gopher/The Pile style
+    domain weights) — rates are DERIVED from observed stratum counts
+    (largest feasible output, never upsampling), membership is the
+    portable content-hash bucket test."""
+    from ..operators.sampling import mixture_sample
+
+    d = load_table(spark, sf, "documents")
+    return mixture_sample(d, "text", "lang", _MIXTURE_WEIGHTS).select("doc_id", "lang")
+
+
+def _gen_mixture_oracle(weights: dict[str, float], buckets: int = 10_000) -> str:
+    total = sum(weights.values())
+    in_list = ", ".join(f"'{s}'" for s in weights)
+    wcase = " ".join(
+        f"WHEN '{s}' THEN {w / total!r}" for s, w in weights.items()
+    )
+    return f"""
+WITH inmix AS (SELECT doc_id, lang, text FROM documents WHERE lang IN ({in_list})),
+counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM inmix GROUP BY lang),
+wtab AS (SELECT lang, n, CASE lang {wcase} END AS w FROM counts),
+t AS (SELECT min(n / w) AS t FROM wtab),
+rates AS (SELECT lang, least(1.0, w * t.t / n) AS rate FROM wtab CROSS JOIN t)
+SELECT d.doc_id, d.lang
+FROM inmix d JOIN rates USING (lang)
+WHERE {_portable60_sql("text")} % {buckets} < floor(rate * {buckets})
+"""
+
+
+O_P_MIXTURE = _gen_mixture_oracle(_MIXTURE_WEIGHTS)
+
+
+def q_j9_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """J9 (MERGE INTO analog): apply a keyed I/U/D changelog to a base
+    snapshot with last-writer-wins versioning — changelog compaction
+    (top-1 window per key) + anti join + union.  The changelog is derived
+    deterministically from orders: every order is an update to its
+    customer's row (new keys above 1M are inserts), keys on orders
+    divisible by 37 are deletes."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    base = cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    key = F.when(
+        F.col("o_orderkey") % 41 == 0, F.col("o_custkey") + 1_000_000
+    ).otherwise(F.col("o_custkey"))
+    changes = orders.select(
+        key.alias("c_custkey"),
+        F.concat(F.lit("cdc-"), key.cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+        F.when(F.col("o_orderkey") % 37 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderdate").alias("v_ts"),
+        F.col("o_orderkey").alias("v_id"),
+    )
+    return apply_cdc(base, changes, ["c_custkey"], ["v_ts", "v_id"])
+
+
+O_J9_MERGE = """
+WITH ch AS (
+  SELECT CASE WHEN o_orderkey % 41 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+         'cdc-' || CAST(CASE WHEN o_orderkey % 41 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR) AS c_name,
+         o_totalprice AS c_acctbal,
+         'CDC' AS c_mktsegment,
+         CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_orderdate AS v_ts, o_orderkey AS v_id
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY v_ts DESC, v_id DESC) AS rn
+    FROM ch) WHERE rn = 1
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+FROM customer b
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = b.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+FROM latest WHERE op <> 'D'
+"""
+
+
+def q_p_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value): min/max-
+    scale each dimension to 8-bit buckets from a one-row broadcast
+    aggregate, then bit-interleave — the space-filling-curve layout that
+    bounds every output file's span in BOTH dimensions for min/max
+    pruning (the two-access-path problem the reference solves with two
+    B-tree indexes, ``populate_db_ru_v1.py:175-179``).  Pure integer/
+    bit arithmetic, replayed exactly by the oracle."""
+    from ..operators.layout import zorder_key
+
+    ev = load_table(spark, sf, "events")
+    return zorder_key(ev, ["user_id", "value"], bits_per_dim=8).select(
+        "event_id", "zkey"
+    )
+
+
+def _gen_zorder_oracle(bits_per_dim: int = 8) -> str:
+    top = (1 << bits_per_dim) - 1
+    terms = []
+    for d, c in enumerate(("b_user", "b_val")):
+        for i in range(bits_per_dim):
+            terms.append(f"(({c} // {1 << i}) % 2) * {1 << (i * 2 + d)}")
+    zexpr = "\n         + ".join(terms)
+    return f"""
+WITH stats AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         min(value) AS lo_v, max(value) AS hi_v
+  FROM events
+), b AS (
+  -- CAST to BIGINT: duckdb's // on DOUBLE is plain division, so the
+  -- interleave's floor-div/mod bit extraction needs integer operands
+  SELECT event_id,
+         CAST(least(CASE WHEN hi_u - lo_u > 0
+                    THEN floor((CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) * {top + 1})
+                    ELSE 0 END, {top}) AS BIGINT) AS b_user,
+         CAST(least(CASE WHEN hi_v - lo_v > 0
+                    THEN floor((value - lo_v) / (hi_v - lo_v) * {top + 1})
+                    ELSE 0 END, {top}) AS BIGINT) AS b_val
+  FROM events CROSS JOIN stats
+)
+SELECT event_id,
+       CAST({zexpr} AS BIGINT) AS zkey
+FROM b
+"""
+
+
+O_P_ZORDER = _gen_zorder_oracle()
+
+
+def q_a8_reaggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: incremental partial re-aggregation — maintain mergeable daily
+    partials (sum/count, decimal-exact) and roll them up to monthly
+    WITHOUT touching raw rows again; the average is re-derived from the
+    merged sums (avg-of-avgs is the classic wrong answer this pins).
+    The at-scale pattern: the expensive raw scan happens once per day,
+    every coarser rollup merges partial state."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.sum(_dec("value")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return daily.groupBy(
+        F.substring("day", 1, 7).alias("month"), "event_type"
+    ).agg(
+        F.sum("_s").cast("double").alias("sum_value"),
+        F.sum("_n").alias("n_events"),
+        (F.sum("_s").cast("double") / F.sum("_n")).alias("avg_value"),
+    )
+
+
+O_A8_REAGG = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         sum(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT substring(day, 1, 7) AS month, event_type,
+       CAST(sum(s) AS DOUBLE) AS sum_value,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(s) AS DOUBLE) / sum(n) AS avg_value
+FROM daily GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2655,6 +2862,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_approx_sketches": q_a5_approx_sketches,
     "s11_stream_dedup": q_s11_stream_dedup,
     "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "p_mixture_sample": q_p_mixture_sample,
+    "j9_merge_upsert": q_j9_merge_upsert,
+    "p_zorder_layout": q_p_zorder_layout,
+    "a8_reaggregate": q_a8_reaggregate,
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -2785,6 +2997,11 @@ ORACLES: dict[str, str] = {
     "s10_session_window": O_S10,
     "s11_stream_dedup": O_S11,
     "sim_ivf_topk_kmeans": O_SIM_IVF_KMEANS,
+    "d_semantic_dedup": O_D_SEMANTIC_DEDUP,
+    "p_mixture_sample": O_P_MIXTURE,
+    "j9_merge_upsert": O_J9_MERGE,
+    "p_zorder_layout": O_P_ZORDER,
+    "a8_reaggregate": O_A8_REAGG,
     "d_exact_dedup": O_D_EXACT,
     "d_ngram_jaccard": O_D_JACCARD,
     "d_dedup_clusters": O_D_CLUSTERS,
