@@ -289,14 +289,25 @@ def q_a5_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     pcts = F.percentile_approx("l_quantity", [0.5, 0.95], 10000)
     band = F.expr("percentile(l_quantity, array(0.48, 0.52, 0.93, 0.97))")
-    agg = li.groupBy("l_returnflag").agg(
+    # TWO aggregations joined on the tiny group key, NOT one: mixing
+    # multi-column countDistinct with heavy-state non-distinct aggregates
+    # makes Spark's EXPAND-based distinct rewrite key the partial phase by
+    # (group, gid, distinct-value) — allocating and merging one HLL/
+    # quantile-summary buffer PER DISTINCT KEY VALUE (measured 53s vs ~4s
+    # at sf0.1; at real scale it simply OOMs).  Split, each side is its
+    # natural plan: EXPAND with counter-sized state / single-pass
+    # partial-merged sketches.  The join is |groups| rows, broadcast.
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("_approx_parts"),
         pcts.alias("_p"),
         band.alias("_b"),
     )
+    agg = exact.join(F.broadcast(sketches), "l_returnflag")
     rel_ok = lambda approx, exact: (  # noqa: E731
         F.abs(approx.cast("double") - F.col(exact)) / F.col(exact) <= F.lit(0.05)
     )
