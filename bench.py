@@ -45,9 +45,22 @@ def main() -> None:
     # and shuffle machinery).  Steady-state timings are what a long-lived
     # cluster session would see.
     spark.range(1000).selectExpr("sum(id)").collect()
-    QUERIES["flagship_q5_revenue"](spark, "/root/testdata/sf0.001").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # Warm EVERY query once at the smallest SF before timing anything:
+    # whole-stage-codegen classes are compiled per operator family and the
+    # C2 JIT needs executions before steady state — with only a single
+    # generic warmup, the first timed family still pays compilation and
+    # min_of_2 under-converges (measured: barriered dedup queries kept
+    # dropping run over run, 8.4s -> 4.8s -> 4.1s).  sf0.001 executes the
+    # identical generated code at ~1% of the data, so the whole warm pass
+    # costs seconds and the sf0.1 timings below measure steady-state
+    # compute, which is what a long-lived cluster session pays.
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception:
+            pass  # a warm-up failure surfaces in the timed run below
 
     # min of 2 runs per query: the first execution of an operator family
     # pays one-time JVM JIT/codegen compilation (measured ~2x on the

@@ -170,6 +170,7 @@ def ivf_topk(
     centroids: str = "first_n",
     kmeans_seed: int = 7,
     kmeans_train_filter: Column | None = None,
+    kmeans_max_iter: int = 20,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantization + probed search.
 
@@ -194,6 +195,7 @@ def ivf_topk(
             vec_col,
             n_centroids,
             seed=kmeans_seed,
+            max_iter=kmeans_max_iter,
             train_filter=kmeans_train_filter,
         )
     elif centroids == "first_n":
