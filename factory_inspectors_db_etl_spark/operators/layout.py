@@ -50,7 +50,10 @@ def zorder_key(
 
     The per-column min/max come from ONE partial-aggregated scan whose
     1-row result is broadcast back — the main scan is never shuffled.
-    Constant dimensions (min == max) map to bucket 0.
+    Constant dimensions (min == max) map to bucket 0.  NULL dimension
+    values land in the TOP bucket (both Spark's and DuckDB's ``least``
+    skip NULL operands), identically in engine and oracle — filter or
+    impute first if that placement is wrong for the workload.
     """
     aggs = []
     for c in cols:

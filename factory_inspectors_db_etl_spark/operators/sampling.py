@@ -122,9 +122,12 @@ def mixture_sample(
     """
     if not target_weights:
         raise ValueError("target_weights must be non-empty")
+    if any(w <= 0 for w in target_weights.values()):
+        # a zero/negative weight silently drains EVERY stratum (the
+        # feasible-total min goes non-positive); zero-weight strata are
+        # expressed by omitting them
+        raise ValueError("every target weight must be > 0; omit a stratum to drop it")
     total_w = sum(target_weights.values())
-    if total_w <= 0:
-        raise ValueError("target_weights must sum to a positive value")
     names = list(target_weights)
     wexpr = None
     for s in names:

@@ -2841,6 +2841,48 @@ FROM daily GROUP BY 1, 2
 """
 
 
+def q_a9_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A9: the SKETCH side of a8's partial-reaggregation story — distinct
+    users per (month, event_type) from MERGED daily HLL sketches
+    (``hll_sketch_agg`` per day, ``hll_union_agg`` to month), never
+    rescanning raw rows.  This is why mergeable sketches exist: exact
+    distinct state cannot be rolled up (distinct-of-day != sum), sketches
+    union freely across any regrouping.  Contract oracle like a5: the
+    exact monthly distinct count is hash-checked, plus a boolean pinning
+    the merged estimate within 5% of it (lgK=12 => rse ~1.6%, so 5% is
+    wide).  The exact side exists only to judge the sketch; at 100 TB
+    only the daily sketch pass touches raw data."""
+    ev = load_table(spark, sf, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    daily = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    monthly = daily.groupBy(
+        F.substring("day", 1, 7).alias("month"), "event_type"
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"))
+    exact = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(F.broadcast(monthly), ["month", "event_type"]).select(
+        "month",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("merged_est_ok"),
+    )
+
+
+O_A9_SKETCH_ROLLUP = """
+SELECT strftime(ts, '%Y-%m') AS month, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_est_ok
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2892,6 +2934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j9_merge_upsert": q_j9_merge_upsert,
     "p_zorder_layout": q_p_zorder_layout,
     "a8_reaggregate": q_a8_reaggregate,
+    "a9_sketch_rollup": q_a9_sketch_rollup,
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -3027,6 +3070,7 @@ ORACLES: dict[str, str] = {
     "j9_merge_upsert": O_J9_MERGE,
     "p_zorder_layout": O_P_ZORDER,
     "a8_reaggregate": O_A8_REAGG,
+    "a9_sketch_rollup": O_A9_SKETCH_ROLLUP,
     "d_exact_dedup": O_D_EXACT,
     "d_ngram_jaccard": O_D_JACCARD,
     "d_dedup_clusters": O_D_CLUSTERS,
