@@ -1,4 +1,5 @@
 from .ops import (  # noqa: F401
+    cdc_snapshot_upsert,
     run_available_now,
     session_counts,
     sliding_counts,

@@ -326,6 +326,55 @@ def stream_roster_rows(spark: SparkSession, dir_glob: str) -> DataFrame:
     return raw.mapInPandas(parse_content_batches, READER_SCHEMA)
 
 
+def cdc_snapshot_upsert(
+    snapshot_dir: str,
+    key_cols: list[str],
+    version_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """foreachBatch MERGE: returns the batch function for a streaming
+    changelog writer — each micro-batch is applied to the parquet
+    snapshot through ``operators.merge.apply_cdc`` (compaction +
+    last-writer-wins upsert/delete), the streaming continuation of the
+    batch ``j9`` merge and of the reference's per-file commit loop
+    (``populate_db_ru_v1.py:765-769``).
+
+    Snapshot replacement is a local-FS two-phase swap (write staging,
+    swap directories) — atomic enough for a single writer; a cluster
+    deployment replaces the body with MERGE INTO on a transactional
+    table format (Delta/Iceberg), same apply_cdc semantics.  Sequential
+    per-batch application equals one global apply as long as the
+    version columns order consistently with batch arrival (exactly the
+    at-least-once contract the version tiebreak exists for) —
+    equivalence pinned in tests/test_streaming.py.
+    """
+    import os
+    import shutil
+
+    from ..operators.merge import apply_cdc
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base_cols = [c for c in batch_df.columns if c not in (op_col, *version_cols)]
+        try:
+            base = spark.read.parquet(snapshot_dir)
+        except Exception:  # noqa: BLE001 — first batch: empty snapshot
+            base = batch_df.select(*base_cols).limit(0)
+        out = apply_cdc(base, batch_df, key_cols, version_cols, op_col, delete_op)
+        staging = f"{snapshot_dir}._staging_{batch_id}"
+        # the write reads the CURRENT snapshot while producing staging,
+        # then the swap publishes it
+        out.write.mode("overwrite").parquet(staging)
+        old = f"{snapshot_dir}._old_{batch_id}"
+        if os.path.exists(snapshot_dir):
+            os.rename(snapshot_dir, old)
+        os.rename(staging, snapshot_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return _apply
+
+
 def run_available_now(stream: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
     into an in-memory table and return it as a batch DataFrame.

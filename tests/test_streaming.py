@@ -460,3 +460,58 @@ def test_foreachbatch_incremental_dim_maintenance(spark, tmp_path):
     assert all(ids2[k] == v for k, v in ids1.items())
     assert set(ids2) == {"alice", "bob", "carol", "dave", "eve"}
     assert sorted(ids2.values()) == [1, 2, 3, 4, 5]
+
+
+def test_streaming_cdc_apply_equals_batch_merge(spark, tmp_path):
+    """Streaming MERGE (cdc_snapshot_upsert in foreachBatch) applied
+    batch-by-batch must equal ONE batch apply_cdc over the concatenated
+    changelog — including a delete resurrected by a later-version update
+    arriving in a later micro-batch."""
+    from factory_inspectors_db_etl_spark.operators.merge import apply_cdc
+    from factory_inspectors_db_etl_spark.streaming.ops import cdc_snapshot_upsert
+
+    src = tmp_path / "changes_in"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k int, name string, bal double, op string, v int"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .format("csv")
+            .load(str(src))
+            .writeStream.foreachBatch(cdc_snapshot_upsert(snap, ["k"], ["v"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # seed snapshot via the first batch (pure inserts)
+    (src / "b1.csv").write_text("1,one,10.0,U,1\n2,two,20.0,U,1\n3,three,30.0,U,1\n")
+    run_once()
+    # second batch: update k=1, delete k=2, insert k=4
+    (src / "b2.csv").write_text("1,one-b,11.0,U,2\n2,gone,0.0,D,2\n4,four,40.0,U,2\n")
+    run_once()
+    # third batch: delete k=3 then resurrect via later version
+    (src / "b3.csv").write_text("3,dead,0.0,D,3\n3,three-c,33.0,U,4\n")
+    run_once()
+
+    got = {r["k"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()}
+
+    all_changes = spark.createDataFrame(
+        [
+            (1, "one", 10.0, "U", 1), (2, "two", 20.0, "U", 1), (3, "three", 30.0, "U", 1),
+            (1, "one-b", 11.0, "U", 2), (2, "gone", 0.0, "D", 2), (4, "four", 40.0, "U", 2),
+            (3, "dead", 0.0, "D", 3), (3, "three-c", 33.0, "U", 4),
+        ],
+        schema,
+    )
+    empty_base = all_changes.select("k", "name", "bal").limit(0)
+    want = {
+        r["k"]: (r["name"], r["bal"])
+        for r in apply_cdc(empty_base, all_changes, ["k"], ["v"]).collect()
+    }
+    assert got == want
+    assert got == {1: ("one-b", 11.0), 3: ("three-c", 33.0), 4: ("four", 40.0)}
