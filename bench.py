@@ -54,13 +54,23 @@ def main() -> None:
     # identical generated code at ~1% of the data, so the whole warm pass
     # costs seconds and the sf0.1 timings below measure steady-state
     # compute, which is what a long-lived cluster session pays.
+    warm_failures = 0
     for name in HEADLINE:
         try:
             QUERIES[name](spark, "/root/testdata/sf0.001").write.mode(
                 "overwrite"
             ).format("noop").save()
         except Exception:
-            pass  # a warm-up failure surfaces in the timed run below
+            warm_failures += 1  # a per-query failure surfaces in its timed run
+    if warm_failures:
+        # an environment-level failure (e.g. missing sf0.001 dir) silently
+        # skipping the whole warm pass would re-inflate first-run timings
+        # 2-3x with no trace — say so loudly
+        print(
+            f"WARNING: {warm_failures}/{len(HEADLINE)} warm-up runs failed; "
+            "timings below may include one-time JIT/codegen cost",
+            file=sys.stderr,
+        )
 
     # min of 2 runs per query: the first execution of an operator family
     # pays one-time JVM JIT/codegen compilation (measured ~2x on the

@@ -78,6 +78,9 @@ def apply_cdc(
     when AQE broadcasts the compacted change set.
     """
     latest = latest_changes(changes, key_cols, version_cols)
-    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    # null-safe: a NULL op is an upsert, not a delete — with a plain !=
+    # the predicate is NULL, the row drops out of the upserts, and the
+    # key would silently vanish (anti join still removes the base row)
+    upserts = latest.filter(~F.col(op_col).eqNullSafe(delete_op)).select(*base.columns)
     untouched = base.join(latest.select(*key_cols), on=key_cols, how="left_anti")
     return untouched.unionByName(upserts)

@@ -110,7 +110,13 @@ def mixture_sample(
     weight ``w_s``, the largest feasible output is ``T = min_s(n_s /
     w_s)`` total rows, giving ``rate_s = w_s * T / n_s <= 1`` (the
     binding stratum keeps 100%).  Strata absent from ``target_weights``
-    are dropped — weight 0 in the target mixture.
+    are dropped — weight 0 in the target mixture.  The converse — a
+    TARGETED stratum with zero observed rows — cannot be satisfied by
+    downsampling at all; it is excluded from the feasibility min (the
+    other strata still mix correctly among themselves) rather than
+    collapsing the whole output to empty.  Callers needing the strict
+    reading (unattainable mixture = error) should assert observed
+    stratum coverage up front.
 
     Plan at scale: one partial-aggregated count per stratum (tiny
     result), the feasible total as a 1-row aggregate cross-joined back,
@@ -146,9 +152,14 @@ def mixture_sample(
         F.least(F.lit(1.0), F.col("_w") * F.col("_t") / F.col("_n")).alias("_rate"),
     )
     bucket = hash_bucket(F.col(key_col), buckets, salt)
+    # +1e-9 before floor: the binding stratum's rate is w*(n/w)/n, which
+    # floating point may evaluate one ulp under 1.0 — without the epsilon
+    # floor() would drop the top hash bucket (~1/buckets of the stratum),
+    # breaking the "binding stratum keeps 100%" contract.  The oracle
+    # applies the identical epsilon (same doubles, same result).
     return (
         in_mix.join(F.broadcast(rates), stratum_col)
-        .filter(bucket < F.floor(F.col("_rate") * buckets).cast("long"))
+        .filter(bucket < F.floor(F.col("_rate") * buckets + 1e-9).cast("long"))
         .drop("_rate")
     )
 

@@ -135,6 +135,36 @@ def kmeans_centroids(
     )
 
 
+def _resolve_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    centroids: str,
+    kmeans_seed: int,
+    kmeans_train_filter: Column | None,
+    kmeans_max_iter: int,
+) -> DataFrame:
+    """Centroid-set dispatch shared by ``ivf_topk`` and
+    ``semantic_dedup``: deterministic first-n corpus vectors
+    (oracle-checkable) or spherical-k-means-trained centers (the
+    production path)."""
+    if centroids == "kmeans":
+        return kmeans_centroids(
+            corpus,
+            vec_col,
+            n_centroids,
+            seed=kmeans_seed,
+            max_iter=kmeans_max_iter,
+            train_filter=kmeans_train_filter,
+        )
+    if centroids == "first_n":
+        return corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
+        )
+    raise ValueError(f"unknown centroids mode {centroids!r}: first_n | kmeans")
+
+
 def _assign_cells(
     df: DataFrame, cents: DataFrame, out_id: str, vec_out: str, top: int
 ) -> DataFrame:
@@ -189,21 +219,10 @@ def ivf_topk(
     one scan + broadcast, and the probe join shuffles on the (small-int)
     cell id.
     """
-    if centroids == "kmeans":
-        cents = kmeans_centroids(
-            corpus,
-            vec_col,
-            n_centroids,
-            seed=kmeans_seed,
-            max_iter=kmeans_max_iter,
-            train_filter=kmeans_train_filter,
-        )
-    elif centroids == "first_n":
-        cents = corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
-        )
-    else:
-        raise ValueError(f"unknown centroids mode {centroids!r}: first_n | kmeans")
+    cents = _resolve_centroids(
+        corpus, id_col, vec_col, n_centroids, centroids,
+        kmeans_seed, kmeans_train_filter, kmeans_max_iter,
+    )
 
     c = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
@@ -277,6 +296,7 @@ def semantic_dedup(
     centroids: str = "first_n",
     kmeans_seed: int = 7,
     kmeans_train_filter: Column | None = None,
+    kmeans_max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then search
@@ -299,20 +319,10 @@ def semantic_dedup(
     aggregation over the dup pairs joined back — shuffles are sized by
     the cluster cells, not the corpus square.
     """
-    if centroids == "kmeans":
-        cents = kmeans_centroids(
-            vectors,
-            vec_col,
-            n_clusters,
-            seed=kmeans_seed,
-            train_filter=kmeans_train_filter,
-        )
-    elif centroids == "first_n":
-        cents = vectors.filter(F.col(id_col) < n_clusters).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent")
-        )
-    else:
-        raise ValueError(f"unknown centroids mode {centroids!r}: first_n | kmeans")
+    cents = _resolve_centroids(
+        vectors, id_col, vec_col, n_clusters, centroids,
+        kmeans_seed, kmeans_train_filter, kmeans_max_iter,
+    )
 
     assigned = _assign_cells(
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),

@@ -2699,7 +2699,7 @@ t AS (SELECT min(n / w) AS t FROM wtab),
 rates AS (SELECT lang, least(1.0, w * t.t / n) AS rate FROM wtab CROSS JOIN t)
 SELECT d.doc_id, d.lang
 FROM inmix d JOIN rates USING (lang)
-WHERE {_portable60_sql("text")} % {buckets} < floor(rate * {buckets})
+WHERE {_portable60_sql("text")} % {buckets} < floor(rate * {buckets} + 1e-9)
 """
 
 
@@ -2971,15 +2971,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
     "f11_typed_date": q_f11_typed_date,
     "a1_pricing_summary": q_a1_pricing_summary,
+    # ---------------- 50-slot window boundary (position 50 above) ----------------
+    # everything below holds a green driver row from r2/r3 and is
+    # re-verified locally per round (the round-4 additions pushed six
+    # former window entries — a2/a3/a3b/a3c/a4/j1, all r3-green — past
+    # the boundary; rotate them forward again in round 5)
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
     "a3c_grouping_sets": q_a3c_grouping_sets,
     "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
-    # ---------------- 50-slot window boundary ----------------
-    # everything below holds a green driver row from r2/r3 and is
-    # re-verified locally per round
     "j2_surrogate_dim": q_j2_surrogate_dim,
     "j3_nullsafe_join": q_j3_nullsafe_join,
     "a6_pivot": q_a6_pivot,

@@ -55,10 +55,20 @@ class HtmlRosterReader(DataSourceReader):
                 f"got non-local path {path!r} — copy the corpus locally or use the "
                 f"mapInPandas reader in sources/html_table.py over a distributed FS"
             )
-        self._paths = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+        if path.startswith("file://"):
+            # glob.glob/open take plain paths — strip the accepted scheme
+            # (file:///x -> /x), otherwise the whitelist is unusable
+            path = path[len("file://"):]
+        import os as _os
+
+        if any(c in path for c in "*?["):
+            self._paths = sorted(_glob.glob(path))
+        else:
+            # fail at load() time, not with a confusing task error in read()
+            self._paths = [path] if _os.path.exists(path) else []
         if not self._paths:
             raise FileNotFoundError(
-                f"html_roster: glob {path!r} matched no files "
+                f"html_roster: path {path!r} matched no files "
                 f"(a typo'd path would otherwise yield an empty DataFrame)"
             )
 

@@ -348,7 +348,16 @@ def cdc_snapshot_upsert(
     version columns order consistently with batch arrival (exactly the
     at-least-once contract the version tiebreak exists for) —
     equivalence pinned in tests/test_streaming.py.
+
+    Failure posture: first-batch detection is an explicit existence
+    check, NEVER exception-swallowing — a transient read failure raises
+    instead of silently replaying the batch against an empty base (which
+    would publish a snapshot missing all prior history).  A crash
+    between the two swap renames leaves the previous snapshot intact
+    under ``._old_<batch_id>``; the next (retried) batch recovers it
+    before applying.
     """
+    import glob as _glob
     import os
     import shutil
 
@@ -357,9 +366,20 @@ def cdc_snapshot_upsert(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base_cols = [c for c in batch_df.columns if c not in (op_col, *version_cols)]
-        try:
-            base = spark.read.parquet(snapshot_dir)
-        except Exception:  # noqa: BLE001 — first batch: empty snapshot
+        if not os.path.exists(snapshot_dir):
+            # crash recovery: a death between the two renames leaves the
+            # published snapshot as ._old_<id> — restore the newest one
+            olds = sorted(_glob.glob(f"{snapshot_dir}._old_*"))
+            if olds:
+                os.rename(olds[-1], snapshot_dir)
+        # stale staging/old dirs from a retried batch must not collide
+        for stale in _glob.glob(f"{snapshot_dir}._staging_*") + _glob.glob(
+            f"{snapshot_dir}._old_*"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)  # a read failure RAISES
+        else:
             base = batch_df.select(*base_cols).limit(0)
         out = apply_cdc(base, batch_df, key_cols, version_cols, op_col, delete_op)
         staging = f"{snapshot_dir}._staging_{batch_id}"

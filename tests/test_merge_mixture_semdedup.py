@@ -204,3 +204,15 @@ def test_semantic_dedup_kmeans_variant_same_contract(vectors):
     dropped = {r["vec_id"] for r in rows if not r["keep"]}
     # trained centroids still put each planted dup with its source
     assert {i for i in range(100, 120, 2)} <= dropped
+
+
+def test_apply_cdc_null_op_is_upsert_not_delete(spark):
+    """A NULL op must behave as an upsert: with a plain != predicate it
+    evaluates to NULL, drops out of the upserts, and the key silently
+    vanishes (the anti join still removes the base row)."""
+    base = spark.createDataFrame([(1, "one", 1.0)], ["k", "name", "bal"])
+    changes = spark.createDataFrame(
+        [(1, "one-null-op", 9.0, None, 1)], "k int, name string, bal double, op string, v int"
+    )
+    out = {r["k"]: (r["name"], r["bal"]) for r in apply_cdc(base, changes, ["k"], ["v"]).collect()}
+    assert out == {1: ("one-null-op", 9.0)}
