@@ -180,3 +180,41 @@ def language_guess_from_tokens(toks: Column) -> Column:
         expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
         best = F.greatest(hits, best)
     return expr
+
+
+# -- span-level dedup + hashed linear classifier (extension M6) --------------
+
+def word_chunks(text: Column, size: int = 20) -> Column:
+    """Split a document into fixed-``size`` word spans ("pseudo-
+    paragraphs" for corpora without structural breaks): array of span
+    strings, last span ragged.  Pure columnar (split + sequence +
+    slice), replayable verbatim in SQL."""
+    words = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(size)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
+    )
+
+
+def hashed_linear_score(text: Column, weights: list[float], buckets: int | None = None) -> Column:
+    """Deterministic hashed linear text classifier (the fasttext-style
+    bag-of-hashed-tokens model, Joulin et al. '16, minus training):
+    each token hashes into one of ``len(weights)`` buckets via the
+    portable md5 family and contributes that bucket's weight; the score
+    is the mean contribution.  With trained weights this IS a linear
+    quality/topic classifier at scan speed (zero shuffles, no UDF); the
+    fixed-weight form here keeps it deterministic and oracle-verifiable.
+    Returns the LINEAR score (no sigmoid: libm exp differs across
+    engines in ulps; monotone, so thresholding is equivalent)."""
+    from .dedup import portable_hash60
+
+    buckets = buckets or len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(F.lower(text))
+    contrib = F.transform(
+        toks, lambda t: F.element_at(warr, (portable_hash60(t) % buckets + 1).cast("int"))
+    )
+    n = F.size(toks)
+    total = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))

@@ -2883,6 +2883,109 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_t_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact dedup with document reassembly (the paragraph-
+    dedup pass of RefinedWeb/Dolma-style pipelines, applied to 20-word
+    spans since the synthetic corpus has no structural breaks): every
+    span that already appeared earlier in the corpus — boilerplate,
+    repeated headers — is dropped, and each document is rebuilt from its
+    surviving spans.  First-occurrence wins globally, ordered by
+    (doc_id, span position).
+
+    Plan: explode to spans (scan-speed), ONE window shuffle on the span
+    digest to pick winners, ONE groupBy shuffle on doc_id to reassemble
+    — collect_list skips the NULL-ed dropped spans, so a single pass
+    computes totals, kept counts, and the rebuilt text."""
+    d = load_table(spark, sf, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(TA.word_chunks(F.col("text"), 20)).alias("chunk_idx", "chunk"),
+    )
+    w = W.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("_keep"), F.struct("chunk_idx", "chunk"))
+    return flagged.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["chunk"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        (F.count(F.lit(1)) - F.count(F.when(F.col("_keep"), 1))).alias("n_spans_dropped"),
+    )
+
+
+O_T_SPAN_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         array_to_string(words[i*20+1 : (i+1)*20], ' ') AS chunk
+  FROM w, unnest(range(greatest(CAST(ceil(len(words) / 20.0) AS BIGINT), 1))) AS t(i)
+), k AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM c
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_idx), '') AS clean_text,
+       CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_spans_dropped
+FROM k GROUP BY doc_id
+"""
+
+
+def _gen_cls_weights(n: int = 64, seed: int = 99) -> list[float]:
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [round(rng.uniform(-1, 1), 6) for _ in range(n)]
+
+
+_CLS_WEIGHTS = _gen_cls_weights()
+
+
+def q_t_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed linear text classifier at scan speed (fasttext-style
+    bag-of-hashed-tokens, Joulin et al. '16): tokens hash into 64 weight
+    buckets via the portable md5 family, score = mean bucket weight.
+    Deterministic fixed weights stand in for a trained model — the
+    PLUMBING (hashing, lookup, fold, thresholding; zero shuffles, no
+    UDF) is the operator under test, and the oracle replays it bucket
+    for bucket."""
+    d = load_table(spark, sf, "documents")
+    score = TA.hashed_linear_score(F.col("text"), _CLS_WEIGHTS)
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("lm_score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def _gen_classifier_oracle(weights: list[float]) -> str:
+    warr = "[" + ", ".join(repr(w) for w in weights) + "]"
+    h = _portable60_sql("t")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk FROM documents
+), contrib AS (
+  SELECT doc_id,
+         list_transform(tk, t -> (CAST({warr} AS DOUBLE[]))[CAST({h} % {len(weights)} + 1 AS INTEGER)]) AS cs,
+         len(tk) AS n
+  FROM toks
+)
+SELECT doc_id,
+       round(CASE WHEN n > 0 THEN list_reduce(cs, (a, b) -> a + b) / n ELSE 0.0 END, 6) AS lm_score,
+       (CASE WHEN n > 0 THEN list_reduce(cs, (a, b) -> a + b) / n ELSE 0.0 END) > 0 AS keep
+FROM contrib
+"""
+
+
+O_T_QUALITY_CLS = _gen_classifier_oracle(_CLS_WEIGHTS)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2935,6 +3038,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_zorder_layout": q_p_zorder_layout,
     "a8_reaggregate": q_a8_reaggregate,
     "a9_sketch_rollup": q_a9_sketch_rollup,
+    "t_span_dedup": q_t_span_dedup,
+    "t_quality_classifier": q_t_quality_classifier,
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -2969,13 +3074,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
+    # ------- 50-slot window boundary (f10_dict_canonicalize is position 50) -------
+    # everything below holds a green driver row from r2/r3 and is
+    # re-verified locally per round.  The round-4 additions pushed eight
+    # former window entries — f11/a1/a2/a3/a3b/a3c/a4/j1, all r3-green —
+    # past the boundary; rotate them forward again in round 5.  (Keep
+    # this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # not by eyeballing; tests/test_plan_shapes.py pins it.)
     "f11_typed_date": q_f11_typed_date,
     "a1_pricing_summary": q_a1_pricing_summary,
-    # ---------------- 50-slot window boundary (position 50 above) ----------------
-    # everything below holds a green driver row from r2/r3 and is
-    # re-verified locally per round (the round-4 additions pushed six
-    # former window entries — a2/a3/a3b/a3c/a4/j1, all r3-green — past
-    # the boundary; rotate them forward again in round 5)
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
@@ -3073,6 +3180,8 @@ ORACLES: dict[str, str] = {
     "p_zorder_layout": O_P_ZORDER,
     "a8_reaggregate": O_A8_REAGG,
     "a9_sketch_rollup": O_A9_SKETCH_ROLLUP,
+    "t_span_dedup": O_T_SPAN_DEDUP,
+    "t_quality_classifier": O_T_QUALITY_CLS,
     "d_exact_dedup": O_D_EXACT,
     "d_ngram_jaccard": O_D_JACCARD,
     "d_dedup_clusters": O_D_CLUSTERS,

@@ -223,3 +223,22 @@ def test_a5_sketch_aggregates_not_under_distinct_expand(spark, sf_dir):
     # aggregate nodes (an Expand feeding them would sit between)
     for chunk in plan.split("Expand")[1:]:
         assert "hll_sketch_agg" not in chunk.split("Exchange")[0]
+
+
+def test_driver_window_boundary_comment_is_accurate():
+    """The registry's '50-slot window boundary' comment must name the key
+    actually at position 50 — the external driver verifies the FIRST 50
+    dict keys, and round 4's review found the comment six entries adrift,
+    silently misreporting which queries get driver rows."""
+    import re
+    import inspect
+
+    from factory_inspectors_db_etl_spark.plans import catalog
+
+    src = inspect.getsource(catalog)
+    m = re.search(r"window boundary \((\w+) is position 50\)", src)
+    assert m, "boundary comment missing or reworded — keep the '(NAME is position 50)' form"
+    assert list(QUERIES)[49] == m.group(1), (
+        f"boundary comment names {m.group(1)!r} but position 50 is {list(QUERIES)[49]!r}; "
+        "move the comment (count with list(QUERIES).index(name))"
+    )
