@@ -252,6 +252,113 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    m: int = 8,
+    codewords: int = 16,
+    round_to: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): split each
+    vector into ``m`` subspaces, quantize every subvector to its nearest
+    of ``codewords`` per-subspace codewords, and score query-corpus
+    pairs by ADC — summing the query's precomputed dot product with each
+    assigned codeword.  The corpus is then ``m`` small integers per
+    vector instead of ``dim`` floats (here 8 codes for 64 floats — the
+    memory collapse that makes billion-vector search fit in RAM), and a
+    pair score is ``m`` table lookups instead of a ``dim``-wide dot.
+
+    Codebooks are the first ``codewords`` corpus vectors' subvectors
+    (deterministic, the same anchor choice as ivf_topk's ``first_n`` —
+    k-means-trained codebooks swap in exactly like ``kmeans_centroids``
+    does there, without changing the plan).  All distances use the
+    expanded form ``ip(x,x) - 2·ip(x,c) + ip(c,c)`` (three sequential-
+    sum inner products — cross-engine reproducible, no elementwise
+    temporary); argmin is a ``min(struct(dist, codeword))`` partial
+    aggregation, NOT a window — map-side combine collapses the
+    ``codewords``-way comparison before any shuffle.  ADC table entries
+    are rounded then scaled to exact integers so the per-pair sum is
+    associative — immune to aggregation order, hash-identical in any
+    engine.
+
+    Plan at scale: one broadcast join (tiny codebook) + one aggregation
+    to encode the corpus, the same to build query tables, one equi-join
+    on (subspace, code) + one aggregation to score, one top-k window.
+    No cartesian; the only per-pair work is integer addition.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d = dim // m
+
+    def subspaces(df: DataFrame, out_id: str) -> DataFrame:
+        slices = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.slice(F.col(vec_col), s * d + 1, d), lambda x: x.cast("double")
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(slices).alias("s", "sv")
+        )
+
+    sub = subspaces(corpus, "nid")
+    csub = subspaces(corpus.filter(F.col(id_col) < codewords), "c").select(
+        "c", "s", F.col("sv").alias("cs")
+    )
+    dist = F.round(
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cs"))
+        + dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    enc = (
+        sub.join(F.broadcast(csub), "s")
+        .select("nid", "s", F.struct(dist.alias("d"), F.col("c")).alias("_dc"))
+        .groupBy("nid", "s")
+        .agg(F.min("_dc").alias("_best"))
+        .select("nid", "s", F.col("_best.c").alias("code"))
+    )
+    qsub = subspaces(queries, "qid")
+    # round at the INTEGER scale, not round(x,6)*1e6-then-cast: the scaled
+    # product can land at .99999... and Spark's long cast truncates where
+    # another engine's rounds — round(x*1e6) is exact and identical
+    # everywhere (both engines round halves away from zero)
+    qt = (
+        qsub.join(F.broadcast(csub), "s")
+        .select(
+            "qid",
+            "s",
+            "c",
+            F.round(dot(F.col("sv"), F.col("cs")) * 1_000_000)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(qt), (enc["s"] == qt["s"]) & (enc["code"] == qt["c"]))
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.round(F.sum("w") / 1_000_000, round_to).alias("approx_score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_score").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "approx_score",
+            "rank",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

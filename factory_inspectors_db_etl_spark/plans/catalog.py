@@ -2986,6 +2986,52 @@ FROM contrib
 O_T_QUALITY_CLS = _gen_classifier_oracle(_CLS_WEIGHTS)
 
 
+def q_sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou '11): 64-dim vectors become
+    8 codebook ids; pair scores are 8 integer table lookups.  The third
+    ANN family next to LSH buckets and IVF cells — deterministic first-n
+    codebooks make the full pipeline (encoding argmin, ADC tables,
+    integer-exact score sums) oracle-replayable."""
+    from ..operators.similarity import pq_topk
+
+    e = load_table(spark, sf, "embeddings")
+    return pq_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, m=8, codewords=16)
+
+
+O_SIM_PQ = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+sub AS (
+  SELECT vec_id AS nid, CAST(s AS INTEGER) AS s, ev[s*8+1 : (s+1)*8] AS sv
+  FROM v, unnest(range(8)) t(s)
+),
+csub AS (SELECT nid AS c, s, sv AS cs FROM sub WHERE nid < 16),
+enc AS (
+  SELECT nid, s,
+         (min({'d': round(list_inner_product(sv, sv)
+                          - 2 * list_inner_product(sv, cs)
+                          + list_inner_product(cs, cs), 6),
+               'c': c})).c AS code
+  FROM sub JOIN csub USING (s)
+  GROUP BY nid, s
+),
+qt AS (
+  SELECT sub.nid AS qid, s, c,
+         CAST(round(list_inner_product(sv, cs) * 1000000, 0) AS BIGINT) AS w
+  FROM sub JOIN csub USING (s) WHERE sub.nid < 10
+),
+scored AS (
+  SELECT qid, nid, round(CAST(sum(w) AS DOUBLE) / 1000000, 4) AS approx_score
+  FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.c
+  WHERE qid != nid
+  GROUP BY qid, nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, approx_score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_score DESC, nid ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3040,6 +3086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_sketch_rollup": q_a9_sketch_rollup,
     "t_span_dedup": q_t_span_dedup,
     "t_quality_classifier": q_t_quality_classifier,
+    "sim_pq_topk": q_sim_pq_topk,
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -3073,14 +3120,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f5_regex_extract": q_f5_regex_extract,
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
-    "f10_dict_canonicalize": q_f10_dict_canonicalize,
-    # ------- 50-slot window boundary (f10_dict_canonicalize is position 50) -------
+    # ------- 50-slot window boundary (f9_case_ladder is position 50) -------
     # everything below holds a green driver row from r2/r3 and is
-    # re-verified locally per round.  The round-4 additions pushed eight
-    # former window entries — f11/a1/a2/a3/a3b/a3c/a4/j1, all r3-green —
-    # past the boundary; rotate them forward again in round 5.  (Keep
-    # this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # not by eyeballing; tests/test_plan_shapes.py pins it.)
+    # re-verified locally per round.  The round-4 additions pushed nine
+    # former window entries — f10/f11/a1/a2/a3/a3b/a3c/a4/j1, all
+    # r3-green — past the boundary; rotate them forward again in round
+    # 5.  (Keep this comment in sync by COUNTING —
+    # list(QUERIES).index(name) — tests/test_plan_shapes.py pins it.)
+    "f10_dict_canonicalize": q_f10_dict_canonicalize,
     "f11_typed_date": q_f11_typed_date,
     "a1_pricing_summary": q_a1_pricing_summary,
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
@@ -3182,6 +3229,7 @@ ORACLES: dict[str, str] = {
     "a9_sketch_rollup": O_A9_SKETCH_ROLLUP,
     "t_span_dedup": O_T_SPAN_DEDUP,
     "t_quality_classifier": O_T_QUALITY_CLS,
+    "sim_pq_topk": O_SIM_PQ,
     "d_exact_dedup": O_D_EXACT,
     "d_ngram_jaccard": O_D_JACCARD,
     "d_dedup_clusters": O_D_CLUSTERS,

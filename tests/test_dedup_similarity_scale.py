@@ -213,3 +213,35 @@ def test_assign_components_auto_falls_back_on_long_chain(spark):
     rows = {r["doc_id"]: (r["component_id"], r["is_canonical"]) for r in got.collect()}
     assert all(c == 0 for c, _ in rows.values())
     assert [d for d, (_, canon) in rows.items() if canon] == [0]
+
+
+def test_pq_topk_contract_and_plan(spark, sf_dir):
+    """PQ/ADC top-k: full verdict coverage per query, codes bounded,
+    no cartesian in the plan, and approximate neighbors overlap the
+    exact brute-force top-k far better than chance."""
+    from factory_inspectors_db_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 10)
+    approx = pq_topk(e, qs, dim=64, k=5, m=8, codewords=16)
+    rows = approx.collect()
+    assert {r["query_id"] for r in rows} == set(range(10))
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    exact = cosine_topk_bruteforce(e, qs, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for r in rows if r["neighbor_id"] in exact_sets[r["query_id"]]
+    )
+    n_corpus = e.count()
+    # chance overlap of two 5-sets from n_corpus candidates is ~25/n;
+    # require at least 20% recall — far above chance for any real corpus
+    assert hits / (5 * 10) >= 0.2, f"PQ recall {hits}/50 vs exact top-5"
