@@ -47,6 +47,7 @@ from ..operators.similarity import (
 )
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
+from .catalog_ext import EXT_ORACLES as _EXT_ORACLES, EXT_QUERIES as _EXT_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3087,6 +3088,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_span_dedup": q_t_span_dedup,
     "t_quality_classifier": q_t_quality_classifier,
     "sim_pq_topk": q_sim_pq_topk,
+    # --- (b2) new in round 4, second batch (plans/catalog_ext.py) ---
+    "a10_histogram": _EXT_QUERIES["a10_histogram"],
+    "j10_salted_join": _EXT_QUERIES["j10_salted_join"],
+    "d_keep_best": _EXT_QUERIES["d_keep_best"],
+    "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
+    "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
+    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -3112,21 +3120,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
     "t_chunk_windows": q_t_chunk_windows,
-    # --- core fills to the 50-slot boundary ---
+    # --- core fill to the 50-slot boundary ---
     "flagship_q5_revenue": flagship,
+    # ------- 50-slot window boundary (flagship_q5_revenue is position 50) -------
+    # everything below holds a green driver row from r2/r3 and is
+    # re-verified locally per round.  The round-4 additions pushed
+    # fifteen former window entries — s1/f1/f2/f5/f8/f9 (r3-green, moved
+    # this batch) and f10/f11/a1/a2/a3/a3b/a3c/a4/j1 (r3-green) — past
+    # the boundary; rotate them forward again in round 5.  (Keep this
+    # comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
     "s1_filter_project": q_s1_filter_project,
     "f1_standardize": q_f1_standardize,
     "f2_clean_number": q_f2_clean_number,
     "f5_regex_extract": q_f5_regex_extract,
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
-    # ------- 50-slot window boundary (f9_case_ladder is position 50) -------
-    # everything below holds a green driver row from r2/r3 and is
-    # re-verified locally per round.  The round-4 additions pushed nine
-    # former window entries — f10/f11/a1/a2/a3/a3b/a3c/a4/j1, all
-    # r3-green — past the boundary; rotate them forward again in round
-    # 5.  (Keep this comment in sync by COUNTING —
-    # list(QUERIES).index(name) — tests/test_plan_shapes.py pins it.)
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
     "f11_typed_date": q_f11_typed_date,
     "a1_pricing_summary": q_a1_pricing_summary,
@@ -3260,6 +3269,7 @@ ORACLES: dict[str, str] = {
     "m_frame_sample": O_M_FRAME,
     "f1_standardize": O_F1,
     "u3_grouped_agg_udaf": O_U3,
+    **_EXT_ORACLES,
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error

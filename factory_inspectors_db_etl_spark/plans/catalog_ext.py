@@ -1,0 +1,488 @@
+"""Round-4 extension catalog: histogramming, skew-salted joins,
+canonical-doc selection, corpus LM scoring, group-wise model fitting,
+and graph centrality.
+
+Same contract as ``plans.catalog``: every query has a DuckDB oracle and
+the pair is registered in ``catalog.QUERIES`` / ``catalog.ORACLES``.
+Cross-engine determinism follows the catalog conventions (exact
+decimal/integer arithmetic everywhere, a single IEEE division/cast at
+the end; see catalog.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.dedup import assign_components, ngram_jaccard_pairs, portable_hash60
+from ..operators.materialize import materialize
+from ..operators import text_analysis as TA
+from ..sources.tables import load_table
+
+
+def _dec(c) -> F.Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(18,2)")
+
+
+def _portable60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# A10: fixed-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25_000.0
+_HIST_BINS = 20
+
+
+def q_a10_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """A10: fixed-width histogram of order value per priority class — the
+    distribution-profiling agg behind every data-quality dashboard.  The
+    bin index is ``least(floor(x / width), n-1)`` computed identically in
+    both engines: one IEEE division (deterministic) whose floor can only
+    be boundary-exact when x is an exact bin multiple, where the division
+    itself is exact.  One shuffle (the groupBy); counts and the exact
+    decimal sum make the whole row hash-checkable."""
+    o = load_table(spark, sf, "orders")
+    bin_idx = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_HIST_WIDTH)).cast("int"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"), bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("bin_value"),
+        )
+        .withColumn("bin_lo", (F.col("bin").cast("double") * _HIST_WIDTH))
+    )
+
+
+O_A10_HISTOGRAM = f"""
+SELECT o_orderpriority AS priority,
+       least(CAST(floor(o_totalprice / {_HIST_WIDTH}) AS INTEGER), {_HIST_BINS - 1}) AS bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_value,
+       CAST(least(CAST(floor(o_totalprice / {_HIST_WIDTH}) AS INTEGER), {_HIST_BINS - 1}) AS DOUBLE) * {_HIST_WIDTH} AS bin_lo
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# J10: manually salted skew join
+# ---------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+def q_j10_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J10: large-large join under key skew, de-skewed by SALTING — the
+    manual form of what AQE's skew-join split does, needed when AQE can't
+    see the skew (streaming micro-batches, non-adaptive engines, or a
+    build side too big to split).  The hot side (events: few users, many
+    rows each) tags every row with ``salt = pmod(xxhash64(unique_id), S)``;
+    the per-user stats side is exploded x``S``; the join key becomes
+    ``(user_id, salt)``, spreading each hot user over S reducers.  The
+    output is EXACTLY the unsalted join (every fact row matches exactly
+    one replica), so the oracle is the plain join — salting is verified
+    to be a pure physical rewrite.  Lifetime values stay exact decimal
+    through both aggregations; one cast to double at the end."""
+    ev = load_table(spark, sf, "events")
+    user_stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.sum(_dec("value")).alias("user_value"),  # decimal(28,2), exact
+    )
+    salted_dim = user_stats.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALTS)]))
+    )
+    fact = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)).cast("int")
+    )
+    joined = fact.join(salted_dim, ["user_id", "_salt"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_events").alias("sum_user_events"),
+        F.sum("user_value").cast("double").alias("sum_user_value"),
+    )
+
+
+O_J10_SALTED = """
+WITH us AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,
+         sum(CAST(value AS DECIMAL(18,2))) AS user_value
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(u.user_events) AS BIGINT) AS sum_user_events,
+       CAST(sum(u.user_value) AS DOUBLE) AS sum_user_value
+FROM events e JOIN us u ON e.user_id = u.user_id
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# D: keep-best canonical selection over near-dup clusters
+# ---------------------------------------------------------------------------
+
+def q_d_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-document selection: after clustering near-dups
+    (``d_dedup_clusters``' pipeline), keep the HIGHEST-QUALITY doc per
+    cluster instead of the arbitrary min-id — the keep decision real
+    curation pipelines make (RefinedWeb keeps longest / highest-score).
+    Winner = max ``quality_score`` (already bit-identical cross-engine),
+    ties to min doc_id.  Cost over the cluster assignment: one window
+    over components — partitioned by cluster id, so state is bounded by
+    cluster size at any corpus scale."""
+    d = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    comp = assign_components(d, pairs, "doc_id").select("doc_id", "component_id")
+    scored = d.select("doc_id", TA.quality_score(F.col("text")).alias("quality")).join(
+        comp, "doc_id"
+    )
+    w = W.partitionBy("component_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "component_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+# cluster closure replayed exactly as O_D_CLUSTERS; quality exactly as
+# O_T_QUALITY — both already hash-verified pipelines, composed.
+O_D_KEEP_BEST = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+), comp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY node
+), q AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS w,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS wl,
+         text
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         round((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+              + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0))
+              + least((CASE WHEN len(wl) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(wl, x -> x IN ('the','and','of','to','in'))) AS DOUBLE) / len(wl) END) * 10.0, 1.0)) / 3.0, 4) AS quality
+  FROM q
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component_id,
+       s.quality,
+       row_number() OVER (PARTITION BY coalesce(c.component, d.doc_id)
+                          ORDER BY s.quality DESC, d.doc_id) = 1 AS keep
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T: unigram language-model scoring (train on one split, score the other)
+# ---------------------------------------------------------------------------
+
+def q_t_unigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level unigram LM quality signal: token frequencies are
+    counted on the TRAIN split (content-hash 80%, same arithmetic as
+    ``p_hash_split``), then every held-out doc is scored by its mean
+    Laplace-smoothed token probability — rare-token/OOV-heavy docs score
+    low, the classic cheap fluency proxy (the perplexity-filter shape of
+    CCNet/Gopher, with the log replaced by an EXACT rational mean so the
+    result is bit-checkable across engines: sum((c_i+1)) and
+    n*(T+V) are integers, one IEEE division at the end).
+
+    Plan: tokenize+explode (scan), one shuffle for vocab counts, the
+    1-row totals broadcast, vocab broadcast-joined onto held-out tokens
+    (vocab outgrows broadcast at 100 TB -> flip to a shuffle join on
+    tok; the aggregation shape is unchanged), one shuffle per-doc."""
+    d = load_table(spark, sf, "documents")
+    docs = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("lt"),
+        (portable_hash60(F.col("text")) % 10_000 < 8_000).alias("is_train"),
+    )
+    tok = docs.select("doc_id", "is_train", F.explode(TA.tokens(F.col("lt"))).alias("tok"))
+    vocab = materialize(
+        tok.filter("is_train").groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = vocab.agg(
+        F.sum("c").cast("long").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    scored = (
+        tok.filter(~F.col("is_train"))
+        .join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.count(F.when(F.col("c").isNull(), 1)).cast("int").alias("n_oov"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0)) + 1).alias("num"),
+        )
+    )
+    return (
+        docs.filter(~F.col("is_train"))
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(F.col("n_tokens").isNull() | (F.col("n_tokens") == 0), F.lit(0.0))
+            .otherwise(
+                F.col("num").cast("double")
+                / (F.col("n_tokens").cast("long") * (F.col("T") + F.col("V"))).cast("double")
+            )
+            .alias("mean_laplace_p"),
+        )
+    )
+
+
+O_T_UNIGRAM_LM = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w,
+         {_portable60_sql('text')} % 10000 < 8000 AS is_train
+  FROM documents
+), tok AS (
+  SELECT doc_id, is_train, unnest(w) AS tok FROM docs
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok WHERE is_train GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS INTEGER) AS n_tokens,
+         CAST(count(CASE WHEN v.c IS NULL THEN 1 END) AS INTEGER) AS n_oov,
+         CAST(sum(coalesce(v.c, 0) + 1) AS BIGINT) AS num
+  FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+  WHERE NOT t.is_train
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.n_oov, 0) AS n_oov,
+       CASE WHEN s.n_tokens IS NULL OR s.n_tokens = 0 THEN 0.0
+            ELSE CAST(s.num AS DOUBLE)
+                 / CAST(CAST(s.n_tokens AS BIGINT) * (t.T + t.V) AS DOUBLE) END
+         AS mean_laplace_p
+FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id CROSS JOIN tot t
+WHERE NOT d.is_train
+"""
+
+
+# ---------------------------------------------------------------------------
+# A11: group-wise linear regression via sufficient statistics
+# ---------------------------------------------------------------------------
+
+def q_a11_groupwise_linreg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS trend fit (value vs. time per event_type) computed
+    the way it must be at 100 TB: NOT a per-group collect (an
+    ``applyInPandas`` fit holds a whole group in one task — unbounded),
+    but a distributed reduction to exact integer SUFFICIENT STATISTICS
+    (n, Sx, Sy, Sxy, Sxx — one map-side-combined shuffle), then the
+    closed form ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` on the
+    tiny per-group row.  x = epoch-day (int), y = exact cents (int), so
+    every sum is integer-exact and order-free; the final casts and two
+    IEEE divisions are the only float ops — bit-identical in any IEEE
+    engine.  (At extreme scale the bigint products need DECIMAL(38);
+    same shape.)"""
+    ev = load_table(spark, sf, "events")
+    xy = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        (_dec("value") * 100).cast("long").alias("y"),
+    )
+    stats = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        )
+        .alias("intercept_cents"),
+    )
+
+
+O_A11_LINREG = """
+WITH xy AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1992-01-01', ts) AS BIGINT) AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END
+         AS slope_cents_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END
+         AS intercept_cents
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# G1: integer-mass PageRank (deterministic fixed-point iteration)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_INIT = 1_000_000  # integer mass per node; 0.15 teleport = 150000
+
+
+def q_g1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """G1: PageRank over the part co-purchase graph (parts are linked
+    when they appear in the same order) — the iterative-graph-algorithm
+    family (centrality, label propagation) expressed as pure joins+aggs.
+
+    Determinism: ranks are integer MASS, updates are integer division
+    (``mass div outdeg``, ``(85*in) div 100``), so every iteration is
+    exact and order-free — bit-identical in any engine, unlike float
+    PageRank whose contribution-sum order varies.  (Production float
+    variant: same plan, drop the divs.)
+
+    Plan per iteration: ranks (|V| rows, tiny vs |E|) broadcast onto the
+    edge list, one shuffle to sum incoming mass by dst, broadcast-join
+    back to the node list; edges are materialized ONCE and reused, ranks
+    re-materialized per round to keep the plan flat (iterative barrier).
+    Edge degree is bounded by lines-per-order (<=13 in TPC-H-ish data),
+    so pair generation can't blow up; unbounded baskets would need a
+    per-key cap first."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize(
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = materialize(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_INIT).cast("long").alias("mass"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(deg), "src")
+            .select(F.col("dst").alias("node"), F.expr("mass div deg").alias("contrib"))
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("contrib").alias("inmass"))
+        ranks = materialize(
+            deg.select(F.col("src").alias("node"))
+            .join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_INIT * 15 // 100)
+                    + F.expr("(85 * coalesce(inmass, 0L)) div 100")
+                ).cast("long").alias("mass"),
+            ),
+            iterative=True,
+        )
+    return ranks.select(F.col("node").alias("part_id"), F.col("mass").alias("pagerank_mass"))
+
+
+def _gen_pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    sql = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+), r0 AS (
+  SELECT src AS node, CAST({_PR_INIT} AS BIGINT) AS mass FROM deg
+)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT d.src AS node,
+         CAST({_PR_INIT * 15 // 100} + (85 * coalesce(s.inmass, 0)) // 100 AS BIGINT) AS mass
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, sum(r.mass // g.deg) AS inmass
+    FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg g ON g.src = e.src
+    GROUP BY 1
+  ) s ON s.node = d.src
+)"""
+    sql += f"\nSELECT node AS part_id, mass AS pagerank_mass FROM r{iters}"
+    return sql
+
+
+O_G1_PAGERANK = _gen_pagerank_oracle()
+
+
+EXT_QUERIES = {
+    "a10_histogram": q_a10_histogram,
+    "j10_salted_join": q_j10_salted_join,
+    "d_keep_best": q_d_keep_best,
+    "t_unigram_lm": q_t_unigram_lm,
+    "a11_groupwise_linreg": q_a11_groupwise_linreg,
+    "g1_pagerank": q_g1_pagerank,
+}
+
+EXT_ORACLES = {
+    "a10_histogram": O_A10_HISTOGRAM,
+    "j10_salted_join": O_J10_SALTED,
+    "d_keep_best": O_D_KEEP_BEST,
+    "t_unigram_lm": O_T_UNIGRAM_LM,
+    "a11_groupwise_linreg": O_A11_LINREG,
+    "g1_pagerank": O_G1_PAGERANK,
+}

@@ -1,0 +1,144 @@
+"""Invariant tests for the round-4 extension catalog
+(plans/catalog_ext.py): salting is a pure physical rewrite, keep-best
+picks exactly one doc per cluster, integer-mass PageRank matches a
+brute-force fixed-point oracle, the unigram LM ranks OOV-heavy docs
+lower, and the histogram partitions the input.
+
+(Value-vs-DuckDB parity is covered for all of these by the
+auto-parametrized suite in test_catalog_vs_duckdb.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from factory_inspectors_db_etl_spark.plans import catalog_ext as CE
+from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+
+def test_histogram_partitions_input(spark, sf_dir):
+    out = CE.q_a10_histogram(spark, sf_dir).agg(
+        F.sum("n_orders").alias("n"), F.max("bin").alias("maxbin"), F.min("bin").alias("minbin")
+    ).collect()[0]
+    total = load_table(spark, sf_dir, "orders").count()
+    assert out["n"] == total  # every order lands in exactly one bin
+    assert 0 <= out["minbin"] and out["maxbin"] <= CE._HIST_BINS - 1
+
+
+def test_salted_join_equals_unsalted(spark, sf_dir):
+    """The whole point of J10: salting changes the physical key, never
+    the result."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("user_value"),
+    )
+    plain = (
+        ev.join(us, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_events").alias("sum_user_events"),
+            F.sum("user_value").cast("double").alias("sum_user_value"),
+        )
+    )
+    salted = CE.q_j10_salted_join(spark, sf_dir)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_fact_rows_match_exactly_one_replica(spark, sf_dir):
+    """Join multiplicity check: |salted join| == |events| — every fact
+    row matched exactly one of the S dim replicas."""
+    ev_n = load_table(spark, sf_dir, "events").count()
+    n = CE.q_j10_salted_join(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+    assert n == ev_n
+
+
+def test_keep_best_one_winner_per_cluster(spark, sf_dir):
+    out = CE.q_d_keep_best(spark, sf_dir)
+    per_cluster = out.groupBy("component_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("winners"),
+        F.max(F.when(F.col("keep"), F.col("quality"))).alias("kept_q"),
+        F.max("quality").alias("max_q"),
+    )
+    bad = per_cluster.filter((F.col("winners") != 1) | (F.col("kept_q") != F.col("max_q")))
+    assert bad.count() == 0
+    # every doc appears exactly once
+    assert out.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def _pagerank_bruteforce(edges, iters, init, teleport_pct=15):
+    from collections import defaultdict
+
+    out = defaultdict(set)
+    for u, v in edges:
+        out[u].add(v)
+    mass = {u: init for u in out}
+    for _ in range(iters):
+        inmass = defaultdict(int)
+        for u, targets in out.items():
+            c = mass[u] // len(targets)
+            for v in targets:
+                inmass[v] += c
+        mass = {u: init * teleport_pct // 100 + (100 - teleport_pct) * inmass[u] // 100 for u in out}
+    return mass
+
+
+def test_pagerank_matches_bruteforce_python(spark, sf_dir):
+    """The distributed integer-mass iteration must equal the obvious
+    single-machine fixed-point loop node for node."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = {
+        (a, b)
+        for parts in by_order.values()
+        for a in parts
+        for b in parts
+        if a != b
+    }
+    expect = _pagerank_bruteforce(edges, CE._PR_ITERS, CE._PR_INIT)
+    got = {r.part_id: r.pagerank_mass for r in CE.q_g1_pagerank(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_unigram_lm_scores_oov_low(spark, sf_dir):
+    """A doc of pure OOV tokens must score at the Laplace floor
+    (1/(T+V) per token), strictly below the corpus mean."""
+    out = CE.q_t_unigram_lm(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "held-out split is empty"
+    # all-OOV docs (if any) score exactly n/(n*(T+V)) = 1/(T+V): the minimum
+    scores = {r.doc_id: r for r in rows}
+    nonzero = [r.mean_laplace_p for r in rows if r.n_tokens > 0]
+    floor = min(nonzero)
+    for r in rows:
+        if r.n_tokens > 0 and r.n_oov == r.n_tokens:
+            assert r.mean_laplace_p == floor
+        if r.n_tokens > 0:
+            assert r.mean_laplace_p >= floor
+    assert all(0 <= r.n_oov <= r.n_tokens for r in rows)
+
+
+def test_linreg_matches_numpy(spark, sf_dir):
+    """Sufficient-statistics slope == numpy polyfit slope (loose float
+    tolerance — numpy uses least-squares QR, ours is the closed form)."""
+    import numpy as np
+
+    rows = CE.q_a11_groupwise_linreg(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1992-01-01").cast("date")).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    ).collect()
+    import collections
+
+    g = collections.defaultdict(list)
+    for r in ev:
+        g[r.event_type].append((r.x, r.y))
+    for r in rows:
+        xs, ys = zip(*g[r.event_type])
+        slope, intercept = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)
+        assert abs(r.slope_cents_per_day - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(r.intercept_cents - intercept) < 1e-6 * max(1.0, abs(intercept))
