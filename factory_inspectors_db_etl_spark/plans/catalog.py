@@ -3095,6 +3095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
     "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
     "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
+    "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -3120,16 +3121,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
     "t_chunk_windows": q_t_chunk_windows,
-    # --- core fill to the 50-slot boundary ---
-    "flagship_q5_revenue": flagship,
-    # ------- 50-slot window boundary (flagship_q5_revenue is position 50) -------
+    # ------- 50-slot window boundary (t_chunk_windows is position 50) -------
     # everything below holds a green driver row from r2/r3 and is
     # re-verified locally per round.  The round-4 additions pushed
-    # fifteen former window entries — s1/f1/f2/f5/f8/f9 (r3-green, moved
-    # this batch) and f10/f11/a1/a2/a3/a3b/a3c/a4/j1 (r3-green) — past
-    # the boundary; rotate them forward again in round 5.  (Keep this
-    # comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
+    # sixteen former window entries — flagship/s1/f1/f2/f5/f8/f9
+    # (r3-green, moved this batch) and f10/f11/a1/a2/a3/a3b/a3c/a4/j1
+    # (r3-green) — past the boundary; rotate them forward again in round
+    # 5.  (Keep this comment in sync by COUNTING —
+    # list(QUERIES).index(name) — tests/test_plan_shapes.py pins it.)
+    "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
     "f1_standardize": q_f1_standardize,
     "f2_clean_number": q_f2_clean_number,

@@ -469,6 +469,77 @@ r{i} AS (
 O_G1_PAGERANK = _gen_pagerank_oracle()
 
 
+# ---------------------------------------------------------------------------
+# G2: triangle counting
+# ---------------------------------------------------------------------------
+
+def q_g2_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """G2: per-node triangle participation over the (urgent-order) part
+    co-purchase graph — the clustering-coefficient / community-density
+    primitive.  Standard canonical-orientation algorithm: edges stored
+    once as (u < v), wedges built by joining edges on the middle node
+    (only a<b<c survive by construction), closed against the edge list.
+
+    Scale posture: the wedge join is the quadratic term (sum of deg^2).
+    Here the graph is bounded by restricting to one order-priority class;
+    production graphs bound it the standard way — cap or split
+    high-degree nodes before wedge generation (the salting trick, J10,
+    applied to graphs).  Edges are materialized once and reused by all
+    three plan arms; joins are equi-joins on node ids, AQE-splittable."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize(
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("ta"), F.col("v").alias("tb"))
+    e2 = edges.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
+    wedges = e1.join(e2, "tb")
+    tri = wedges.join(
+        edges.select(F.col("u").alias("ta"), F.col("v").alias("tc")), ["ta", "tc"]
+    )
+    return (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+O_G2_TRIANGLES = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT ta AS part_id FROM tri
+  UNION ALL SELECT tb FROM tri
+  UNION ALL SELECT tc FROM tri
+)
+GROUP BY 1
+"""
+
+
 EXT_QUERIES = {
     "a10_histogram": q_a10_histogram,
     "j10_salted_join": q_j10_salted_join,
@@ -476,9 +547,11 @@ EXT_QUERIES = {
     "t_unigram_lm": q_t_unigram_lm,
     "a11_groupwise_linreg": q_a11_groupwise_linreg,
     "g1_pagerank": q_g1_pagerank,
+    "g2_triangle_count": q_g2_triangle_count,
 }
 
 EXT_ORACLES = {
+    "g2_triangle_count": O_G2_TRIANGLES,
     "a10_histogram": O_A10_HISTOGRAM,
     "j10_salted_join": O_J10_SALTED,
     "d_keep_best": O_D_KEEP_BEST,

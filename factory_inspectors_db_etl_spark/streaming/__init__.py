@@ -7,6 +7,7 @@ from .ops import (  # noqa: F401
     stateful_running_stats_tws,
     stream_events,
     stream_roster_rows,
+    stream_static_enrich,
     stream_stream_view_purchase_join,
     streaming_dedup,
     tumbling_counts,

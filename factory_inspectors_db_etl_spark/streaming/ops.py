@@ -309,6 +309,23 @@ def stream_stream_view_purchase_join(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "view_ts", "view_value")
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: every micro-batch of the stream is joined to a
+    STATIC batch dimension — the standard fact-enrichment pattern.  No
+    watermark or join-state store is needed on either side (unlike
+    stream-stream joins): the static side is simply re-planned per
+    micro-batch, so a dim updated in place (e.g. by ``foreachBatch`` dim
+    maintenance or a CDC merge) is picked up on the next trigger.
+
+    The static side is explicitly broadcast: a broadcastable dim means
+    the stream side never shuffles — per-batch latency stays flat as the
+    stream scales.  A dim too big to broadcast makes this a per-batch
+    shuffle join; at that size prefer pre-bucketing the dim on the key.
+    Left join so facts without a dim row survive with NULLs (same
+    contract as the batch ETL's J1)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def stream_roster_rows(spark: SparkSession, dir_glob: str) -> DataFrame:
     """Incremental roster ingestion: file-stream whole HTML documents and
     push them through the batch ETL's reader UDTF — new yearly files are

@@ -103,6 +103,37 @@ def test_pagerank_matches_bruteforce_python(spark, sf_dir):
     assert got == expect
 
 
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Distributed wedge-close == itertools.combinations over the
+    collected edge set."""
+    from itertools import combinations
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = {r.o_orderkey for r in orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").collect()}
+    by_order = {}
+    for r in li.collect():
+        if r.l_orderkey in urgent:
+            by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    from collections import Counter
+
+    tri = Counter()
+    for a, b in edges:
+        for c in adj.get(a, set()) & adj.get(b, set()):
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    got = {r.part_id: r.n_triangles for r in CE.q_g2_triangle_count(spark, sf_dir).collect()}
+    assert got == dict(tri)
+
+
 def test_unigram_lm_scores_oov_low(spark, sf_dir):
     """A doc of pure OOV tokens must score at the Laplace floor
     (1/(T+V) per token), strictly below the corpus mean."""

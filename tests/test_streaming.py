@@ -404,6 +404,29 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
     assert g == w and len(g) > 0
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir, events_stream):
+    """Stream-static enrichment (§2.9): per-user lifetime stats computed
+    BATCH-side, broadcast onto every micro-batch.  No watermark/state
+    store involved; availableNow output must equal the batch left join
+    row for row, including facts whose user is missing from the dim."""
+    from factory_inspectors_db_etl_spark.streaming import stream_static_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.min("ts").alias("first_seen"),
+    ).filter(F.pmod("user_id", F.lit(2)) == 0)  # half the users intentionally absent
+    got = run_available_now(
+        stream_static_enrich(events_stream, dim), "t_stream_static"
+    )
+    want = ev.join(F.broadcast(dim), "user_id", "left")
+    cols = ["event_id", "user_id", "user_events"]
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    w = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert g == w and len(g) > 0
+    assert any(r[2] is None for r in g), "expected some un-enriched facts"
+
+
 def test_foreachbatch_incremental_dim_maintenance(spark, tmp_path):
     """Streaming warehouse maintenance: each micro-batch upserts a user
     dimension through build_dim_incremental inside foreachBatch — the
