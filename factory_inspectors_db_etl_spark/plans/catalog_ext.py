@@ -540,6 +540,146 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# W15: cumulative distinct users (new vs returning growth curve)
+# ---------------------------------------------------------------------------
+
+def q_w15_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """W15: daily new users, daily active users, and the RUNNING
+    cumulative distinct-user count — the new-vs-returning growth curve.
+    Cumulative distinct can't be windowed directly (distinct state isn't
+    mergeable, the a9 lesson); instead each user is reduced to a
+    first-seen day (one agg), days are aggregated to new-user counts
+    (day-grain, tiny), and the running total is a broadcast inequality
+    self-join over those day rows — the ``mint_surrogate_ids`` trick,
+    keeping the catalog's zero-unpartitioned-window invariant: state is
+    O(days^2) comparisons on aggregate-grain data, never a single-
+    partition funnel over raw rows."""
+    ev = load_table(spark, sf, "events")
+    day = lambda c: F.date_format(F.date_trunc("DAY", c), "yyyy-MM-dd")  # noqa: E731
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    daily_new = first.groupBy(day(F.col("first_ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    active = ev.groupBy(day(F.col("ts")).alias("day")).agg(
+        F.count_distinct("user_id").alias("n_active_users")
+    )
+    a, b = active.select("day").alias("a"), daily_new.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.sum("n_new_users").alias("cum_distinct_users"))
+    )
+    return (
+        active.join(daily_new, "day", "left")
+        .join(cum, "day")
+        .select(
+            "day",
+            F.coalesce(F.col("n_new_users"), F.lit(0).cast("long")).alias("n_new_users"),
+            "n_active_users",
+            "cum_distinct_users",
+        )
+    )
+
+
+O_W15_CUM_DISTINCT = """
+WITH f AS (
+  SELECT user_id, strftime(date_trunc('day', min(ts)), '%Y-%m-%d') AS day
+  FROM events GROUP BY 1
+), dn AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_new_users FROM f GROUP BY 1
+), act AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+  FROM events GROUP BY 1
+)
+SELECT a.day,
+       CAST(coalesce(dn.n_new_users, 0) AS BIGINT) AS n_new_users,
+       a.n_active_users,
+       CAST(sum(coalesce(dn.n_new_users, 0))
+            OVER (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct_users
+FROM act a LEFT JOIN dn ON dn.day = a.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# T: distributed BPE merge training
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def q_t_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich '16): learn the top
+    ``_BPE_ROUNDS`` merges from the corpus word-frequency table — see
+    ``operators/bpe.py`` for the scale design (corpus reduced once to
+    vocab rows; per round one pair-count shuffle + a zero-shuffle
+    higher-order-fold merge with the winning pair attached by 1-row
+    broadcast, no ``collect()``).  The oracle replays the greedy
+    non-overlapping merge with windowed island arithmetic, unrolled per
+    round — the whole training loop is value-checked."""
+    from ..operators.bpe import bpe_learn_merges, word_frequency_table
+
+    d = load_table(spark, sf, "documents")
+    return bpe_learn_merges(word_frequency_table(d), rounds=_BPE_ROUNDS)
+
+
+def _gen_bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    sql = r"""
+WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END) AS word
+    FROM documents
+  ) GROUP BY 1
+), s0 AS (
+  SELECT word, cnt,
+         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+  FROM w0
+)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+p{r} AS (
+  SELECT l, r2, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT syms[i] AS l, syms[i + 1] AS r2, cnt
+    FROM s{p}, UNNEST(range(1, greatest(len(syms), 1))) AS t(i)
+  ) GROUP BY 1, 2
+), t{r} AS (
+  SELECT l, r2, pair_count FROM p{r} ORDER BY pair_count DESC, l, r2 LIMIT 1
+), e{r} AS (
+  SELECT s.word, s.cnt, t.i AS i, s.syms[t.i] AS sym,
+         (t.i < len(s.syms) AND s.syms[t.i] = tt.l AND s.syms[t.i + 1] = tt.r2) AS mt
+  FROM s{p} s CROSS JOIN t{r} tt, UNNEST(range(1, len(s.syms) + 1)) AS t(i)
+), g{r} AS (
+  SELECT *, CAST(i AS BIGINT) - row_number() OVER (PARTITION BY word, mt ORDER BY i) AS grp
+  FROM e{r}
+), m{r} AS (
+  SELECT *, mt AND ((i - min(i) OVER (PARTITION BY word, mt, grp)) % 2 = 0) AS do_merge
+  FROM g{r}
+), n{r} AS (
+  SELECT word, cnt, i,
+         CASE WHEN do_merge THEN sym || lead(sym) OVER (PARTITION BY word ORDER BY i)
+              WHEN coalesce(lag(do_merge) OVER (PARTITION BY word ORDER BY i), FALSE) THEN NULL
+              ELSE sym END AS nsym
+  FROM m{r}
+), s{r} AS (
+  SELECT word, any_value(cnt) AS cnt,
+         list(nsym ORDER BY i) FILTER (WHERE nsym IS NOT NULL) AS syms
+  FROM n{r} GROUP BY word
+)"""
+    parts = [
+        f"SELECT {r} AS round, l AS merge_left, r2 AS merge_right, pair_count FROM t{r}"
+        for r in range(1, rounds + 1)
+    ]
+    sql += "\n" + "\nUNION ALL ".join(parts)
+    return sql
+
+
+O_T_BPE_TRAIN = _gen_bpe_oracle()
+
+
 EXT_QUERIES = {
     "a10_histogram": q_a10_histogram,
     "j10_salted_join": q_j10_salted_join,
@@ -548,10 +688,14 @@ EXT_QUERIES = {
     "a11_groupwise_linreg": q_a11_groupwise_linreg,
     "g1_pagerank": q_g1_pagerank,
     "g2_triangle_count": q_g2_triangle_count,
+    "w15_cumulative_distinct": q_w15_cumulative_distinct,
+    "t_bpe_train": q_t_bpe_train,
 }
 
 EXT_ORACLES = {
+    "t_bpe_train": O_T_BPE_TRAIN,
     "g2_triangle_count": O_G2_TRIANGLES,
+    "w15_cumulative_distinct": O_W15_CUM_DISTINCT,
     "a10_histogram": O_A10_HISTOGRAM,
     "j10_salted_join": O_J10_SALTED,
     "d_keep_best": O_D_KEEP_BEST,

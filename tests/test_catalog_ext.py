@@ -152,6 +152,74 @@ def test_unigram_lm_scores_oov_low(spark, sf_dir):
     assert all(0 <= r.n_oov <= r.n_tokens for r in rows)
 
 
+def _bpe_reference(word_counts, rounds):
+    """Obvious single-machine BPE: count pairs over the word dict, merge
+    the max pair greedily left-to-right, repeat."""
+    from collections import Counter
+
+    words = {w: list(w) for w in word_counts}
+    learned = []
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += word_counts[w]
+        (l, r), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        learned.append((rnd, l, r, c))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            words[w] = out
+    return learned
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.operators.bpe import word_frequency_table
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = {r.word: r.cnt for r in word_frequency_table(d).collect()}
+    want = _bpe_reference(wc, 3)
+    got = sorted(tuple(r) for r in CE.q_t_bpe_train(spark, sf_dir).collect())
+    assert got == want
+
+
+def test_bpe_merge_handles_overlap_and_recombination(spark):
+    """Greedy non-overlap on runs ('aaaa' with (a,a) -> [aa, aa]) and the
+    no-flag-needed property (merged symbol can't re-merge in-round)."""
+    from factory_inspectors_db_etl_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["x", "a", "a", "y"],)],
+        "syms array<string>",
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            _merge_pair(F.col("syms"), F.lit("a"), F.lit("a")).alias("m")
+        ).collect()
+    ]
+    assert out == [["aa", "aa"], ["aa", "a"], ["x", "aa", "y"]]
+
+
+def test_cumulative_distinct_invariants(spark, sf_dir):
+    rows = sorted(CE.q_w15_cumulative_distinct(spark, sf_dir).collect())
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.select("user_id").distinct().count()
+    # running total is monotone, ends at the global distinct count, and
+    # per-day new-user increments reconcile exactly
+    cum = 0
+    for r in rows:  # rows sorted by day string == chronological
+        cum += r.n_new_users
+        assert r.cum_distinct_users == cum
+        assert r.n_active_users >= r.n_new_users >= 0
+    assert rows[-1].cum_distinct_users == total
+
+
 def test_linreg_matches_numpy(spark, sf_dir):
     """Sufficient-statistics slope == numpy polyfit slope (loose float
     tolerance — numpy uses least-squares QR, ours is the closed form)."""
