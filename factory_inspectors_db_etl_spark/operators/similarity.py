@@ -261,7 +261,6 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     codewords: int = 16,
-    round_to: int = 4,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011): split each
     vector into ``m`` subspaces, quantize every subvector to its nearest
@@ -342,7 +341,14 @@ def pq_topk(
         enc.join(F.broadcast(qt), (enc["s"] == qt["s"]) & (enc["code"] == qt["c"]))
         .filter(F.col("qid") != F.col("nid"))
         .groupBy("qid", "nid")
-        .agg(F.round(F.sum("w") / 1_000_000, round_to).alias("approx_score"))
+        # NO final round: sum(w) is an exact integer, so int->double cast +
+        # one IEEE division is bit-identical in any engine, while a
+        # round(x, 4) on a half-boundary value (e.g. 392350/1e6) differs
+        # between decimal-string rounding (Spark, BigDecimal: 0.3924) and
+        # binary-double rounding (DuckDB: 0.3923) — found at sf0.1
+        .agg(
+            (F.sum("w").cast("double") / F.lit(1_000_000.0)).alias("approx_score")
+        )
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("approx_score").desc(), F.col("nid").asc()

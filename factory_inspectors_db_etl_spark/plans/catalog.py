@@ -3021,7 +3021,11 @@ qt AS (
   FROM sub JOIN csub USING (s) WHERE sub.nid < 10
 ),
 scored AS (
-  SELECT qid, nid, round(CAST(sum(w) AS DOUBLE) / 1000000, 4) AS approx_score
+  -- no round(., 4): sum(w) is an exact integer, one IEEE division is
+  -- bit-identical everywhere, while rounding a half-boundary value
+  -- (392350/1e6) splits between decimal-string (Spark) and binary
+  -- (DuckDB) rounding — found at sf0.1
+  SELECT qid, nid, CAST(sum(w) AS DOUBLE) / 1000000 AS approx_score
   FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.c
   WHERE qid != nid
   GROUP BY qid, nid
