@@ -3102,6 +3102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
     "w15_cumulative_distinct": _EXT_QUERIES["w15_cumulative_distinct"],
     "t_bpe_train": _EXT_QUERIES["t_bpe_train"],
+    "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -3124,8 +3125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_intersect": q_e3_intersect,
     "s9_tumbling_window": q_s9_tumbling_window,
     "s9b_sliding_window": q_s9b_sliding_window,
-    "s10_session_window": q_s10_session_window,
-    # ------- 50-slot window boundary (s10_session_window is position 50) -------
+    # ------- 50-slot window boundary (s9b_sliding_window is position 50) -------
     # everything below holds a green driver row from r2/r3 and is
     # re-verified locally per round.  The round-4 additions pushed
     # sixteen former window entries — flagship/s1/f1/f2/f5/f8/f9
@@ -3133,6 +3133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r3-green) — past the boundary; rotate them forward again in round
     # 5.  (Keep this comment in sync by COUNTING —
     # list(QUERIES).index(name) — tests/test_plan_shapes.py pins it.)
+    "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
     "t_chunk_windows": q_t_chunk_windows,
     "flagship_q5_revenue": flagship,

@@ -680,6 +680,150 @@ p{r} AS (
 O_T_BPE_TRAIN = _gen_bpe_oracle()
 
 
+# ---------------------------------------------------------------------------
+# J11: interval-overlap join (bucketed)
+# ---------------------------------------------------------------------------
+
+_HOURS_ANCHOR = "1992-01-01"
+
+
+def _hcell(ts_col: F.Column) -> F.Column:
+    """Hour index of an NTZ timestamp, session-timezone-free: days since
+    a fixed anchor * 24 + hour-of-day (no unix_timestamp, which would
+    re-interpret NTZ in the session zone)."""
+    return (
+        F.datediff(ts_col.cast("date"), F.lit(_HOURS_ANCHOR).cast("date")) * 24
+        + F.hour(ts_col)
+    ).cast("long")
+
+
+def q_j11_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """J11: interval-overlap join — "which user sessions overlap which
+    corpus-wide peak-traffic windows", the session x campaign / outage x
+    deploy shape Spark has no native operator for.  Both interval sets
+    are DERIVED in-plan: sessions by gaps-and-islands (w13's logic),
+    peak windows as maximal runs of hours whose event count exceeds the
+    global hourly mean (integer cross-multiplied compare — no float).
+
+    Scale design (the j8b lesson generalized from points to intervals):
+    instead of an inequality range join (broadcast-nested-loop), each
+    interval explodes to the hour CELLS it covers and candidates come
+    from a cell EQUI-join + pair dedup — shuffle-partitionable, AQE-
+    splittable, never cartesian.  Peak windows are hour-aligned, so
+    cell-range intersection is EXACTLY time intersection (no
+    post-filter needed); candidate fan-out is bounded by
+    interval-length / cell-width, the knob to set near the median
+    interval length at real scale.  Sessions with zero overlaps are kept
+    via left join — the count is total, not just matched."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"))
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("_new", new_s)
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            _hcell(F.min("ts")).alias("s_lo"),
+            _hcell(F.max("ts")).alias("s_hi"),
+        )
+    )
+    hourly = ev.groupBy(_hcell(F.col("ts")).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hourly.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nh")
+    )
+    peak_hours = (
+        hourly.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("nh") > F.col("total"))  # n > total/nh, exact
+        .select("cell")
+    )
+    # island rank without an unpartitioned window: peak hours are
+    # aggregate-grain (<= hours in corpus), so rank = broadcast
+    # inequality self-join over the cells (the mint_surrogate_ids trick)
+    a, b = peak_hours.alias("a"), peak_hours.alias("b")
+    ranked = (
+        a.join(F.broadcast(b), F.col("b.cell") <= F.col("a.cell"))
+        .groupBy(F.col("a.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("rk"))
+    )
+    peaks = (
+        ranked.select("cell", (F.col("cell") - F.col("rk")).alias("grp"))
+        .groupBy("grp")
+        .agg(F.min("cell").alias("p_lo"), F.max("cell").alias("p_hi"))
+        .select("p_lo", "p_hi")
+    )
+    s_cells = sessions.select(
+        "user_id", "session_idx", F.explode(F.sequence("s_lo", "s_hi")).alias("cell")
+    )
+    p_cells = peaks.select("p_lo", F.explode(F.sequence("p_lo", "p_hi")).alias("cell"))
+    matched = (
+        s_cells.join(p_cells, "cell")
+        .select("user_id", "session_idx", "p_lo")
+        .distinct()
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_peak_overlaps"))
+    )
+    return sessions.join(matched, ["user_id", "session_idx"], "left").select(
+        "user_id",
+        "session_idx",
+        F.coalesce(F.col("n_peak_overlaps"), F.lit(0).cast("long")).alias(
+            "n_peak_overlaps"
+        ),
+    )
+
+
+O_J11_INTERVAL_OVERLAP = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+  FROM g
+), sessions AS (
+  SELECT user_id, session_idx,
+         CAST(datediff('day', DATE '{_HOURS_ANCHOR}', CAST(min(ts) AS DATE)) * 24
+              + hour(min(ts)) AS BIGINT) AS s_lo,
+         CAST(datediff('day', DATE '{_HOURS_ANCHOR}', CAST(max(ts) AS DATE)) * 24
+              + hour(max(ts)) AS BIGINT) AS s_hi
+  FROM s GROUP BY user_id, session_idx
+), hourly AS (
+  SELECT CAST(datediff('day', DATE '{_HOURS_ANCHOR}', CAST(ts AS DATE)) * 24
+              + hour(ts) AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nh FROM hourly
+), peaks AS (
+  SELECT min(cell) AS p_lo, max(cell) AS p_hi FROM (
+    SELECT cell, cell - row_number() OVER (ORDER BY cell) AS grp
+    FROM hourly CROSS JOIN tot WHERE n * nh > total
+  ) GROUP BY grp
+), matched AS (
+  SELECT s.user_id, s.session_idx, CAST(count(*) AS BIGINT) AS n_peak_overlaps
+  FROM sessions s JOIN peaks p ON s.s_lo <= p.p_hi AND s.s_hi >= p.p_lo
+  GROUP BY 1, 2
+)
+SELECT se.user_id, se.session_idx,
+       CAST(coalesce(m.n_peak_overlaps, 0) AS BIGINT) AS n_peak_overlaps
+FROM sessions se LEFT JOIN matched m
+  ON m.user_id = se.user_id AND m.session_idx = se.session_idx
+"""
+
+
 EXT_QUERIES = {
     "a10_histogram": q_a10_histogram,
     "j10_salted_join": q_j10_salted_join,
@@ -690,9 +834,11 @@ EXT_QUERIES = {
     "g2_triangle_count": q_g2_triangle_count,
     "w15_cumulative_distinct": q_w15_cumulative_distinct,
     "t_bpe_train": q_t_bpe_train,
+    "j11_interval_overlap": q_j11_interval_overlap,
 }
 
 EXT_ORACLES = {
+    "j11_interval_overlap": O_J11_INTERVAL_OVERLAP,
     "t_bpe_train": O_T_BPE_TRAIN,
     "g2_triangle_count": O_G2_TRIANGLES,
     "w15_cumulative_distinct": O_W15_CUM_DISTINCT,

@@ -67,6 +67,49 @@ def test_keep_best_one_winner_per_cluster(spark, sf_dir):
     assert out.count() == load_table(spark, sf_dir, "documents").count()
 
 
+def test_interval_overlap_matches_bruteforce(spark, sf_dir):
+    """Bucketed cell-join overlap == brute-force O(S*P) interval
+    intersection over the same derived interval sets."""
+    out = {(r.user_id, r.session_idx): r.n_peak_overlaps
+           for r in CE.q_j11_interval_overlap(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    anchor = __import__("datetime").date(1992, 1, 1)
+    hcell = lambda ts: (ts.date() - anchor).days * 24 + ts.hour  # noqa: E731
+    from collections import Counter, defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    sessions = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        idx, last = 0, None
+        bounds = {}
+        for ts, _ in rows:
+            if last is None or (ts - last).total_seconds() > 1800:
+                idx += 1
+            lo, hi = bounds.get(idx, (ts, ts))
+            bounds[idx] = (min(lo, ts), max(hi, ts))
+            last = ts
+        for i, (lo, hi) in bounds.items():
+            sessions[(u, i)] = (hcell(lo), hcell(hi))
+    counts = Counter(hcell(r.ts) for r in ev)
+    total, nh = sum(counts.values()), len(counts)
+    peak_cells = sorted(c for c, n in counts.items() if n * nh > total)
+    peaks, cur = [], None
+    for c in peak_cells:
+        if cur and c == cur[1] + 1:
+            cur[1] = c
+        else:
+            cur = [c, c]
+            peaks.append(cur)
+    want = {
+        k: sum(1 for p in peaks if lo <= p[1] and hi >= p[0])
+        for k, (lo, hi) in sessions.items()
+    }
+    assert out == want
+
+
 def _pagerank_bruteforce(edges, iters, init, teleport_pct=15):
     from collections import defaultdict
 
