@@ -218,6 +218,118 @@ def stateful_running_stats(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.StringType()),
+        T.StructField("session_end", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMEOUT — the canonical custom
+    stateful operator (``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout``): sessions that close because
+    a later event arrives past the gap are emitted immediately
+    (``closed_by='gap'``); a user's dangling last session is held in
+    state and flushed by the timeout when the WATERMARK passes
+    ``session_end + gap`` (``closed_by='timeout'``) — how unbounded
+    streams avoid keeping every idle user's state forever.
+
+    Gap semantics and the output formatting match batch w13
+    (``q_w13_sessionize``) exactly; the streaming-vs-batch equivalence is
+    pinned in tests/test_streaming.py.  State per user is one (start,
+    end, count) struct — O(1) per key, watermark-expired; compare
+    ``session_window`` (s10) for the built-in form and w13 for the batch
+    twin.  Timestamps cross the Arrow boundary as epoch millis and are
+    formatted driver-format-free (NTZ arithmetic only)."""
+    gap_ms = gap_minutes * 60_000
+
+    def fmt(ms: int) -> str:
+        return pd.Timestamp(ms, unit="ms").strftime("%Y-%m-%d %H:%M:%S")
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": fmt(start_ms),
+                        "session_end": fmt(end_ms),
+                        "n_events": n,
+                        "closed_by": "timeout",
+                    }
+                ]
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(v.value // 1_000_000) for v in pd.to_datetime(pdf["ts"]))
+        ts.sort()
+        closed = []
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = None, None, 0
+        for t in ts:
+            if start_ms is None:
+                start_ms, end_ms, n = t, t, 1
+            elif t - end_ms > gap_ms:
+                closed.append((start_ms, end_ms, n))
+                start_ms, end_ms, n = t, t, 1
+            else:
+                end_ms, n = t, n + 1
+        state.update((start_ms, end_ms, n))
+        # flush the open session when the watermark passes end + gap
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(end_ms + gap_ms, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": fmt(s),
+                        "session_end": fmt(e),
+                        "n_events": k,
+                        "closed_by": "gap",
+                    }
+                    for s, e, k in closed
+                ]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stateful_running_stats_tws(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Same per-user running (count, sum, max) via the newer
     ``transformWithStateInPandas`` API (SURVEY §2.9 names both stateful

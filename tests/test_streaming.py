@@ -404,6 +404,50 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream):
     assert g == w and len(g) > 0
 
 
+def test_stateful_sessionize_with_event_time_timeout(spark, sf_dir, events_stream):
+    """Sessionization via applyInPandasWithState + EventTimeTimeout:
+    gap-closed sessions must equal the batch w13 sessions that are NOT
+    each user's last (those close only because a later event arrives);
+    timeout-flushed sessions must be a subset of the last-session set;
+    nothing is emitted twice."""
+    from pyspark.sql import Window
+
+    from factory_inspectors_db_etl_spark.streaming import stateful_sessionize
+
+    got = run_available_now(
+        stateful_sessionize(events_stream), "t_sessionize_state"
+    ).collect()
+    keys = [(r.user_id, r.session_start, r.session_end, r.n_events) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate session emission"
+    gap_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got
+        if r.closed_by == "gap"
+    }
+    timeout_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got
+        if r.closed_by == "timeout"
+    }
+
+    from factory_inspectors_db_etl_spark.plans.catalog import q_w13_sessionize
+
+    batch = q_w13_sessionize(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    batch = batch.withColumn("_last", F.col("session_idx") == F.max("session_idx").over(w))
+    non_last = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.filter(~F.col("_last")).collect()
+    }
+    last = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.filter(F.col("_last")).collect()
+    }
+    assert gap_rows == non_last
+    assert timeout_rows <= last
+    assert not (gap_rows & timeout_rows)
+
+
 def test_stream_static_join_matches_batch(spark, sf_dir, events_stream):
     """Stream-static enrichment (§2.9): per-user lifetime stats computed
     BATCH-side, broadcast onto every micro-batch.  No watermark/state
