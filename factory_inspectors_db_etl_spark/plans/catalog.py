@@ -3127,11 +3127,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s9b_sliding_window": q_s9b_sliding_window,
     # ------- 50-slot window boundary (s9b_sliding_window is position 50) -------
     # everything below holds a green driver row from r2/r3 and is
-    # re-verified locally per round.  The round-4 additions pushed
-    # sixteen former window entries — flagship/s1/f1/f2/f5/f8/f9
-    # (r3-green, moved this batch) and f10/f11/a1/a2/a3/a3b/a3c/a4/j1
-    # (r3-green) — past the boundary; rotate them forward again in round
-    # 5.  (Keep this comment in sync by COUNTING —
+    # re-verified locally per round.  The round-4 additions (ten new
+    # queries, all inside the window) pushed nineteen former window
+    # entries past the boundary: s10/d_exact_dedup/t_chunk_windows
+    # (r2-green — rotate these forward FIRST in round 5),
+    # flagship/s1/f1/f2/f5/f8/f9 and f10/f11/a1/a2/a3/a3b/a3c/a4/j1
+    # (r3-green).  (Keep this comment in sync by COUNTING —
     # list(QUERIES).index(name) — tests/test_plan_shapes.py pins it.)
     "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
