@@ -604,6 +604,52 @@ FROM act a LEFT JOIN dn ON dn.day = a.day
 
 
 # ---------------------------------------------------------------------------
+# S2c: VARIANT semi-structured access (Spark 4)
+# ---------------------------------------------------------------------------
+
+def q_s2c_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """S2c: the Spark-4 VARIANT path for semi-structured data —
+    ``parse_json`` once into the shredded binary encoding, then typed
+    ``try_variant_get`` accesses.  Versus s2b's ``get_json_object``
+    (which re-scans the JSON STRING per extracted path), VARIANT parses
+    once and serves every later path extraction from the binary form —
+    the right shape when a 100 TB log table has many extracted fields
+    per query.  ``try_`` semantics (malformed -> NULL, not job failure)
+    is the production posture for dirty logs; the count of parse
+    failures is surfaced as a column so data quality is observable, not
+    silent."""
+    ev = load_table(spark, sf, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"), F.col("props").isNotNull().alias("has_props"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("has_props") & F.col("k").isNull(), 1)).alias(
+                "n_unparsed"
+            ),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+O_S2C_VARIANT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN props IS NOT NULL
+                        AND try_cast(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+                  THEN 1 END) AS BIGINT) AS n_unparsed,
+       CAST(sum(try_cast(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(min(try_cast(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+       CAST(max(try_cast(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # T: distributed BPE merge training
 # ---------------------------------------------------------------------------
 
@@ -835,9 +881,11 @@ EXT_QUERIES = {
     "w15_cumulative_distinct": q_w15_cumulative_distinct,
     "t_bpe_train": q_t_bpe_train,
     "j11_interval_overlap": q_j11_interval_overlap,
+    "s2c_variant_extract": q_s2c_variant_extract,
 }
 
 EXT_ORACLES = {
+    "s2c_variant_extract": O_S2C_VARIANT,
     "j11_interval_overlap": O_J11_INTERVAL_OVERLAP,
     "t_bpe_train": O_T_BPE_TRAIN,
     "g2_triangle_count": O_G2_TRIANGLES,
