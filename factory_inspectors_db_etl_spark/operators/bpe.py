@@ -57,13 +57,10 @@ def _merge_pair(syms: Column, left: Column, right: Column) -> Column:
     )
 
 
-def bpe_learn_merges(words: DataFrame, rounds: int = 3) -> DataFrame:
-    """Learn ``rounds`` BPE merges from a (word, cnt) table.
-
-    Returns one row per learned merge: (round, left, right, pair_count),
-    deterministic tie-break (count DESC, left ASC, right ASC).
-    """
-    cur = words.select(F.split("word", "").alias("syms"), "cnt")
+def _bpe_rounds(words: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFrame]:
+    """Run the merge-learning loop; returns (per-round top-1 tables,
+    final per-word symbol table)."""
+    cur = words.select("word", F.split("word", "").alias("syms"), "cnt")
     learned = []
     for rnd in range(1, rounds + 1):
         cur = materialize(cur, iterative=True)
@@ -84,8 +81,18 @@ def bpe_learn_merges(words: DataFrame, rounds: int = 3) -> DataFrame:
         )
         learned.append(top1.select(F.lit(rnd).alias("round"), "l", "r", "pair_count"))
         cur = cur.crossJoin(F.broadcast(top1.select("l", "r"))).select(
-            _merge_pair(F.col("syms"), F.col("l"), F.col("r")).alias("syms"), "cnt"
+            "word", _merge_pair(F.col("syms"), F.col("l"), F.col("r")).alias("syms"), "cnt"
         )
+    return learned, cur
+
+
+def bpe_learn_merges(words: DataFrame, rounds: int = 3) -> DataFrame:
+    """Learn ``rounds`` BPE merges from a (word, cnt) table.
+
+    Returns one row per learned merge: (round, left, right, pair_count),
+    deterministic tie-break (count DESC, left ASC, right ASC).
+    """
+    learned, _ = _bpe_rounds(words, rounds)
     out = learned[0]
     for t in learned[1:]:
         out = out.unionByName(t)
@@ -94,4 +101,37 @@ def bpe_learn_merges(words: DataFrame, rounds: int = 3) -> DataFrame:
         F.col("l").alias("merge_left"),
         F.col("r").alias("merge_right"),
         "pair_count",
+    )
+
+
+def bpe_encode_corpus(docs: DataFrame, rounds: int = 3, text_col: str = "text") -> DataFrame:
+    """Train BPE on the corpus AND encode every document with the
+    learned merges — tokenizer training and application in ONE lazily
+    composed plan, no model file round-trip.
+
+    Since merges apply word-internally, encoding is a JOIN, not a
+    re-fold: the training loop already produced the final symbol array
+    per DISTINCT word, so each document just joins its words against
+    that (broadcastable) vocabulary and sums symbol counts — the
+    word-dict trick working twice (train on vocab-grain, encode by
+    lookup).  Returns (doc_id, n_chars_in_words, n_bpe_tokens)."""
+    from . import text_analysis as TA
+
+    _, vocab = _bpe_rounds(word_frequency_table(docs, text_col), rounds)
+    doc_words = docs.select(
+        "doc_id", F.explode(TA.tokens(F.lower(F.col(text_col)))).alias("word")
+    )
+    encoded = (
+        doc_words.join(F.broadcast(vocab.select("word", F.size("syms").alias("n_syms"))), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word")).alias("n_chars_in_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+    # wordless (empty-text) docs still get a row — encode is total
+    return docs.select("doc_id").join(encoded, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chars_in_words", F.lit(0).cast("long")).alias("n_chars_in_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias("n_bpe_tokens"),
     )

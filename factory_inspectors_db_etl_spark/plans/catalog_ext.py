@@ -671,7 +671,7 @@ def q_t_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_learn_merges(word_frequency_table(d), rounds=_BPE_ROUNDS)
 
 
-def _gen_bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_oracle_ctes(rounds: int = _BPE_ROUNDS) -> str:
     sql = r"""
 WITH w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -715,15 +715,55 @@ p{r} AS (
          list(nsym ORDER BY i) FILTER (WHERE nsym IS NOT NULL) AS syms
   FROM n{r} GROUP BY word
 )"""
+    return sql
+
+
+def _gen_bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     parts = [
         f"SELECT {r} AS round, l AS merge_left, r2 AS merge_right, pair_count FROM t{r}"
         for r in range(1, rounds + 1)
     ]
-    sql += "\n" + "\nUNION ALL ".join(parts)
-    return sql
+    return _bpe_oracle_ctes(rounds) + "\n" + "\nUNION ALL ".join(parts)
 
 
-O_T_BPE_TRAIN = _gen_bpe_oracle()
+def _gen_bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    return (
+        _bpe_oracle_ctes(rounds)
+        + rf""",
+dw AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                     ELSE string_split_regex(trim(lower(text)), '\s+') END) AS word
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         CAST(sum(length(word)) AS BIGINT) AS n_chars_in_words,
+         CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+  FROM dw JOIN s{rounds} s USING (word) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(e.n_chars_in_words, 0) AS BIGINT) AS n_chars_in_words,
+       CAST(coalesce(e.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id"""
+    )
+
+
+O_T_BPE_TRAIN = _gen_bpe_train_oracle()
+O_T_BPE_ENCODE = _gen_bpe_encode_oracle()
+
+
+def q_t_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE train-and-ENCODE in one plan: the corpus is tokenized with
+    the merges learned in the same lazily-composed job (no model-file
+    round trip).  Encoding is a broadcast JOIN against the trained
+    per-word symbol table, not a per-document re-fold — merges are
+    word-internal, so the word-dict trick works twice (train on
+    vocab-grain, encode by lookup).  Output per doc: characters in
+    words vs. BPE token count — the compression the learned merges buy."""
+    from ..operators.bpe import bpe_encode_corpus
+
+    d = load_table(spark, sf, "documents")
+    return bpe_encode_corpus(d, rounds=_BPE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
@@ -882,9 +922,11 @@ EXT_QUERIES = {
     "t_bpe_train": q_t_bpe_train,
     "j11_interval_overlap": q_j11_interval_overlap,
     "s2c_variant_extract": q_s2c_variant_extract,
+    "t_bpe_encode": q_t_bpe_encode,
 }
 
 EXT_ORACLES = {
+    "t_bpe_encode": O_T_BPE_ENCODE,
     "s2c_variant_extract": O_S2C_VARIANT,
     "j11_interval_overlap": O_J11_INTERVAL_OVERLAP,
     "t_bpe_train": O_T_BPE_TRAIN,

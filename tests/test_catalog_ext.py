@@ -230,6 +230,46 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     assert got == want
 
 
+def test_bpe_encode_consistent_with_merges(spark, sf_dir):
+    """Encoding invariants: n_bpe_tokens <= chars-in-words (merges only
+    shrink), strictly smaller overall (3 merges must fire somewhere),
+    and per-doc totals reconcile with an independent re-encode from the
+    learned merge list."""
+    from factory_inspectors_db_etl_spark.operators.bpe import word_frequency_table
+
+    rows = CE.q_t_bpe_encode(spark, sf_dir).collect()
+    assert all(r.n_bpe_tokens <= r.n_chars_in_words for r in rows)
+    assert sum(r.n_bpe_tokens for r in rows) < sum(r.n_chars_in_words for r in rows)
+    merges = [
+        (r.merge_left, r.merge_right)
+        for r in CE.q_t_bpe_train(spark, sf_dir).orderBy("round").collect()
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    wc = {r.word: r.cnt for r in word_frequency_table(d).collect()}
+    enc = {}
+    for w in wc:
+        syms = list(w)
+        for l, r in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms = out
+        enc[w] = len(syms)
+    docs = d.select("doc_id", F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")).collect()
+    from collections import defaultdict
+
+    want = defaultdict(int)
+    for r in docs:
+        if r.w:
+            want[r.doc_id] += enc[r.w]
+    got = {r.doc_id: r.n_bpe_tokens for r in rows if r.n_bpe_tokens > 0}
+    assert got == dict(want)
+
+
 def test_bpe_merge_handles_overlap_and_recombination(spark):
     """Greedy non-overlap on runs ('aaaa' with (a,a) -> [aa, aa]) and the
     no-flag-needed property (merged symbol can't re-merge in-round)."""
