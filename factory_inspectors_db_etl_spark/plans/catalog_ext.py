@@ -419,12 +419,18 @@ def q_g1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     deg = materialize(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_INIT).cast("long").alias("mass"))
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
-            .join(F.broadcast(deg), "src")
-            .select(F.col("dst").alias("node"), F.expr("mass div deg").alias("contrib"))
+        # per-NODE contribution first (|V|-scale join), then one
+        # broadcast onto the edge list — the per-edge work is a single
+        # hash lookup, not a division + second join
+        node_contrib = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .select("src", F.expr("mass div deg").alias("contrib"))
         )
-        incoming = contrib.groupBy("node").agg(F.sum("contrib").alias("inmass"))
+        incoming = (
+            edges.join(F.broadcast(node_contrib), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("inmass"))
+        )
         ranks = materialize(
             deg.select(F.col("src").alias("node"))
             .join(incoming, "node", "left")
