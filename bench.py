@@ -120,6 +120,25 @@ def main() -> None:
             shutil.rmtree(out, ignore_errors=True)
     timings["etl_warehouse_build"] = round(min(runs), 3)
 
+    # second end-to-end number: the M6 training-set build (near-dup
+    # cluster -> keep-best -> quality/lang gates -> split -> pack), at
+    # the bench sf like the queries.  Warm once at sf0.001, min-of-2.
+    from factory_inspectors_db_etl_spark.plans.corpus_pipeline import build_training_set
+
+    try:
+        build_training_set(spark, "/root/testdata/sf0.001")["packed_train"].write.mode(
+            "overwrite"
+        ).format("noop").save()
+    except Exception:
+        pass
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        for part in build_training_set(spark, sf_dir).values():
+            part.write.mode("overwrite").format("noop").save()
+        runs.append(time.time() - t0)
+    timings["corpus_pipeline_build"] = round(min(runs), 3)
+
     total = round(sum(timings.values()), 3)
     # Per-query detail goes to a file plus an EARLY stdout line; the FINAL
     # stdout line is a compact headline only.  Round 3's single ~5 KB JSON

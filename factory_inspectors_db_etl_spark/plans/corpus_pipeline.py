@@ -1,0 +1,88 @@
+"""End-to-end training-set build: the M6 counterpart of the document
+warehouse ETL (`plans/inspectors_etl.py`) — one composed job from raw
+corpus to packed, split, deduplicated training data, tracked as a single
+bench number (`bench.py` -> ``corpus_pipeline_build``).
+
+Stages (each individually oracle-verified by its own catalog query; this
+plan is their composition):
+
+1. near-dup clustering  — n-gram Jaccard pairs -> connected components
+                          (d_ngram_jaccard / d_dedup_clusters)
+2. canonical selection  — keep the highest-quality doc per cluster
+                          (d_keep_best)
+3. quality + language   — scan-speed columnar filters (t_quality_score,
+                          t_language_guess)
+4. split                — deterministic content-hash train/val/test
+                          (p_hash_split)
+5. packing              — token-budget bins, sharded, train split only
+                          (p_pack_bins)
+
+Scale posture: one corpus scan feeds shingling and the columnar
+signals; the pair join is banded/inverted-index (never all-pairs); the
+cluster keep-decision and every later stage are equi-joins on doc_id —
+AQE-splittable at any corpus size.  The cluster stage is barriered
+(iterative CC already localCheckpoints internally), so downstream
+consumers see a flat plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators import text_analysis as TA
+from ..operators.dedup import assign_components, ngram_jaccard_pairs
+from ..operators.materialize import materialize
+from ..operators.sampling import hash_split, pack_token_bins
+from ..sources.tables import load_table
+
+
+def build_training_set(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.4,
+    budget: int = 2000,
+    shards: int = 16,
+) -> dict[str, DataFrame]:
+    """Returns {'kept', 'splits', 'packed_train'} DataFrames."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1-2: cluster near-dups, keep the best doc per cluster
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    comp = assign_components(docs, pairs, "doc_id").select("doc_id", "component_id")
+    scored = docs.join(comp, "doc_id").withColumn(
+        "quality", TA.quality_score(F.col("text"))
+    )
+    wk = W.partitionBy("component_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    canonical = (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 3: columnar quality/language gates
+    kept = canonical.filter(
+        (F.col("quality") >= min_quality)
+        & (
+            TA.language_guess_from_tokens(TA.tokens(F.lower(F.col("text"))))
+            != "und"
+        )
+    )
+
+    # barrier: three sinks consume this point (kept/splits/packed) and
+    # Spark shares no computation across separate actions — without the
+    # barrier the pair join + window re-run once per sink
+    kept = materialize(kept)
+
+    # 4: deterministic split
+    splits = hash_split(kept, "text", {"train": 0.98, "val": 0.01, "test": 0.01})
+
+    # 5: pack the train split into token-budget bins
+    packed_train = pack_token_bins(
+        splits.filter(F.col("split") == "train"),
+        "text",
+        "n_chars",
+        budget=budget,
+        shards=shards,
+    )
+    return {"kept": kept, "splits": splits, "packed_train": packed_train}

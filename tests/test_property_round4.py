@@ -123,3 +123,41 @@ def test_interleave_bits_bijective_and_matches_reference(spark, points):
         a = sum(((z >> (2 * i)) & 1) << i for i in range(8))
         b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
         assert (a, b) == (r["a"], r["b"])
+
+
+# --- BPE greedy merge fold (operators/bpe.py::_merge_pair) ---
+
+_syms = st.lists(st.sampled_from(["a", "b", "ab", "aa", "c"]), min_size=0, max_size=12)
+_pair = st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("a", "ab"), ("ab", "a"), ("aa", "a")])
+
+
+def _greedy_merge_ref(syms, l, r):
+    out = []
+    for x in syms:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
+@_prop
+@given(st.lists(st.tuples(_syms, _pair), min_size=1, max_size=20))
+def test_bpe_merge_fold_matches_greedy_reference(spark, cases):
+    """The higher-order-fold merge equals the left-to-right greedy
+    non-overlapping reference on adversarial symbol runs (aaaa, abab,
+    multi-char symbols that embed the pair as a substring)."""
+    from pyspark.sql import functions as F
+
+    from factory_inspectors_db_etl_spark.operators.bpe import _merge_pair
+
+    rows = [(i, syms, l, r) for i, (syms, (l, r)) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>, l string, r string")
+    got = {
+        row["i"]: row["m"]
+        for row in df.select(
+            "i", _merge_pair(F.col("syms"), F.col("l"), F.col("r")).alias("m")
+        ).collect()
+    }
+    for i, (syms, (l, r)) in enumerate(cases):
+        assert got[i] == _greedy_merge_ref(syms, l, r), (syms, l, r)
