@@ -629,3 +629,35 @@ def bootstrap_warehouse_catalog(
             )
             writer = df.write.mode("overwrite").format("parquet").partitionBy("year")
         writer.saveAsTable(f"{database}.{name}")
+
+
+def refresh_year_partitions(
+    spark: SparkSession, assignments: DataFrame, warehouse_dir: str
+) -> None:
+    """Incremental fact maintenance: overwrite ONLY the year partitions
+    present in ``assignments``, leaving every other year's files
+    untouched — the corrected-roster-reprocessing case (the reference
+    reruns the whole per-file loop; here one year's rows re-land under
+    their partition directory and nothing else is rewritten).
+
+    Mechanics: ``spark.sql.sources.partitionOverwriteMode=dynamic``
+    scopes ``mode("overwrite")`` to the partitions the job writes
+    instead of truncating the table root (STATIC, the default, would
+    delete all years first).  The conf is set per-write and restored —
+    a session-wide flip would silently change unrelated overwrites.
+    At 100 TB this is the difference between rewriting one partition
+    and rewriting the table."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            assignments.write.mode("overwrite")
+            .partitionBy("year")
+            .parquet(f"{warehouse_dir}/assignments")
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

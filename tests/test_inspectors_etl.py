@@ -362,3 +362,48 @@ def test_html_roster_datasource_matches_mapinpandas_reader(spark):
     a = sorted(tuple(r) for r in ds.collect())
     b = sorted(tuple(r) for r in read_roster_rows(spark, glob).collect())
     assert a == b
+
+
+def test_refresh_year_partitions_dynamic_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite rewrites ONLY the year being
+    refreshed: other years' parquet files (inode-identical) survive, the
+    refreshed year's rows are replaced, and the conf is restored."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import (
+        refresh_year_partitions,
+    )
+
+    wh = str(tmp_path / "wh")
+    base = spark.createDataFrame(
+        [(i, 1901 + (i % 3), f"insp{i}") for i in range(30)],
+        "assignment_id int, year int, name string",
+    )
+    base.write.partitionBy("year").parquet(f"{wh}/assignments")
+    before = {
+        y: sorted(_glob.glob(f"{wh}/assignments/year={y}/*.parquet"))
+        for y in (1901, 1902, 1903)
+    }
+    before_mtimes = {p: _os.stat(p).st_mtime_ns for p in before[1901] + before[1903]}
+
+    fixed_1902 = spark.createDataFrame(
+        [(100 + i, 1902, f"fixed{i}") for i in range(5)],
+        "assignment_id int, year int, name string",
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    assert spark.conf.get(key, None) in (None, "STATIC", "static")
+    refresh_year_partitions(spark, fixed_1902, wh)
+    assert spark.conf.get(key, None) in (None, "STATIC", "static"), "conf leaked"
+
+    got = spark.read.parquet(f"{wh}/assignments")
+    assert got.filter(F.col("year") == 1902).count() == 5
+    assert sorted(
+        r.name for r in got.filter(F.col("year") == 1902).collect()
+    ) == [f"fixed{i}" for i in range(5)]
+    # untouched years: same rows AND same files (not rewritten)
+    assert got.filter(F.col("year") != 1902).count() == 20
+    for p, m in before_mtimes.items():
+        assert _os.stat(p).st_mtime_ns == m, f"{p} was rewritten"
