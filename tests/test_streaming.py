@@ -582,3 +582,51 @@ def test_streaming_cdc_apply_equals_batch_merge(spark, tmp_path):
     }
     assert got == want
     assert got == {1: ("one-b", 11.0), 3: ("three-c", 33.0), 4: ("four", 40.0)}
+
+
+def test_html_roster_stream_datasource_incremental(spark, tmp_path):
+    """Spark-4 SimpleDataSourceStreamReader on the html_roster source:
+    run 1 ingests the initial file, run 2 (same checkpoint) appends ONLY
+    the file that arrived in between, and rows equal the batch reader's
+    for the same files."""
+    from factory_inspectors_db_etl_spark.sources.html_roster_source import (
+        HtmlRosterDataSource,
+    )
+    from factory_inspectors_db_etl_spark.sources.html_table import read_roster_rows
+
+    spark.dataSource.register(HtmlRosterDataSource)
+    src = tmp_path / "tail"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("html_roster")
+            .load(f"{src}/*.html")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    shutil.copy("/root/reference/diplom/fabric1901.html", src / "fabric1901.html")
+    got1 = run_once()
+    n1 = got1.count()
+    assert n1 > 0 and got1.select("source_file").distinct().count() == 1
+
+    shutil.copy("/root/reference/diplom/fabric1905.html", src / "fabric1905.html")
+    got2 = run_once()
+    per_file = {r["source_file"]: r["count"] for r in got2.groupBy("source_file").count().collect()}
+    assert per_file["fabric1901.html"] == n1  # not reprocessed
+    assert per_file["fabric1905.html"] > 0
+
+    want = read_roster_rows(spark, str(src))
+    assert got2.count() == want.count()
+    assert _rows(got2, "source_file", "row_idx", "row_kind") == _rows(
+        want, "source_file", "row_idx", "row_kind"
+    )
