@@ -60,6 +60,8 @@ def _merge_pair(syms: Column, left: Column, right: Column) -> Column:
 def _bpe_rounds(words: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFrame]:
     """Run the merge-learning loop; returns (per-round top-1 tables,
     final per-word symbol table)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     cur = words.select("word", F.split("word", "").alias("syms"), "cnt")
     learned = []
     for rnd in range(1, rounds + 1):
@@ -80,7 +82,12 @@ def _bpe_rounds(words: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFra
             .limit(1)
         )
         learned.append(top1.select(F.lit(rnd).alias("round"), "l", "r", "pair_count"))
-        cur = cur.crossJoin(F.broadcast(top1.select("l", "r"))).select(
+        # LEFT join on TRUE, not crossJoin: when the vocab has no pairs
+        # left (all words fully merged / single-char), top1 is EMPTY and
+        # a cross join would annihilate the whole word table — with the
+        # left join the pair columns are NULL, the merge condition is
+        # never true, and the round is an identity pass
+        cur = cur.join(F.broadcast(top1.select("l", "r")), F.lit(True), "left").select(
             "word", _merge_pair(F.col("syms"), F.col("l"), F.col("r")).alias("syms"), "cnt"
         )
     return learned, cur

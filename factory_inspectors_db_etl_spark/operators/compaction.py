@@ -46,6 +46,13 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     n = df.count()  # parquet footer count: metadata-only, no data scan
     files = max(1, math.ceil(n / target_rows_per_file))
-    out = df.repartitionByRange(files, *by) if by else df.repartition(files)
+    if by:
+        # range-partition AND sort within each output file: disjoint
+        # per-file key ranges alone leave every row group spanning the
+        # whole file's range — the intra-file min/max pruning OPTIMIZE
+        # restores needs the rows ordered too
+        out = df.repartitionByRange(files, *by).sortWithinPartitions(*by)
+    else:
+        out = df.repartition(files)
     out.write.mode("error").parquet(dst_dir)
     return files

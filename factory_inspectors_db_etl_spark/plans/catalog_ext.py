@@ -625,7 +625,10 @@ def q_s2c_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
     failures is surfaced as a column so data quality is observable, not
     silent."""
     ev = load_table(spark, sf, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json, not parse_json: the parse itself must also be
+    # malformed->NULL, or one bad line kills the job and diverges from
+    # the oracle's NULL-returning json_extract_string
+    v = F.try_parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"), F.col("props").isNotNull().alias("has_props"))
@@ -701,9 +704,13 @@ p{r} AS (
 ), t{r} AS (
   SELECT l, r2, pair_count FROM p{r} ORDER BY pair_count DESC, l, r2 LIMIT 1
 ), e{r} AS (
+  -- LEFT JOIN ON TRUE (not CROSS JOIN): an empty t{{r}} must be an
+  -- identity round, not annihilate the word table (same guard as the
+  -- Spark side)
   SELECT s.word, s.cnt, t.i AS i, s.syms[t.i] AS sym,
-         (t.i < len(s.syms) AND s.syms[t.i] = tt.l AND s.syms[t.i + 1] = tt.r2) AS mt
-  FROM s{p} s CROSS JOIN t{r} tt, UNNEST(range(1, len(s.syms) + 1)) AS t(i)
+         coalesce(t.i < len(s.syms) AND s.syms[t.i] = tt.l AND s.syms[t.i + 1] = tt.r2,
+                  FALSE) AS mt
+  FROM s{p} s LEFT JOIN t{r} tt ON TRUE, UNNEST(range(1, len(s.syms) + 1)) AS t(i)
 ), g{r} AS (
   SELECT *, CAST(i AS BIGINT) - row_number() OVER (PARTITION BY word, mt ORDER BY i) AS grp
   FROM e{r}

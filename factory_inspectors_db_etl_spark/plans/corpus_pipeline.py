@@ -60,13 +60,18 @@ def build_training_set(
         .drop("_rn")
     )
 
-    # 3: columnar quality/language gates
-    kept = canonical.filter(
-        (F.col("quality") >= min_quality)
-        & (
-            TA.language_guess_from_tokens(TA.tokens(F.lower(F.col("text"))))
-            != "und"
+    # 3: columnar quality/language gates.  Tokens are BOUND to a column
+    # first — language_guess_from_tokens references its input once per
+    # language vote, and HOF lambdas get no CSE, so an unbound
+    # tokens(lower(text)) would re-tokenize per vote (the documented
+    # contract of that function; same pattern as q_t_language_guess)
+    kept = (
+        canonical.withColumn("_toks", TA.tokens(F.lower(F.col("text"))))
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (TA.language_guess_from_tokens(F.col("_toks")) != "und")
         )
+        .drop("_toks")
     )
 
     # barrier: three sinks consume this point (kept/splits/packed) and

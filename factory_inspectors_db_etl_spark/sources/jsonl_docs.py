@@ -39,10 +39,13 @@ DOCS_JSONL_SCHEMA = T.StructType(
 
 
 def read_jsonl_docs(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Read JSONL documents; returns {'docs', 'rejects'}.
+    """Read JSONL documents; returns {'docs', 'rejects', 'raw'}.
 
     docs: rows that parsed (corrupt column absent); rejects: one row per
-    malformed line (source file + raw line), the triage channel."""
+    malformed line (source file + raw line), the triage channel; raw:
+    the CACHED parsed scan both branches split from — call
+    ``raw.unpersist()`` once docs/rejects are consumed, or the cached
+    corpus pins executor storage for the session lifetime."""
     raw = (
         spark.read.schema(DOCS_JSONL_SCHEMA)
         .option("mode", "PERMISSIVE")
@@ -64,4 +67,4 @@ def read_jsonl_docs(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         F.col("_source_file").alias("source_file"),
         F.col("_corrupt_record").alias("raw_line"),
     )
-    return {"docs": docs, "rejects": rejects}
+    return {"docs": docs, "rejects": rejects, "raw": raw}

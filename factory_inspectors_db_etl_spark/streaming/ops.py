@@ -282,23 +282,36 @@ def stateful_sessionize(
                 ]
             )
             return
-        ts = []
-        for pdf in pdfs:
-            ts.extend(int(v.value // 1_000_000) for v in pd.to_datetime(pdf["ts"]))
-        ts.sort()
-        closed = []
+        # interval-sweep merge, NOT an append-only walk: a later batch can
+        # deliver an event that is within-watermark but EARLIER than the
+        # stored session end (cross-batch reorder) — an append walk would
+        # move end_ms backwards and emit end < start sessions.  Treating
+        # the stored session as one more interval and sweep-merging the
+        # sorted set is order-correct for any within-batch arrival order.
+        # (Cross-batch caveat, documented: a session emitted by an
+        # observed gap is final; an extreme straggler that batch-mode
+        # would have merged into it starts a new session instead.)
+        intervals = []
         if state.exists:
-            start_ms, end_ms, n = state.get
-        else:
-            start_ms, end_ms, n = None, None, 0
-        for t in ts:
-            if start_ms is None:
-                start_ms, end_ms, n = t, t, 1
-            elif t - end_ms > gap_ms:
-                closed.append((start_ms, end_ms, n))
-                start_ms, end_ms, n = t, t, 1
+            s0, e0, n0 = state.get
+            intervals.append((s0, e0, n0))
+        for pdf in pdfs:
+            intervals.extend(
+                (t, t, 1)
+                for t in (int(v.value // 1_000_000) for v in pd.to_datetime(pdf["ts"]))
+            )
+        intervals.sort()
+        if not intervals:  # defensive: invoked with no rows and no state
+            return
+        merged = [intervals[0]]
+        for s, e, k in intervals[1:]:
+            ps, pe, pk = merged[-1]
+            if s - pe <= gap_ms:
+                merged[-1] = (ps, max(pe, e), pk + k)
             else:
-                end_ms, n = t, n + 1
+                merged.append((s, e, k))
+        closed = merged[:-1]
+        start_ms, end_ms, n = merged[-1]
         state.update((start_ms, end_ms, n))
         # flush the open session when the watermark passes end + gap
         wm = state.getCurrentWatermarkMs()
@@ -497,8 +510,15 @@ def cdc_snapshot_upsert(
         base_cols = [c for c in batch_df.columns if c not in (op_col, *version_cols)]
         if not os.path.exists(snapshot_dir):
             # crash recovery: a death between the two renames leaves the
-            # published snapshot as ._old_<id> — restore the newest one
-            olds = sorted(_glob.glob(f"{snapshot_dir}._old_*"))
+            # published snapshot as ._old_<id> — restore the newest one.
+            # NUMERIC sort on the batch-id suffix: lexicographic would
+            # rank ._old_9 above ._old_10, and combined with a silently
+            # failed rmtree of an old dir could restore an ancient
+            # snapshot and then delete the current one
+            olds = sorted(
+                _glob.glob(f"{snapshot_dir}._old_*"),
+                key=lambda p: int(p.rsplit("._old_", 1)[1]),
+            )
             if olds:
                 os.rename(olds[-1], snapshot_dir)
         # stale staging/old dirs from a retried batch must not collide

@@ -324,3 +324,29 @@ def test_linreg_matches_numpy(spark, sf_dir):
         slope, intercept = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)
         assert abs(r.slope_cents_per_day - slope) < 1e-6 * max(1.0, abs(slope))
         assert abs(r.intercept_cents - intercept) < 1e-6 * max(1.0, abs(intercept))
+
+
+def test_bpe_empty_pair_round_is_identity(spark):
+    """A round with no pairs left (single-char vocab) must be an
+    identity pass, not annihilate the word table (empty-top1 crossJoin
+    regression)."""
+    from factory_inspectors_db_etl_spark.operators.bpe import _bpe_rounds, bpe_learn_merges
+
+    words = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "word string, cnt long"
+    )
+    learned, final = _bpe_rounds(words, rounds=2)
+    # no pairs ever existed -> no merges learned, vocab intact
+    assert bpe_learn_merges(words, rounds=2).count() == 0
+    rows = {r.word: r.syms for r in final.collect()}
+    assert rows == {"a": ["a"], "b": ["b"], "c": ["c"]}
+
+
+def test_bpe_rounds_zero_raises(spark):
+    import pytest as _pytest
+
+    from factory_inspectors_db_etl_spark.operators.bpe import bpe_learn_merges
+
+    words = spark.createDataFrame([("ab", 1)], "word string, cnt long")
+    with _pytest.raises(ValueError, match="rounds"):
+        bpe_learn_merges(words, rounds=0)

@@ -630,3 +630,49 @@ def test_html_roster_stream_datasource_incremental(spark, tmp_path):
     assert _rows(got2, "source_file", "row_idx", "row_kind") == _rows(
         want, "source_file", "row_idx", "row_kind"
     )
+
+
+def test_stateful_sessionize_cross_batch_reorder(spark, tmp_path):
+    """A later micro-batch delivering a within-watermark event EARLIER
+    than the stored session end must interval-merge (extend the session
+    backwards), never move end_ms backwards or emit end < start."""
+    import datetime as _dt
+
+    from factory_inspectors_db_etl_spark.streaming import stateful_sessionize
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = _dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_file(name, minutes):
+        df = spark.createDataFrame(
+            [(i, 1, base + _dt.timedelta(minutes=m), "e", 1.0, "{}")
+             for i, m in enumerate(minutes)],
+            "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: events at 10:00, 10:05; batch 2: late 10:02 (within
+    # watermark) + 11:30 (gap-closes the merged session)
+    write_file("f1", [0, 5])
+    import time as _time
+
+    _time.sleep(1.1)  # availableNow orders batches by file mtime
+    write_file("f2", [2, 90])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    got = run_available_now(stateful_sessionize(stream), "t_sess_reorder").collect()
+    for r in got:
+        assert r.session_start <= r.session_end, r
+    gap = [r for r in got if r.closed_by == "gap"]
+    assert len(gap) == 1
+    # the merged session covers 10:00-10:05 INCLUDING the late 10:02 row
+    assert gap[0].session_start == "2024-01-01 10:00:00"
+    assert gap[0].session_end == "2024-01-01 10:05:00"
+    assert gap[0].n_events == 3
