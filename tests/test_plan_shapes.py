@@ -242,3 +242,30 @@ def test_driver_window_boundary_comment_is_accurate():
         f"boundary comment names {m.group(1)!r} but position 50 is {list(QUERIES)[49]!r}; "
         "move the comment (count with list(QUERIES).index(name))"
     )
+
+
+@pytest.mark.slow
+def test_whole_catalog_no_cartesian_no_unpartitioned_window(spark, sf_dir):
+    """The two catalog-wide invariants scripts/plan_audit.py reports as
+    evidence, promoted to a hard gate over EVERY registered query: no
+    CartesianProduct anywhere, no window without a PARTITION BY (the
+    single-task funnel).  Runs at sf0.001 — plan shape, not data scale,
+    is under test — and automatically covers every future query."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    bad = []
+    for name, fn in QUERIES.items():
+        a = pa.audit_one(fn(spark, sf_dir))
+        if a["cartesian"]:
+            bad.append(f"{name}: CartesianProduct")
+        if a["unpartitioned_windows"]:
+            bad.append(f"{name}: {a['unpartitioned_windows']} unpartitioned window(s)")
+    assert not bad, bad
