@@ -3105,6 +3105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
     "s2c_variant_extract": _EXT_QUERIES["s2c_variant_extract"],
     "t_bpe_encode": _EXT_QUERIES["t_bpe_encode"],
+    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
     # --- (c) r2-checked, no r3 driver row — rotate back in ---
     "j4_case_insensitive_join": q_j4_case_insensitive_join,
     "j5_anti_join": q_j5_anti_join,
@@ -3124,16 +3125,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o5_topk": q_o5_topk,
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
-    "e3_intersect": q_e3_intersect,
-    # ------- 50-slot window boundary (e3_intersect is position 50) -------
+    # ------- 50-slot window boundary (e2_except is position 50) -------
     # everything below holds a green driver row from r2/r3 and is
     # re-verified locally per round.  The round-4 additions (ten new
     # queries, all inside the window) pushed nineteen former window
-    # entries past the boundary: s9/s9b/s10/d_exact_dedup/t_chunk_windows
-    # (r2-green — rotate these forward FIRST in round 5),
+    # entries past the boundary: e3/s9/s9b/s10/d_exact_dedup/
+    # t_chunk_windows (r2-green — rotate these forward FIRST in round 5),
     # flagship/s1/f1/f2/f5/f8/f9 and f10/f11/a1/a2/a3/a3b/a3c/a4/j1
     # (r3-green).  (Keep this comment in sync by COUNTING —
     # list(QUERIES).index(name) — tests/test_plan_shapes.py pins it.)
+    "e3_intersect": q_e3_intersect,
     "s9_tumbling_window": q_s9_tumbling_window,
     "s9b_sliding_window": q_s9b_sliding_window,
     "s10_session_window": q_s10_session_window,

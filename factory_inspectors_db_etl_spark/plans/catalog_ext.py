@@ -547,6 +547,95 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# G3: synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+def q_g3_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """G3: community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. '07) over the urgent-order co-purchase graph — the
+    third graph family next to centrality (g1) and triangles (g2), and
+    the cheap community pass real pipelines run before per-community
+    work.  Each round every node adopts the MODE of its neighbors'
+    labels; all-integer counts with (count DESC, label ASC) tie-break
+    make every round exact and order-free, and a FIXED iteration count
+    sidesteps sync-LPA's oscillation — deterministic in any engine, like
+    g1's integer masses.
+
+    Plan per round: labels (|V| rows) broadcast onto the edge list, one
+    shuffle to count (dst, label) votes, an argmin-struct partial agg
+    for the mode (map-side combined, no window), barriered per round.
+    The oracle unrolls the same rounds in SQL."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize(
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(F.broadcast(labels), edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = materialize(
+            votes.groupBy(F.col("node2").alias("node"))
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("l"))).alias("_m"))
+            .select("node", F.col("_m.l").alias("label")),
+            iterative=True,
+        )
+    return labels.select(F.col("node").alias("part_id"), F.col("label").alias("community"))
+
+
+def _gen_lpa_oracle(iters: int = _LPA_ITERS) -> str:
+    sql = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT v.node, v.label,
+           row_number() OVER (PARTITION BY v.node ORDER BY v.cnt DESC, v.label ASC) AS rn
+    FROM (
+      SELECT e.dst AS node, r.label, count(*) AS cnt
+      FROM e JOIN l{i - 1} r ON e.src = r.node
+      GROUP BY 1, 2
+    ) v
+  ) WHERE rn = 1
+)"""
+    sql += f"\nSELECT node AS part_id, CAST(label AS BIGINT) AS community FROM l{iters}"
+    return sql
+
+
+O_G3_LPA = _gen_lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
 # W15: cumulative distinct users (new vs returning growth curve)
 # ---------------------------------------------------------------------------
 
@@ -936,9 +1025,11 @@ EXT_QUERIES = {
     "j11_interval_overlap": q_j11_interval_overlap,
     "s2c_variant_extract": q_s2c_variant_extract,
     "t_bpe_encode": q_t_bpe_encode,
+    "g3_label_propagation": q_g3_label_propagation,
 }
 
 EXT_ORACLES = {
+    "g3_label_propagation": O_G3_LPA,
     "t_bpe_encode": O_T_BPE_ENCODE,
     "s2c_variant_extract": O_S2C_VARIANT,
     "j11_interval_overlap": O_J11_INTERVAL_OVERLAP,

@@ -350,3 +350,36 @@ def test_bpe_rounds_zero_raises(spark):
     words = spark.createDataFrame([("ab", 1)], "word string, cnt long")
     with _pytest.raises(ValueError, match="rounds"):
         bpe_learn_merges(words, rounds=0)
+
+
+def test_label_propagation_matches_bruteforce(spark, sf_dir):
+    """Distributed sync LPA == the obvious single-machine round loop
+    (mode of neighbor labels, count-desc/label-asc tie-break)."""
+    from collections import Counter, defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = {
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey").collect()
+    }
+    by_order = defaultdict(set)
+    for r in li.collect():
+        if r.l_orderkey in urgent:
+            by_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    labels = {n: n for n in adj}
+    for _ in range(CE._LPA_ITERS):
+        new = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            new[n] = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        labels = new
+    got = {r.part_id: r.community for r in CE.q_g3_label_propagation(spark, sf_dir).collect()}
+    assert got == labels
