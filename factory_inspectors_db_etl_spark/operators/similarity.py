@@ -166,12 +166,14 @@ def _resolve_centroids(
 
 
 def _assign_cells(
-    df: DataFrame, cents: DataFrame, out_id: str, vec_out: str, top: int
+    df: DataFrame, cents: DataFrame, out_id: str, vec_out: str, top: int,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``top`` nearest centroid cells: broadcast
     nested-loop against the tiny centroid set, then a top-N window keyed
     on the vector id.  Shared by ``ivf_topk`` (corpus top-1 / query
-    n_probe) and ``semantic_dedup`` (cluster assignment)."""
+    n_probe) and ``semantic_dedup`` (cluster assignment; multi-probe
+    keeps ``_crank`` so rank 1 stays the canonical cluster)."""
     scored = df.crossJoin(F.broadcast(cents)).select(
         F.col(out_id),
         F.col(vec_out),
@@ -181,11 +183,12 @@ def _assign_cells(
     w = Window.partitionBy(out_id).orderBy(
         F.col("_cscore").desc(), F.col("centroid_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("_crank", F.row_number().over(w))
         .filter(F.col("_crank") <= top)
-        .drop("_cscore", "_crank")
+        .drop("_cscore")
     )
+    return out if keep_rank else out.drop("_crank")
 
 
 def ivf_topk(
@@ -410,6 +413,7 @@ def semantic_dedup(
     kmeans_seed: int = 7,
     kmeans_train_filter: Column | None = None,
     kmeans_max_iter: int = 20,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then search
@@ -418,16 +422,21 @@ def semantic_dedup(
     because semantically near-identical documents land in the same cell.
 
     Per vector the result carries ``(id, cluster_id, keep)`` where
-    ``keep`` is false iff a SAME-CLUSTER vector with a SMALLER id has
-    cosine >= ``threshold`` (greedy keep-lowest-id — deterministic and
-    order-free; the paper's keep-farthest-from-centroid variant swaps
-    only the tiebreak, not the plan).  Cross-cluster near-dups are
-    missed by construction — that is the documented recall trade of the
-    method; raise ``n_clusters`` resolution with trained centroids
-    (``centroids="kmeans"``) on real, clustered corpora.
+    ``keep`` is false iff a vector with a SMALLER id sharing one of its
+    probed cells has cosine >= ``threshold`` (greedy keep-lowest-id —
+    deterministic and order-free; the paper's keep-farthest-from-centroid
+    variant swaps only the tiebreak, not the plan).  Cross-cluster
+    near-dups are missed by construction — that is the documented recall
+    trade of the method.  Two recall levers, measured in
+    tests/test_semantic_dedup_recall.py: trained centroids
+    (``centroids="kmeans"``) sharpen the cells, and ``n_probe > 1``
+    (multi-probe, the IVF trick) searches each vector's ``n_probe``
+    nearest cells so boundary-straddling pairs still meet — pair volume
+    grows ~n_probe×, still O(n²·n_probe/k), never all-pairs.
+    ``cluster_id`` stays the rank-1 cell in every mode.
 
     Plan at scale: centroid set is tiny (broadcast nested-loop assign +
-    per-id top-1 window), the pair search is an equi-join on
+    per-id top-N window), the pair search is an equi-join on
     ``cluster_id`` (never a global cross join), and the keep flag is one
     aggregation over the dup pairs joined back — shuffles are sized by
     the cluster cells, not the corpus square.
@@ -442,7 +451,8 @@ def semantic_dedup(
         cents,
         "_id",
         "_v",
-        top=1,
+        top=n_probe,
+        keep_rank=True,
     )
     # Assignment scores raw vectors (same expression as ivf_topk's oracle);
     # pair scoring pre-normalizes once per row, same as
@@ -472,8 +482,9 @@ def semantic_dedup(
         .select(F.col("id_a").alias("_dup_id"))
         .distinct()
     )
+    primary = assigned.filter(F.col("_crank") == 1)
     return (
-        assigned.join(dup_ids, assigned["_id"] == dup_ids["_dup_id"], "left")
+        primary.join(dup_ids, primary["_id"] == dup_ids["_dup_id"], "left")
         .select(
             F.col("_id").alias(id_col),
             F.col("centroid_id").alias("cluster_id"),

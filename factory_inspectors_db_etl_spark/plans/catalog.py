@@ -1302,6 +1302,38 @@ FROM deliveries GROUP BY event_id
 """
 
 
+def q_s12_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``streaming/ops.py::stream_stream_view_purchase_join``
+    — the time-bounded watermarked stream-stream inner join (§2.9's last
+    operator with no driver-checkable query until round 5): each purchase
+    matched to the same user's view events in the preceding 30 minutes.
+
+    Runs the SAME function body on batch frames (``withWatermark`` is a
+    documented no-op outside streaming), so the driver hashes the exact
+    join predicate the streaming path executes;
+    tests/test_streaming.py::test_stream_stream_join_matches_batch pins
+    streaming-vs-batch equivalence on the same events.  The time-range
+    predicate is what bounds join state on an unbounded stream — and in
+    batch it is what keeps this an equi-join on user_id with a range
+    residual rather than a cross product."""
+    from ..streaming.ops import stream_stream_view_purchase_join
+
+    ev = load_table(spark, sf, "events")
+    return stream_stream_view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+O_S12 = """
+SELECT p.event_id AS purchase_id, p.user_id, v.ts AS view_ts, v.value AS view_value
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
 # ---------------------------------------------------------------------------
 # M6 extensions: dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
@@ -2671,6 +2703,43 @@ FROM u LEFT JOIN dups d ON u.vec_id = d.vec_id
 """
 
 
+def q_d_semantic_dedup_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with multi-probe (n_probe=2): each vector also searches
+    its SECOND-nearest cell, so near-dup pairs straddling a cluster
+    boundary — the method's documented recall hole, measured in
+    tests/test_semantic_dedup_recall.py — still meet in a shared cell.
+    Pair volume grows ~2×, still O(n²·n_probe/k); cluster_id stays the
+    rank-1 cell, so the output schema and grouping semantics match
+    d_semantic_dedup exactly."""
+    e = load_table(spark, sf, "embeddings")
+    return semantic_dedup(e, n_clusters=16, threshold=0.40, n_probe=2)
+
+
+O_D_SEMANTIC_DEDUP_MP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, ev, centroid_id, rn FROM (
+    SELECT v.vec_id, v.ev, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_inner_product(v.ev, c.cv) / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(list_inner_product(c.cv, c.cv))), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM v CROSS JOIN cents c) WHERE rn <= 2
+),
+u AS (SELECT vec_id, centroid_id, rn,
+             list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+      FROM asg),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM u a JOIN u b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE round(list_inner_product(a.uv, b.uv), 4) >= 0.40
+)
+SELECT u.vec_id, u.centroid_id AS cluster_id, d.vec_id IS NULL AS keep
+FROM u LEFT JOIN dups d ON u.vec_id = d.vec_id
+WHERE u.rn = 1
+"""
+
+
 _MIXTURE_WEIGHTS = {"en": 0.25, "de": 0.25, "es": 0.25, "fr": 0.25}
 
 
@@ -3061,85 +3130,42 @@ JOIN c ON q.doc_id = c.doc_id
 
 # Ordering contract: the external driver verifies the FIRST 50 keys of this
 # dict per round.  Round 2 checked the 50 §2-core keys; round 3 the 29
-# never-checked entries + 21 core.  Round 4 leads with (a) every query whose
-# CODE changed since its last driver row (the r3 verdict's rotation rule),
-# (b) the round-4 additions (a5's bounded-error oracle, s11, the kmeans IVF
-# contract), then (c) the 24 r2-checked entries that sat outside the r3
-# window, topped up with core rows.  Union across rounds stays total; every
-# rotated-out query keeps its green row from the round it was checked and is
-# re-verified locally by tests/test_catalog_vs_duckdb.py each round.
+# never-checked entries + 21 core; round 4 the changed/new/r2-parked set.
+# Round 5 leads with (a) the six queries whose NEWEST driver row was round 2
+# (e3, s9, s9b, s10, d_exact_dedup, t_chunk_windows — the r4 verdict's #1),
+# (b) the four round-5 additions (s12 stream-stream join batch twin, the
+# shuffle-join graph variants, multi-probe SemDeDup), (c) every query whose
+# CODE changed this round (similarity.py: _assign_cells/semantic_dedup ->
+# the whole ANN + embedding-dedup family; catalog_ext.py: _graph_small_side
+# -> g1/g3), then (d) r3-green §2-core entries.  Thirteen r3-green entries
+# (t_pii/p_* samplers/t_* stats/multimodal trio) rotate in round 6; union
+# across rounds stays total and every rotated-out query is re-verified
+# locally by tests/test_catalog_vs_duckdb.py each round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) code changed since last driver row (r3/r4 commits:
-    #     materialize barrier rework, shared dedup constants, tf-idf
-    #     barrier) — fresh driver rows first ---
-    "d_ngram_jaccard": q_d_ngram_jaccard,
-    "d_dedup_clusters": q_d_dedup_clusters,
-    "d_minhash_lsh": q_d_minhash_lsh,
-    "d_simhash": q_d_simhash,
-    "t_tfidf_topk": q_t_tfidf_topk,
-    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
-    "d_simhash_neardup": q_d_simhash_neardup,
-    # --- (b) new/upgraded in round 4 ---
-    "a5_approx_sketches": q_a5_approx_sketches,
-    "s11_stream_dedup": q_s11_stream_dedup,
-    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "p_mixture_sample": q_p_mixture_sample,
-    "j9_merge_upsert": q_j9_merge_upsert,
-    "p_zorder_layout": q_p_zorder_layout,
-    "a8_reaggregate": q_a8_reaggregate,
-    "a9_sketch_rollup": q_a9_sketch_rollup,
-    "t_span_dedup": q_t_span_dedup,
-    "t_quality_classifier": q_t_quality_classifier,
-    "sim_pq_topk": q_sim_pq_topk,
-    # --- (b2) new in round 4, second batch (plans/catalog_ext.py) ---
-    "a10_histogram": _EXT_QUERIES["a10_histogram"],
-    "j10_salted_join": _EXT_QUERIES["j10_salted_join"],
-    "d_keep_best": _EXT_QUERIES["d_keep_best"],
-    "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
-    "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
-    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
-    "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
-    "w15_cumulative_distinct": _EXT_QUERIES["w15_cumulative_distinct"],
-    "t_bpe_train": _EXT_QUERIES["t_bpe_train"],
-    "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
-    "s2c_variant_extract": _EXT_QUERIES["s2c_variant_extract"],
-    "t_bpe_encode": _EXT_QUERIES["t_bpe_encode"],
-    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
-    # --- (c) r2-checked, no r3 driver row — rotate back in ---
-    "j4_case_insensitive_join": q_j4_case_insensitive_join,
-    "j5_anti_join": q_j5_anti_join,
-    "j5b_semi_join": q_j5b_semi_join,
-    "j6_asof_fill": q_j6_asof_fill,
-    "j6b_asof_join": q_j6b_asof_join,
-    "j8_range_join": q_j8_range_join,
-    "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
-    "w1_forward_fill": q_w1_forward_fill,
-    "w5_latest_per_group": q_w5_latest_per_group,
-    "w6_global_surrogate": q_w6_global_surrogate,
-    "w7_lag_delta": q_w7_lag_delta,
-    "w8_rank_suite": q_w8_rank_suite,
-    "w9_range_frame": q_w9_range_frame,
-    "w10_funnel": q_w10_funnel,
-    "w11_cohort_retention": q_w11_cohort_retention,
-    "o5_topk": q_o5_topk,
-    "e1_union_dedup": q_e1_union_dedup,
-    "e2_except": q_e2_except,
-    # ------- 50-slot window boundary (e2_except is position 50) -------
-    # everything below holds a green driver row from r2/r3 and is
-    # re-verified locally per round.  The round-4 additions (ten new
-    # queries, all inside the window) pushed nineteen former window
-    # entries past the boundary: e3/s9/s9b/s10/d_exact_dedup/
-    # t_chunk_windows (r2-green — rotate these forward FIRST in round 5),
-    # flagship/s1/f1/f2/f5/f8/f9 and f10/f11/a1/a2/a3/a3b/a3c/a4/j1
-    # (r3-green).  (Keep this comment in sync by COUNTING —
-    # list(QUERIES).index(name) — tests/test_plan_shapes.py pins it.)
+    # --- (a) newest driver row is round 2 — refresh FIRST ---
     "e3_intersect": q_e3_intersect,
     "s9_tumbling_window": q_s9_tumbling_window,
     "s9b_sliding_window": q_s9b_sliding_window,
     "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
     "t_chunk_windows": q_t_chunk_windows,
+    # --- (b) new in round 5 ---
+    "s12_stream_stream_join": q_s12_stream_stream_join,
+    "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
+    "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
+    "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
+    # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
+    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
+    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "d_embedding_neardup": q_d_embedding_neardup,
+    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
+    "sim_pq_topk": q_sim_pq_topk,
+    # --- (d) r3-green core — refresh to r5 ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
     "f1_standardize": q_f1_standardize,
@@ -3169,6 +3195,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_repetition_stats": q_t_repetition_stats,
     "p_profile_columns": q_p_profile_columns,
     "p_curate_corpus": q_p_curate_corpus,
+    "d_contamination": q_d_contamination,
+    # ------- 50-slot window boundary (d_contamination is position 50) -------
+    # Everything below holds a green driver row from r3/r4 and is re-verified
+    # locally per round.  The thirteen r3-green entries that did not fit —
+    # t_pii_redact, p_hash_split, p_stratified_sample, p_group_sample,
+    # p_pack_bins, t_text_stats, t_language_guess, t_quality_score,
+    # t_token_count_bpe, t_char_fingerprint, m_multimodal_meta,
+    # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
     "t_pii_redact": q_t_pii_redact,
     "p_hash_split": q_p_hash_split,
     "p_stratified_sample": q_p_stratified_sample,
@@ -3179,15 +3215,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_quality_score": q_t_quality_score,
     "t_token_count_bpe": q_t_token_count_bpe,
     "t_char_fingerprint": q_t_char_fingerprint,
-    "sim_cosine_topk": q_sim_cosine_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "d_embedding_neardup": q_d_embedding_neardup,
-    "d_contamination": q_d_contamination,
     "m_multimodal_meta": q_m_multimodal_meta,
     "m_multimodal_decode": q_m_multimodal_decode,
     "m_frame_sample": q_m_frame_sample,
+    # --- r4-green ---
+    "d_ngram_jaccard": q_d_ngram_jaccard,
+    "d_dedup_clusters": q_d_dedup_clusters,
+    "d_minhash_lsh": q_d_minhash_lsh,
+    "d_simhash": q_d_simhash,
+    "t_tfidf_topk": q_t_tfidf_topk,
+    "d_simhash_neardup": q_d_simhash_neardup,
+    "a5_approx_sketches": q_a5_approx_sketches,
+    "s11_stream_dedup": q_s11_stream_dedup,
+    "p_mixture_sample": q_p_mixture_sample,
+    "j9_merge_upsert": q_j9_merge_upsert,
+    "p_zorder_layout": q_p_zorder_layout,
+    "a8_reaggregate": q_a8_reaggregate,
+    "a9_sketch_rollup": q_a9_sketch_rollup,
+    "t_span_dedup": q_t_span_dedup,
+    "t_quality_classifier": q_t_quality_classifier,
+    "a10_histogram": _EXT_QUERIES["a10_histogram"],
+    "j10_salted_join": _EXT_QUERIES["j10_salted_join"],
+    "d_keep_best": _EXT_QUERIES["d_keep_best"],
+    "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
+    "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
+    "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
+    "w15_cumulative_distinct": _EXT_QUERIES["w15_cumulative_distinct"],
+    "t_bpe_train": _EXT_QUERIES["t_bpe_train"],
+    "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
+    "s2c_variant_extract": _EXT_QUERIES["s2c_variant_extract"],
+    "t_bpe_encode": _EXT_QUERIES["t_bpe_encode"],
+    "j4_case_insensitive_join": q_j4_case_insensitive_join,
+    "j5_anti_join": q_j5_anti_join,
+    "j5b_semi_join": q_j5b_semi_join,
+    "j6_asof_fill": q_j6_asof_fill,
+    "j6b_asof_join": q_j6b_asof_join,
+    "j8_range_join": q_j8_range_join,
+    "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
+    "w1_forward_fill": q_w1_forward_fill,
+    "w5_latest_per_group": q_w5_latest_per_group,
+    "w6_global_surrogate": q_w6_global_surrogate,
+    "w7_lag_delta": q_w7_lag_delta,
+    "w8_rank_suite": q_w8_rank_suite,
+    "w9_range_frame": q_w9_range_frame,
+    "w10_funnel": q_w10_funnel,
+    "w11_cohort_retention": q_w11_cohort_retention,
+    "o5_topk": q_o5_topk,
+    "e1_union_dedup": q_e1_union_dedup,
+    "e2_except": q_e2_except,
 }
+
 
 ORACLES: dict[str, str] = {
     "flagship_q5_revenue": O_FLAGSHIP,
@@ -3242,6 +3319,8 @@ ORACLES: dict[str, str] = {
     "s11_stream_dedup": O_S11,
     "sim_ivf_topk_kmeans": O_SIM_IVF_KMEANS,
     "d_semantic_dedup": O_D_SEMANTIC_DEDUP,
+    "d_semantic_dedup_multiprobe": O_D_SEMANTIC_DEDUP_MP,
+    "s12_stream_stream_join": O_S12,
     "p_mixture_sample": O_P_MIXTURE,
     "j9_merge_upsert": O_J9_MERGE,
     "p_zorder_layout": O_P_ZORDER,

@@ -29,6 +29,23 @@ def _portable60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+GRAPH_BROADCAST_CONF = "spark.graft.graph.broadcast"
+
+
+def _graph_small_side(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The |V|-row side of each iterative-graph join (per-node ranks /
+    labels / contributions).  Broadcast by default — |V| ≪ |E| and per-
+    round latency matters — but conf-switchable to a plain shuffle join
+    (``spark.graft.graph.broadcast=false``) for graphs whose node table
+    outgrows the broadcast ceiling (billions of nodes): same results,
+    same oracle, the join strategy is the only thing that flips.  The
+    hint is baked into the plan at DataFrame-construction time, so the
+    conf is read once per round here, not at execution."""
+    if (spark.conf.get(GRAPH_BROADCAST_CONF, "true") or "true").lower() == "false":
+        return df
+    return F.broadcast(df)
+
+
 # ---------------------------------------------------------------------------
 # A10: fixed-width histogram
 # ---------------------------------------------------------------------------
@@ -427,7 +444,7 @@ def q_g1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .select("src", F.expr("mass div deg").alias("contrib"))
         )
         incoming = (
-            edges.join(F.broadcast(node_contrib), "src")
+            edges.join(_graph_small_side(spark, node_contrib), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("contrib").alias("inmass"))
         )
@@ -589,7 +606,7 @@ def q_g3_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
     for _ in range(_LPA_ITERS):
         votes = (
-            edges.join(F.broadcast(labels), edges["src"] == labels["node"])
+            edges.join(_graph_small_side(spark, labels), edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node2"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -1012,8 +1029,42 @@ FROM sessions se LEFT JOIN matched m
 """
 
 
+def _with_graph_shuffle_join(spark: SparkSession, fn, sf: str) -> DataFrame:
+    """Run a graph query with the broadcast hint disabled (plain shuffle
+    join on the |V|-row side) — the scale-out mode for node tables past
+    the broadcast ceiling.  The conf only matters while the plan is
+    CONSTRUCTED (materialize() executes each round inside fn), so it is
+    set for the build and restored after."""
+    old = spark.conf.get(GRAPH_BROADCAST_CONF, None)
+    spark.conf.set(GRAPH_BROADCAST_CONF, "false")
+    try:
+        return fn(spark, sf)
+    finally:
+        if old is None:
+            spark.conf.unset(GRAPH_BROADCAST_CONF)
+        else:
+            spark.conf.set(GRAPH_BROADCAST_CONF, old)
+
+
+def q_g1b_pagerank_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """G1b: PageRank with the per-round |V|-row join as a SHUFFLE join
+    (``spark.graft.graph.broadcast=false``) instead of a broadcast —
+    the mode for billion-node graphs where the rank table itself no
+    longer fits one executor.  Bit-identical output (same integer-mass
+    arithmetic, same oracle as g1); only the exchange strategy flips,
+    which tests/test_plan_shapes.py pins on both modes."""
+    return _with_graph_shuffle_join(spark, q_g1_pagerank, sf)
+
+
+def q_g3b_label_prop_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """G3b: label propagation in shuffle-join mode — see g1b."""
+    return _with_graph_shuffle_join(spark, q_g3_label_propagation, sf)
+
+
 EXT_QUERIES = {
     "a10_histogram": q_a10_histogram,
+    "g1b_pagerank_shuffle": q_g1b_pagerank_shuffle,
+    "g3b_label_prop_shuffle": q_g3b_label_prop_shuffle,
     "j10_salted_join": q_j10_salted_join,
     "d_keep_best": q_d_keep_best,
     "t_unigram_lm": q_t_unigram_lm,
@@ -1030,6 +1081,8 @@ EXT_QUERIES = {
 
 EXT_ORACLES = {
     "g3_label_propagation": O_G3_LPA,
+    "g1b_pagerank_shuffle": O_G1_PAGERANK,
+    "g3b_label_prop_shuffle": O_G3_LPA,
     "t_bpe_encode": O_T_BPE_ENCODE,
     "s2c_variant_extract": O_S2C_VARIANT,
     "j11_interval_overlap": O_J11_INTERVAL_OVERLAP,

@@ -640,24 +640,19 @@ def refresh_year_partitions(
     reruns the whole per-file loop; here one year's rows re-land under
     their partition directory and nothing else is rewritten).
 
-    Mechanics: ``spark.sql.sources.partitionOverwriteMode=dynamic``
-    scopes ``mode("overwrite")`` to the partitions the job writes
-    instead of truncating the table root (STATIC, the default, would
-    delete all years first).  The conf is set per-write and restored —
-    a session-wide flip would silently change unrelated overwrites.
-    At 100 TB this is the difference between rewriting one partition
-    and rewriting the table."""
-    key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        (
-            assignments.write.mode("overwrite")
-            .partitionBy("year")
-            .parquet(f"{warehouse_dir}/assignments")
-        )
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    Mechanics: ``partitionOverwriteMode=dynamic`` scopes
+    ``mode("overwrite")`` to the partitions the job writes instead of
+    truncating the table root (STATIC, the default, would delete all
+    years first).  The mode is passed as a per-write
+    ``DataFrameWriter.option`` (supported since Spark 2.4), NOT by
+    mutating session conf: a session-wide flip — even briefly, with a
+    restore — would leak dynamic mode into any concurrent overwrite on
+    another thread of the same session.  At 100 TB this is the
+    difference between rewriting one partition and rewriting the
+    table."""
+    (
+        assignments.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year")
+        .parquet(f"{warehouse_dir}/assignments")
+    )

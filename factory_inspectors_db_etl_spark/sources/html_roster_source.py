@@ -28,6 +28,8 @@ document file.
 from __future__ import annotations
 
 import glob as _glob
+import os as _os
+import warnings as _warnings
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -100,14 +102,20 @@ class HtmlRosterSimpleStreamReader(SimpleDataSourceStreamReader):
     ``SimpleDataSourceStreamReader`` form of the reference's per-file
     loop, with exactly-once file accounting in the offset log.
 
-    Offset = the sorted list of processed file names (JSON-serializable;
-    bounded by corpus file count — yearly rosters, not an unbounded
-    stream of tiny files).  ``readBetweenOffsets`` replays a committed
-    span deterministically from the same files, which is what makes
-    recovery exactly-once.  The simple API routes rows through the
-    driver; that is the right tradeoff for an incremental tail of LARGE
-    documents arriving one-per-year — the partition-parallel batch
-    reader above remains the bulk-backfill path."""
+    Offset = a JSON map of processed file path -> "mtime_ns:size"
+    signature (bounded by corpus file count — yearly rosters, not an
+    unbounded stream of tiny files).  Tracking the signature, not just
+    the name, means a roster REWRITTEN IN PLACE (the corrected-roster
+    case ``refresh_year_partitions`` exists for) is picked up as a new
+    batch instead of being silently skipped forever.
+    ``readBetweenOffsets`` replays a committed span deterministically
+    from the same files; a file deleted between commit and recovery is
+    skipped with a warning (its rows are unrecoverable — losing only
+    them beats failing the whole recovery).  The simple API routes rows
+    through the driver; that is the right tradeoff for an incremental
+    tail of LARGE documents arriving one-per-year — the
+    partition-parallel batch reader above remains the bulk-backfill
+    path."""
 
     def __init__(self, options: dict):
         # reuse the batch reader's path validation (local-only, loud on
@@ -123,7 +131,28 @@ class HtmlRosterSimpleStreamReader(SimpleDataSourceStreamReader):
         self._pattern = path if any(c in path for c in "*?[") else path.rstrip("/") + "/*.html"
 
     def initialOffset(self) -> dict:
-        return {"processed": []}
+        return {"processed": {}}
+
+    @staticmethod
+    def _signatures(offset_part) -> dict:
+        """Normalize an offset's 'processed' field to {path: signature}.
+        Accepts the legacy list-of-names form (pre-rewrite-tracking
+        checkpoints) so an in-flight stream upgrades in place; legacy
+        entries get a sentinel signature that never matches a real stat,
+        which makes the next batch re-check (not re-ingest: the name is
+        still known, and an unchanged file stats to a NEW signature that
+        replaces the sentinel without emitting rows — see read())."""
+        if isinstance(offset_part, dict):
+            return dict(offset_part)
+        return {p: "" for p in (offset_part or [])}
+
+    @staticmethod
+    def _stat_sig(path: str) -> str | None:
+        try:
+            st = _os.stat(path)
+        except OSError:
+            return None
+        return f"{st.st_mtime_ns}:{st.st_size}"
 
     def _rows_for(self, paths: list[str]) -> Iterator[tuple]:
         for p in paths:
@@ -137,17 +166,51 @@ class HtmlRosterSimpleStreamReader(SimpleDataSourceStreamReader):
                 yield tuple(row[c] for c in _FIELD_ORDER)
 
     def read(self, start: dict):
-        seen = set(start.get("processed", []))
-        now = sorted(_glob.glob(self._pattern))
-        new = [p for p in now if p not in seen]
-        end = {"processed": sorted(seen | set(new))}
-        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
-        # returned iterator for replay, and generators aren't copyable
-        return list(self._rows_for(new)), end
+        seen = self._signatures(start.get("processed"))
+        end_sigs = dict(seen)
+        new: list[str] = []
+        for p in sorted(_glob.glob(self._pattern)):
+            sig = self._stat_sig(p)
+            if sig is None:
+                continue  # deleted between glob and stat — next batch's problem
+            prev = end_sigs.get(p)
+            if prev == sig:
+                continue  # unchanged since last commit
+            end_sigs[p] = sig
+            if prev == "":
+                # legacy name-only checkpoint entry: the file was already
+                # ingested under the old offset format — adopt its real
+                # signature without re-emitting rows
+                continue
+            new.append(p)  # brand-new file, or rewritten in place
+        # a LIST ITERATOR, not a generator or a bare list: Spark's prefetch
+        # cache copy.copy()s the returned iterator for replay (generators
+        # aren't copyable) and calls next() on it to validate an empty
+        # unchanged batch (bare lists aren't iterators)
+        return iter(list(self._rows_for(new))), {"processed": end_sigs}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
-        replay = sorted(set(end.get("processed", [])) - set(start.get("processed", [])))
-        return list(self._rows_for(replay))
+        start_sigs = self._signatures(start.get("processed"))
+        end_sigs = self._signatures(end.get("processed"))
+        # replay exactly what read() emitted for this span: paths whose
+        # signature changed across it, excluding legacy-sentinel adoptions
+        # (those emitted nothing)
+        replay = sorted(
+            p
+            for p, sig in end_sigs.items()
+            if start_sigs.get(p) != sig and start_sigs.get(p) != ""
+        )
+        present: list[str] = []
+        for p in replay:
+            if _os.path.exists(p):
+                present.append(p)
+            else:
+                _warnings.warn(
+                    f"html_roster recovery: committed file {p!r} no longer "
+                    "exists; its rows cannot be replayed and are skipped",
+                    stacklevel=2,
+                )
+        return list(self._rows_for(present))
 
 
 class HtmlRosterDataSource(DataSource):

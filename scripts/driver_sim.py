@@ -2,9 +2,11 @@
 bare SparkSession (no helpful configs), runs entry() + every query at the
 given sf dir, and order-insensitively compares against the DuckDB oracles.
 
-Usage: python scripts/driver_sim.py [sf_dir] [--hostile]
+Usage: python scripts/driver_sim.py [sf_dir] [--hostile] [--only=q1,q2]
   --hostile: non-UTC session timezone + Arrow off + 200 shuffle partitions
              (worst-case driver config).
+  --only:    comma-separated query names — run just those (targeted
+             re-check while iterating; the pass gate is the FULL run).
 """
 
 from __future__ import annotations
@@ -21,6 +23,10 @@ import duckdb
 REPO = "/root/repo"
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
 HOSTILE = "--hostile" in sys.argv
+ONLY = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--only="):
+        ONLY = set(_a[len("--only="):].split(","))
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", f"{REPO}/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
@@ -137,6 +143,8 @@ assert n > 0
 results = {}
 oracles = mod.oracle_sql()
 for name, fn in mod.queries().items():
+    if ONLY is not None and name not in ONLY:
+        continue
     t0 = time.time()
     try:
         sdf = fn(spark, SF)

@@ -139,3 +139,38 @@ def test_assign_components_auto_falls_back_to_large_star(spark):
     out = assign_components(docs, chain, id_col="doc_id", max_iters=6, algorithm="auto")
     got = {r["doc_id"]: r["component_id"] for r in out.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_materialize_reliable_survives_source_deletion(spark, tmp_path, _restore_mode):
+    """Durability beyond the conf-flip rerun (VERDICT r4 item #7): after a
+    RELIABLE checkpoint, the barrier output must be servable with the
+    upstream source GONE — the local-mode analog of losing the executors
+    that computed it (the checkpoint, not lineage or block memory, is the
+    source of truth).  Also pins that real, non-empty block files landed
+    in the checkpoint dir."""
+    import os
+    from pathlib import Path
+
+    src = str(tmp_path / "src")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).write.parquet(src)
+    df = spark.read.parquet(src).filter(F.col("v") % 2 == 0)
+    expect = _rows(df)
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(MATERIALIZE_MODE_CONF, "reliable")
+    m = materialize(df)
+
+    # the checkpoint wrote real block files
+    blocks = [p for p in Path(ckpt).rglob("*") if p.is_file() and p.name.startswith("part-")]
+    assert blocks and all(os.path.getsize(p) > 0 for p in blocks)
+
+    # source deleted -> lineage is unreplayable; only the checkpoint can serve
+    shutil.rmtree(src)
+    assert _rows(m) == expect
+    # and a fresh scan of the dead source really is unreplayable (sanity:
+    # the pass above wasn't some lingering file handle)
+    with pytest.raises(Exception):
+        spark.read.parquet(src).collect()

@@ -676,3 +676,99 @@ def test_stateful_sessionize_cross_batch_reorder(spark, tmp_path):
     assert gap[0].session_start == "2024-01-01 10:00:00"
     assert gap[0].session_end == "2024-01-01 10:05:00"
     assert gap[0].n_events == 3
+
+
+def test_html_roster_stream_picks_up_in_place_rewrite(spark, tmp_path):
+    """A roster file REWRITTEN IN PLACE (the corrected-roster case) must
+    be re-ingested: the offset tracks (mtime, size), not just the name.
+    Output contains both generations (append sink can't retract); the
+    second generation's rows equal a batch read of the new content."""
+    import os
+    import time as _time
+
+    from factory_inspectors_db_etl_spark.sources.html_roster_source import (
+        HtmlRosterDataSource,
+    )
+
+    spark.dataSource.register(HtmlRosterDataSource)
+    src = tmp_path / "tail"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("html_roster")
+            .load(f"{src}/*.html")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    shutil.copy("/root/reference/diplom/fabric1901.html", src / "fabric1901.html")
+    n1 = run_once().count()
+    assert n1 > 0
+
+    # no change -> no new rows
+    assert run_once().count() == n1
+
+    # rewrite in place with different content (and force a distinct mtime
+    # in case the filesystem's mtime granularity is coarse)
+    _time.sleep(0.05)
+    shutil.copy("/root/reference/diplom/fabric1905.html", src / "fabric1901.html")
+    os.utime(src / "fabric1901.html")
+    got = run_once()
+    n2 = got.count()
+    assert n2 > n1  # rewrite re-ingested
+
+    want = spark.read.format("html_roster").load(f"{src}/*.html")
+    assert n2 - n1 == want.count()
+
+
+def test_html_roster_offset_legacy_and_missing_file_replay():
+    """Offset-format unit pins (no Spark needed): legacy name-only
+    offsets adopt signatures without re-emitting, and replay of a span
+    whose file was deleted warns and skips instead of raising."""
+    import warnings
+
+    from factory_inspectors_db_etl_spark.sources.html_roster_source import (
+        HtmlRosterSimpleStreamReader,
+    )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "fabric1901.html")
+        shutil.copy("/root/reference/diplom/fabric1901.html", p)
+        rdr = HtmlRosterSimpleStreamReader({"path": f"{d}/*.html"})
+
+        # legacy list-of-names offset: file already ingested under the old
+        # format -> read() adopts the real signature, emits NOTHING
+        rows, end = rdr.read({"processed": [p]})
+        assert list(rows) == []
+        sig = end["processed"][p]
+        assert ":" in sig  # mtime_ns:size
+
+        # replay across the legacy-adoption span emits nothing either
+        assert rdr.readBetweenOffsets({"processed": [p]}, end) == []
+
+        # fresh ingest from the real initial offset
+        rows2, end2 = rdr.read(rdr.initialOffset())
+        rows2 = list(rows2)
+        assert len(rows2) > 0
+        replayed = rdr.readBetweenOffsets(rdr.initialOffset(), end2)
+        assert len(replayed) == len(rows2)
+
+        # delete the file: replay warns and returns [] instead of raising
+        os.remove(p)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            gone = rdr.readBetweenOffsets(rdr.initialOffset(), end2)
+        assert gone == []
+        assert any("no longer exists" in str(x.message) for x in w)
