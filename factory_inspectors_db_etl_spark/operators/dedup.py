@@ -269,6 +269,37 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def minhash_band_buckets(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Explode signatures into (doc, band, digest) LSH bucket rows.
+
+    Signatures are materialized first: every consumer joins the bucket
+    set against itself or a filtered view of it, and without the barrier
+    the whole shingle->minhash aggregation would run once PER SIDE (no
+    ReusedExchange is planned across self-joins).  (doc, signature) is
+    8*num_hashes bytes per doc — cheap at any scale."""
+    digest_hash = F.xxhash64 if hash_family == "xxhash64" else portable_hash60
+    signatures = materialize(signatures)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                digest_hash(
+                    F.concat_ws(",", *[F.col("signature")[i * rows_per_band + j].cast("string") for j in range(rows_per_band)])
+                ).alias("digest"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return signatures.select("doc", F.explode(band_structs).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.digest").alias("digest")
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -288,22 +319,7 @@ def minhash_lsh_candidates(
     (no ReusedExchange is planned across the self-join).  (doc,
     signature) is 8*num_hashes bytes per doc — cheap at any scale.
     """
-    digest_hash = F.xxhash64 if hash_family == "xxhash64" else portable_hash60
-    signatures = materialize(signatures)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                digest_hash(
-                    F.concat_ws(",", *[F.col("signature")[i * rows_per_band + j].cast("string") for j in range(rows_per_band)])
-                ).alias("digest"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = signatures.select("doc", F.explode(band_structs).alias("b")).select(
-        "doc", F.col("b.band").alias("band"), F.col("b.digest").alias("digest")
-    )
+    buckets = minhash_band_buckets(signatures, bands, rows_per_band, hash_family)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -315,6 +331,63 @@ def minhash_lsh_candidates(
         )
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def incremental_lsh_dup_flags(
+    signatures: DataFrame,
+    delta_flags: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Incremental near-dup detection: flag each DELTA document (a new
+    ingestion batch) that near-dups against the BASE corpus or an
+    earlier delta document — WITHOUT re-running the corpus×corpus pair
+    join.
+
+    This is the daily-crawl production shape (RefinedWeb/CCNet keep
+    their MinHash index warm between crawls): the already-deduped base
+    only contributes its (band, digest) bucket rows as the probe TARGET;
+    the pair join's left side is delta-only, so candidate volume scales
+    with |delta| × bucket occupancy, not |corpus|².  At 100 TB the base
+    bucket table is the persisted index you'd keep partitioned by
+    (band, digest) between runs; signatures here are re-derived in-plan
+    because the driver contract is a single self-contained query.
+
+    ``delta_flags`` carries (doc_id, is_delta).  A delta doc is a dup if
+    it shares any LSH band digest with (a) ANY base doc, or (b) a delta
+    doc with a SMALLER id (the deterministic earlier-arrival tiebreak —
+    first occurrence in the batch is kept).  Returns one row per delta
+    doc: (doc_id, n_dup_sources, is_dup)."""
+    buckets = minhash_band_buckets(signatures, bands, rows_per_band, hash_family)
+    flagged = buckets.join(
+        delta_flags.select(F.col("doc_id").alias("doc"), "is_delta"), "doc"
+    )
+    probe = flagged.filter(F.col("is_delta")).alias("a")
+    target = flagged.alias("b")
+    matches = (
+        probe.join(
+            target,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (
+                (~F.col("b.is_delta"))
+                | (F.col("b.doc") < F.col("a.doc"))
+            ),
+        )
+        .groupBy(F.col("a.doc").alias("doc_id"))
+        .agg(F.count_distinct(F.col("b.doc")).alias("n_dup_sources"))
+    )
+    return (
+        delta_flags.filter(F.col("is_delta"))
+        .select("doc_id")
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_sources", F.lit(0)).alias("n_dup_sources"),
+            (F.coalesce("n_dup_sources", F.lit(0)) > 0).alias("is_dup"),
+        )
     )
 
 

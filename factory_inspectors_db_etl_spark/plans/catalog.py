@@ -31,6 +31,7 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    portable_hash60,
     simhash,
 )
 from ..operators.dims import build_dim, null_safe_join
@@ -1448,10 +1449,10 @@ def _portable60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def _gen_minhash_oracle(k: int = 5, num_hashes: int = 64, bands: int = 16, rows_per_band: int = 4) -> str:
-    """Generate the DuckDB oracle for q_d_minhash_lsh: same shingling as
-    O_D_JACCARD, same affine coefficients as ``affine_params`` (imported,
-    not re-rolled), same band digesting."""
+def _minhash_bands_cte(k: int = 5, num_hashes: int = 64, bands: int = 16, rows_per_band: int = 4) -> str:
+    """Shared CTE prefix (through ``bands``) for the MinHash oracles: same
+    shingling as O_D_JACCARD, same affine coefficients as
+    ``affine_params`` (imported, not re-rolled), same band digesting."""
     params = affine_params(num_hashes)
     g = ",\n         ".join(
         f"min(({a} * hi + {b} * lo + {c}) % 2147483647) AS g{i}"
@@ -1483,14 +1484,68 @@ WITH toks AS (
   FROM halves GROUP BY doc_id
 ), bands AS (
   {band_rows}
-)
+)"""
+
+
+def _gen_minhash_oracle() -> str:
+    return (
+        _minhash_bands_cte()
+        + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_matched
 FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+    )
 
 
 O_D_MINHASH = _gen_minhash_oracle()
+
+
+def q_d_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of an ingestion DELTA against the BASE corpus
+    (operators/dedup.py::incremental_lsh_dup_flags — the daily-crawl
+    shape): the ~20% of documents whose content hash lands in the delta
+    split are probed against everyone's LSH buckets; the pair join's
+    probe side is delta-only, so the work scales with the increment,
+    not the corpus square.  The delta split is content-hash-derived
+    (portable, no stored state), mirroring p_hash_split's determinism
+    story."""
+    from ..operators.dedup import incremental_lsh_dup_flags, minhash_signatures
+
+    d = load_table(spark, sf, "documents")
+    flags = d.select(
+        "doc_id",
+        (F.pmod(portable_hash60(F.col("text")), F.lit(5)) == 0).alias("is_delta"),
+    )
+    sigs = minhash_signatures(d, "doc_id", "text", k=5, num_hashes=64)
+    return incremental_lsh_dup_flags(sigs, flags, bands=16, rows_per_band=4)
+
+
+def _gen_incremental_oracle() -> str:
+    return (
+        _minhash_bands_cte()
+        + f"""
+, flags AS (
+  SELECT doc_id, ({_portable60_sql("text")} % 5 = 0) AS is_delta FROM documents
+), cand AS (
+  SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_dup_sources
+  FROM bands a
+  JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_delta
+  JOIN bands b ON a.band = b.band AND a.digest = b.digest
+  JOIN flags fb ON fb.doc_id = b.doc_id
+  WHERE (NOT fb.is_delta) OR b.doc_id < a.doc_id
+  GROUP BY 1
+)
+SELECT f.doc_id,
+       CAST(coalesce(c.n_dup_sources, 0) AS BIGINT) AS n_dup_sources,
+       coalesce(c.n_dup_sources, 0) > 0 AS is_dup
+FROM flags f LEFT JOIN cand c ON f.doc_id = c.doc_id
+WHERE f.is_delta
+"""
+    )
+
+
+O_D_INCREMENTAL = _gen_incremental_oracle()
 
 
 def q_d_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -3151,9 +3206,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_chunk_windows": q_t_chunk_windows,
     # --- (b) new in round 5 ---
     "s12_stream_stream_join": q_s12_stream_stream_join,
+    "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
     "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
     "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
     "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
+    "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
+    "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
+    "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
+    "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
+    "d_incremental_dedup": q_d_incremental_dedup,
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3190,21 +3251,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s2b_json_extract": q_s2b_json_extract,
     "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
     "w12_exact_percentiles": q_w12_exact_percentiles,
+    # ------- 50-slot window boundary (w12_exact_percentiles is position 50) -------
+    # Everything below holds a green driver row from r3/r4 and is re-verified
+    # locally per round.  The nineteen r3-green entries that did not fit —
+    # w13_sessionize, w14_scd2_intervals, t_repetition_stats,
+    # p_profile_columns, p_curate_corpus, d_contamination, t_pii_redact,
+    # p_hash_split, p_stratified_sample, p_group_sample, p_pack_bins,
+    # t_text_stats, t_language_guess, t_quality_score, t_token_count_bpe,
+    # t_char_fingerprint, m_multimodal_meta, m_multimodal_decode,
+    # m_frame_sample — rotate forward FIRST in round 6.
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
     "w13_sessionize": q_w13_sessionize,
     "w14_scd2_intervals": q_w14_scd2_intervals,
     "t_repetition_stats": q_t_repetition_stats,
     "p_profile_columns": q_p_profile_columns,
     "p_curate_corpus": q_p_curate_corpus,
     "d_contamination": q_d_contamination,
-    # ------- 50-slot window boundary (d_contamination is position 50) -------
-    # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The thirteen r3-green entries that did not fit —
-    # t_pii_redact, p_hash_split, p_stratified_sample, p_group_sample,
-    # p_pack_bins, t_text_stats, t_language_guess, t_quality_score,
-    # t_token_count_bpe, t_char_fingerprint, m_multimodal_meta,
-    # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
     "t_pii_redact": q_t_pii_redact,
     "p_hash_split": q_p_hash_split,
     "p_stratified_sample": q_p_stratified_sample,
@@ -3333,6 +3396,7 @@ ORACLES: dict[str, str] = {
     "d_ngram_jaccard": O_D_JACCARD,
     "d_dedup_clusters": O_D_CLUSTERS,
     "d_minhash_lsh": O_D_MINHASH,
+    "d_incremental_dedup": O_D_INCREMENTAL,
     "d_simhash": O_D_SIMHASH,
     "d_simhash_neardup": O_D_SIMHASH_NEARDUP,
     "d_contamination": O_D_CONTAM,

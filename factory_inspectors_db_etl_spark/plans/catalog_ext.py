@@ -1029,6 +1029,284 @@ FROM sessions se LEFT JOIN matched m
 """
 
 
+# ---------------------------------------------------------------------------
+# A13: exact heavy hitters via Misra-Gries candidates (round 5)
+# ---------------------------------------------------------------------------
+
+_HH_K = 30
+
+
+def q_a13_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """A13: exact frequent-items over the document token stream — every
+    token with frequency > n/30, exact count and share.
+
+    The algorithm is the two-stage Misra-Gries candidate + exact-recount
+    pipeline (``operators/heavy_hitters.py``): per-task state is bounded
+    at k counters in stage 1 and |candidates| counters in stage 2, so an
+    open vocabulary (URLs, n-grams) can't blow up map-side aggregation
+    state the way a plain ``groupBy(token)`` can.  The final answer is
+    EXACT despite the sketchy intermediate — the candidate superset
+    property makes the integer filter ``cnt*k > n`` close over it — so
+    the oracle is plain GROUP BY/HAVING."""
+    from ..operators.heavy_hitters import heavy_hitters_exact
+
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters_exact(tokens, "token", _HH_K)
+
+
+O_A13_HEAVY_HITTERS = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tt AS (SELECT token FROM t WHERE token <> ''),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tt)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) AS BIGINT) / (SELECT n FROM n) AS share
+FROM tt GROUP BY token
+HAVING CAST(count(*) AS BIGINT) * {_HH_K} > (SELECT n FROM n)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D: substring-window dedup (round 5)
+# ---------------------------------------------------------------------------
+
+_SSD_WIN = 24
+_SSD_STRIDE = 8
+
+
+def q_d_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication profile (the sub-document complement
+    of t_span_dedup's paragraph dedup — the shape of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", where
+    duplicated SPANS inside otherwise-distinct documents are the
+    target).  Fixed 24-char windows at stride 8 approximate the
+    suffix-array scan distributably: per doc, the distinct window set;
+    a window appearing in >= 2 distinct docs is a duplicated span; per
+    doc emit window count, duplicated-window count, and the exact ratio.
+
+    Scale shape: windows are hashed to 60-bit ints BEFORE the distinct
+    (the shuffle carries 8-byte keys, not text); then one count per
+    window-hash, one equi-join back, one per-doc agg — four bounded
+    shuffles, never all-pairs, no driver collection.  ``dup_frac`` is
+    int/int -> one IEEE division: bit-identical cross-engine."""
+    docs = load_table(spark, sf, "documents")
+    wins = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text)-{_SSD_WIN - 1}, 1),"
+                    f" {_SSD_STRIDE}), i -> substring(text, i, {_SSD_WIN}))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", portable_hash60(F.col("w")).alias("wh"))
+        .distinct()
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("wh")
+    )
+    return (
+        wins.join(shared.withColumn("_dup", F.lit(1)), "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows") / F.col("n_windows")).alias("dup_frac"),
+        )
+    )
+
+
+O_D_SUBSTRING_DEDUP = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         {_portable60_sql(f"unnest(list_transform(generate_series(1, greatest(length(text)-{_SSD_WIN - 1}, 1), {_SSD_STRIDE}), i -> substr(text, i, {_SSD_WIN})))")} AS wh
+  FROM documents
+), shared AS (
+  SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN s.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN s.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         / CAST(count(*) AS BIGINT) AS dup_frac
+FROM w LEFT JOIN shared s ON w.wh = s.wh
+GROUP BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# J12: blocked fuzzy join (round 5)
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+
+def q_j12_fuzzy_blocked_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J12: record linkage by edit distance — the classic entity-
+    resolution join (merge near-identical product/vendor names), done
+    the only way it scales: a BLOCKED self-join.  Naive fuzzy join is
+    all-pairs O(n²) with a per-pair O(|s|²) distance; blocking on
+    (brand, name-length) makes it an equi-join whose pair count is the
+    sum of squared block sizes, and Levenshtein runs only inside
+    blocks.  (Same-length blocking is sound for distance<=2 only as a
+    demonstration policy — production blocking would union a few length
+    offsets; the POINT is the equi-join-then-verify shape.)
+
+    Levenshtein is pure integer DP — identical in every engine — so the
+    whole row is hash-checkable."""
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.length(F.col("a.p_name")) == F.length(F.col("b.p_name")))
+            & (F.col("b.p_partkey") < F.col("a.p_partkey")),
+        )
+        .filter(F.col("a.p_name") != F.col("b.p_name"))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+    )
+
+
+O_J12_FUZZY = f"""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND length(a.p_name) = length(b.p_name)
+ AND b.p_partkey < a.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A12: equi-depth histogram (round 5)
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 8
+
+
+def q_a12_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """A12: equi-DEPTH histogram of order value (a10 is equi-width) —
+    the optimizer-statistics shape: 8 buckets holding ~equal row counts,
+    boundaries at the exact octile percentiles.
+
+    Scale shape: ONE exact-percentile aggregation produces the 7-value
+    boundary row (percentile state is the value multiset — bounded here
+    by the cent-value domain; unbounded domains would use a9's
+    mergeable sketches), broadcast to every task; bucket assignment is
+    then a pure map (count of boundaries below the value), and one
+    groupBy(bucket) finishes.  No global sort, no ntile over an
+    unpartitioned window — THE trap in naive equi-depth plans.
+
+    Determinism: boundaries are interpolated in integer-CENT space at
+    dyadic fractions i/8 (exact in IEEE under either interpolation
+    formula — w12's lesson), bucket assignment compares exact doubles,
+    min/max/count are integers, and the one division /100 at the end is
+    correctly rounded.  Ties across a boundary all land on one side (>
+    is strict), so ambiguous ntile tie-splitting never arises."""
+    o = load_table(spark, sf, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long").cast("double")
+    fracs = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
+    bounds = o.agg(
+        F.percentile(cents, F.array(*[F.lit(f) for f in fracs])).alias("_b")
+    )
+    bucket = F.aggregate(
+        "_b",
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("_cents") > b, 1).otherwise(0),
+    ).alias("bucket")
+    return (
+        o.select(cents.alias("_cents"), _dec("o_totalprice").alias("_price"))
+        .crossJoin(F.broadcast(bounds))
+        .select("_cents", "_price", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("_cents") / 100).alias("lo"),
+            (F.max("_cents") / 100).alias("hi"),
+            F.sum("_price").cast("double").alias("bucket_value"),
+        )
+    )
+
+
+O_A12_EQUIDEPTH = f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS cents,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), b AS (
+  SELECT quantile_cont(cents, {[i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]}) AS bnds
+  FROM c
+)
+SELECT CAST(len(list_filter(b.bnds, x -> c.cents > x)) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(c.cents) / 100 AS lo,
+       max(c.cents) / 100 AS hi,
+       CAST(sum(c.price) AS DOUBLE) AS bucket_value
+FROM c CROSS JOIN b
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# S13: stream-stream LEFT OUTER join, batch twin (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_s13_stream_stream_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """S13: batch twin of the watermarked stream-stream LEFT OUTER join
+    (s12's inner-join sibling): every purchase, matched to the same
+    user's views in the preceding 30 minutes, with NULL view columns for
+    organic (view-less) conversions.  Runs the SAME function body the
+    streaming path uses (``how="left_outer"``); the streaming-vs-batch
+    equivalence — including the watermark-delayed null emission — is
+    pinned in tests/test_streaming.py."""
+    from ..streaming.ops import stream_stream_view_purchase_join
+
+    ev = load_table(spark, sf, "events")
+    return stream_stream_view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+
+
+O_S13_LEFT_OUTER = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id AS purchase_id, p.user_id, v.ts AS view_ts, v.value AS view_value
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
 def _with_graph_shuffle_join(spark: SparkSession, fn, sf: str) -> DataFrame:
     """Run a graph query with the broadcast hint disabled (plain shuffle
     join on the |V|-row side) — the scale-out mode for node tables past
@@ -1063,6 +1341,11 @@ def q_g3b_label_prop_shuffle(spark: SparkSession, sf: str) -> DataFrame:
 
 EXT_QUERIES = {
     "a10_histogram": q_a10_histogram,
+    "a12_equidepth_histogram": q_a12_equidepth_histogram,
+    "a13_heavy_hitters": q_a13_heavy_hitters,
+    "d_substring_dedup": q_d_substring_dedup,
+    "j12_fuzzy_blocked_join": q_j12_fuzzy_blocked_join,
+    "s13_stream_stream_left_outer": q_s13_stream_stream_left_outer,
     "g1b_pagerank_shuffle": q_g1b_pagerank_shuffle,
     "g3b_label_prop_shuffle": q_g3b_label_prop_shuffle,
     "j10_salted_join": q_j10_salted_join,
@@ -1080,6 +1363,11 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "a12_equidepth_histogram": O_A12_EQUIDEPTH,
+    "a13_heavy_hitters": O_A13_HEAVY_HITTERS,
+    "d_substring_dedup": O_D_SUBSTRING_DEDUP,
+    "j12_fuzzy_blocked_join": O_J12_FUZZY,
+    "s13_stream_stream_left_outer": O_S13_LEFT_OUTER,
     "g3_label_propagation": O_G3_LPA,
     "g1b_pagerank_shuffle": O_G1_PAGERANK,
     "g3b_label_prop_shuffle": O_G3_LPA,

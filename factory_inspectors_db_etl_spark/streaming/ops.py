@@ -406,8 +406,9 @@ def stream_stream_view_purchase_join(
     purchases: DataFrame,
     watermark: str = "10 minutes",
     horizon: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each purchase matched to the
+    """Watermarked stream-stream join: each purchase matched to the
     same user's view events in the preceding ``horizon``.
 
     State-bounding contract (what makes this survive unbounded streams):
@@ -415,7 +416,16 @@ def stream_stream_view_purchase_join(
     event-time distance, so the engine evicts buffered rows once the
     watermark passes ``purchase_ts - horizon`` (views) /
     ``view_ts + horizon`` (purchases).  Without the time-range predicate
-    the view buffer would grow forever."""
+    the view buffer would grow forever.
+
+    ``how="left_outer"`` keeps purchases with NO qualifying view (NULL
+    view columns) — attribution's "organic conversion" rows.  In
+    streaming, outer-null rows can only be EMITTED once the watermark
+    passes the purchase's join horizon (the engine must be sure no
+    matching view can still arrive), so the nulls trail the matched rows
+    by up to watermark+horizon — that delay is the semantic price of
+    outer joins on unbounded input, and exactly why both watermarks are
+    mandatory for this mode."""
     v = views.withWatermark("ts", watermark).select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -431,6 +441,7 @@ def stream_stream_view_purchase_join(
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select("purchase_id", F.col("p_user").alias("user_id"), "view_ts", "view_value")
 
 

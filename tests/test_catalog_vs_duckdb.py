@@ -57,9 +57,10 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
         for i, (x, y) in enumerate(zip(sv, ov)):
-            # pandas may surface NaN for SQL NULL on either side
-            xn = None if (isinstance(x, float) and math.isnan(x)) else x
-            yn = None if (isinstance(y, float) and math.isnan(y)) else y
+            # pandas may surface NaN (floats) or NaT (timestamps) for SQL
+            # NULL on either side
+            xn = None if (isinstance(x, float) and math.isnan(x)) or x is pd.NaT else x
+            yn = None if (isinstance(y, float) and math.isnan(y)) or y is pd.NaT else y
             if isinstance(xn, pd.Timestamp):
                 xn = xn.to_pydatetime().replace(tzinfo=None)
             if isinstance(yn, pd.Timestamp):

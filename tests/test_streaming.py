@@ -772,3 +772,70 @@ def test_html_roster_offset_legacy_and_missing_file_replay():
             gone = rdr.readBetweenOffsets(rdr.initialOffset(), end2)
         assert gone == []
         assert any("no longer exists" in str(x.message) for x in w)
+
+
+def test_stream_stream_left_outer_matches_batch_with_watermark_cut(
+    spark, sf_dir, events_stream
+):
+    """Stream-stream LEFT OUTER join (s13): matched rows must equal the
+    batch inner join exactly; outer-NULL rows can only exist for
+    purchases the batch join leaves unmatched, and every unmatched
+    purchase comfortably OLDER than the final watermark must have its
+    null row emitted (the engine is then certain no matching view can
+    arrive).  Purchases newer than the final watermark may legitimately
+    be withheld — that is the outer-join emission delay the operator's
+    docstring documents."""
+    from factory_inspectors_db_etl_spark.streaming import (
+        stream_stream_view_purchase_join,
+    )
+
+    views = events_stream.filter(F.col("event_type") == "view")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = run_available_now(
+        stream_stream_view_purchase_join(views, purchases, how="left_outer"),
+        "t_ss_left_outer",
+    ).collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    inner = bp.join(
+        bv,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    )
+    want_matched = sorted(
+        (r["purchase_id"], r["p_user"], str(r["view_ts"]), r["view_value"])
+        for r in inner.collect()
+    )
+    got_matched = sorted(
+        (r["purchase_id"], r["user_id"], str(r["view_ts"]), r["view_value"])
+        for r in got
+        if r["view_ts"] is not None
+    )
+    assert got_matched == want_matched and got_matched
+
+    matched_ids = {m[0] for m in want_matched}
+    unmatched = {
+        r["purchase_id"]: r["purchase_ts"]
+        for r in bp.collect()
+        if r["purchase_id"] not in matched_ids
+    }
+    null_ids = {r["purchase_id"] for r in got if r["view_ts"] is None}
+    # no spurious nulls, no double emission
+    assert null_ids <= set(unmatched)
+    assert null_ids.isdisjoint(matched_ids)
+    # nulls actually flushed for purchases well past the final watermark
+    # (margin: watermark delay + join horizon)
+    wm = _final_watermark(ev, "40 minutes")
+    old_unmatched = {pid for pid, ts in unmatched.items() if ts < wm}
+    assert old_unmatched and old_unmatched <= null_ids
