@@ -9,8 +9,9 @@ for open vocabularies (URLs, n-grams, user agents).  The classic fix
 Summaries", PODS 2012) bounds per-task state at ``k`` counters and still
 guarantees every true heavy hitter survives as a candidate:
 
-  stage 1 (mapInPandas, one pass, O(k) state per task): each partition
-      summarizes its rows into <= k Misra-Gries counters.  Guarantee:
+  stage 1 (mapInPandas, one pass, O(k) state per task — at most 2k
+      counters between amortized shrinks): each partition summarizes its
+      rows into <= k Misra-Gries counters.  Guarantee:
       any x with freq_p(x) > n_p/k in partition p keeps a positive
       counter, because MG's decrement steps remove at most n_p/k from
       any single key.  Summing over partitions: any GLOBAL heavy hitter
@@ -44,31 +45,39 @@ from pyspark.sql import functions as F
 def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries -> distinct candidate keys.
 
-    One pass over ``df``; per-task state is <= ``k`` counters regardless
-    of the key cardinality.  Batches are pre-reduced with ``value_counts``
-    so the Python-side loop runs over the batch's DISTINCT keys, then
-    merged into the running summary with the mergeable-summaries rule:
-    add counts, and if more than ``k`` counters remain, subtract the
-    (k+1)-th largest count from all and drop the non-positive ones (this
-    removes at most that many occurrences of any single key, preserving
-    the n_p/k error bound).
+    One pass over ``df``; per-task state is <= ``2k`` counters (the
+    shrink triggers at 2k, amortizing the O(k)-cost decrement over k
+    insertions) regardless of key cardinality.  Batches are pre-reduced
+    with ``value_counts`` so the Python-side loop runs over the batch's
+    DISTINCT keys; the merge follows the mergeable-summaries rule:
+    add counts, and past the threshold subtract the (k+1)-th largest
+    count from all and drop the non-positive ones.  Every shrink's cut
+    is witnessed by >= k+1 counters, so the total decrement any single
+    key can suffer is <= n_p/(k+1) < n_p/k — the superset guarantee the
+    exact recount relies on survives arbitrary shrink scheduling.
     """
 
     df = df.select(col)  # prune: the summary reads one column; keep the
     # Arrow transfer to exactly that column regardless of input width
+    out_schema = df.schema
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+
+        def shrink(to: int) -> dict:
+            cut = sorted(counters.values(), reverse=True)[to]
+            return {x: c - cut for x, c in counters.items() if c > cut}
+
         for pdf in batches:
             for key, cnt in pdf[col].value_counts().items():
                 counters[key] = counters.get(key, 0) + int(cnt)
-            if len(counters) > k:
-                # mergeable-MG shrink: one decrement covering the batch
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {x: c - cut for x, c in counters.items() if c > cut}
+                if len(counters) > 2 * k:
+                    counters = shrink(k)
+        if len(counters) > k:
+            counters = shrink(k)
         yield pd.DataFrame({col: list(counters.keys())})
 
-    return df.mapInPandas(summarize, schema=f"{col} string").distinct()
+    return df.mapInPandas(summarize, schema=out_schema).distinct()
 
 
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:

@@ -3192,10 +3192,12 @@ JOIN c ON q.doc_id = c.doc_id
 # shuffle-join graph variants, multi-probe SemDeDup), (c) every query whose
 # CODE changed this round (similarity.py: _assign_cells/semantic_dedup ->
 # the whole ANN + embedding-dedup family; catalog_ext.py: _graph_small_side
-# -> g1/g3), then (d) r3-green §2-core entries.  Thirteen r3-green entries
-# (t_pii/p_* samplers/t_* stats/multimodal trio) rotate in round 6; union
-# across rounds stays total and every rotated-out query is re-verified
-# locally by tests/test_catalog_vs_duckdb.py each round.
+# -> g1/g3), then (d) r3-green §2-core entries.  The r3-green entries that
+# did not fit rotate in round 6 — the AUTHORITATIVE list is the window-
+# boundary comment below (currently nineteen, w13_sessionize ..
+# m_frame_sample); union across rounds stays total and every rotated-out
+# query is re-verified locally by tests/test_catalog_vs_duckdb.py each
+# round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) newest driver row is round 2 — refresh FIRST ---
     "e3_intersect": q_e3_intersect,

@@ -32,18 +32,23 @@ def _portable60_sql(expr: str) -> str:
 GRAPH_BROADCAST_CONF = "spark.graft.graph.broadcast"
 
 
-def _graph_small_side(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _graph_small_side(
+    spark: SparkSession, df: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
     """The |V|-row side of each iterative-graph join (per-node ranks /
     labels / contributions).  Broadcast by default — |V| ≪ |E| and per-
-    round latency matters — but conf-switchable to a plain shuffle join
-    (``spark.graft.graph.broadcast=false``) for graphs whose node table
-    outgrows the broadcast ceiling (billions of nodes): same results,
-    same oracle, the join strategy is the only thing that flips.  The
-    hint is baked into the plan at DataFrame-construction time, so the
-    conf is read once per round here, not at execution."""
-    if (spark.conf.get(GRAPH_BROADCAST_CONF, "true") or "true").lower() == "false":
-        return df
-    return F.broadcast(df)
+    round latency matters — but switchable to a plain shuffle join for
+    graphs whose node table outgrows the broadcast ceiling (billions of
+    nodes): same results, same oracle, the join strategy is the only
+    thing that flips.  ``broadcast`` is the explicit per-CALL override
+    (the g1b/g3b variants pass False — no shared session state to race
+    on); when None, the session conf ``spark.graft.graph.broadcast``
+    decides, read at DataFrame-construction time."""
+    if broadcast is None:
+        broadcast = (
+            spark.conf.get(GRAPH_BROADCAST_CONF, "true") or "true"
+        ).lower() != "false"
+    return F.broadcast(df) if broadcast else df
 
 
 # ---------------------------------------------------------------------------
@@ -407,7 +412,9 @@ _PR_ITERS = 5
 _PR_INIT = 1_000_000  # integer mass per node; 0.15 teleport = 150000
 
 
-def q_g1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+def q_g1_pagerank(
+    spark: SparkSession, sf: str, broadcast_nodes: bool | None = None
+) -> DataFrame:
     """G1: PageRank over the part co-purchase graph (parts are linked
     when they appear in the same order) — the iterative-graph-algorithm
     family (centrality, label propagation) expressed as pure joins+aggs.
@@ -444,7 +451,7 @@ def q_g1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .select("src", F.expr("mass div deg").alias("contrib"))
         )
         incoming = (
-            edges.join(_graph_small_side(spark, node_contrib), "src")
+            edges.join(_graph_small_side(spark, node_contrib, broadcast_nodes), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("contrib").alias("inmass"))
         )
@@ -570,7 +577,9 @@ GROUP BY 1
 _LPA_ITERS = 4
 
 
-def q_g3_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+def q_g3_label_propagation(
+    spark: SparkSession, sf: str, broadcast_nodes: bool | None = None
+) -> DataFrame:
     """G3: community detection by SYNCHRONOUS label propagation
     (Raghavan et al. '07) over the urgent-order co-purchase graph — the
     third graph family next to centrality (g1) and triangles (g2), and
@@ -606,7 +615,7 @@ def q_g3_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
     for _ in range(_LPA_ITERS):
         votes = (
-            edges.join(_graph_small_side(spark, labels), edges["src"] == labels["node"])
+            edges.join(_graph_small_side(spark, labels, broadcast_nodes), edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node2"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -1307,36 +1316,21 @@ FROM p LEFT JOIN v
 """
 
 
-def _with_graph_shuffle_join(spark: SparkSession, fn, sf: str) -> DataFrame:
-    """Run a graph query with the broadcast hint disabled (plain shuffle
-    join on the |V|-row side) — the scale-out mode for node tables past
-    the broadcast ceiling.  The conf only matters while the plan is
-    CONSTRUCTED (materialize() executes each round inside fn), so it is
-    set for the build and restored after."""
-    old = spark.conf.get(GRAPH_BROADCAST_CONF, None)
-    spark.conf.set(GRAPH_BROADCAST_CONF, "false")
-    try:
-        return fn(spark, sf)
-    finally:
-        if old is None:
-            spark.conf.unset(GRAPH_BROADCAST_CONF)
-        else:
-            spark.conf.set(GRAPH_BROADCAST_CONF, old)
-
-
 def q_g1b_pagerank_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """G1b: PageRank with the per-round |V|-row join as a SHUFFLE join
-    (``spark.graft.graph.broadcast=false``) instead of a broadcast —
-    the mode for billion-node graphs where the rank table itself no
-    longer fits one executor.  Bit-identical output (same integer-mass
-    arithmetic, same oracle as g1); only the exchange strategy flips,
-    which tests/test_plan_shapes.py pins on both modes."""
-    return _with_graph_shuffle_join(spark, q_g1_pagerank, sf)
+    (``broadcast_nodes=False``, an explicit per-call parameter — no
+    session-conf mutation to race with concurrent plan builds) instead
+    of a broadcast — the mode for billion-node graphs where the rank
+    table itself no longer fits one executor.  Bit-identical output
+    (same integer-mass arithmetic, same oracle as g1); only the exchange
+    strategy flips, which tests/test_plan_shapes.py pins on both
+    modes."""
+    return q_g1_pagerank(spark, sf, broadcast_nodes=False)
 
 
 def q_g3b_label_prop_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """G3b: label propagation in shuffle-join mode — see g1b."""
-    return _with_graph_shuffle_join(spark, q_g3_label_propagation, sf)
+    return q_g3_label_propagation(spark, sf, broadcast_nodes=False)
 
 
 EXT_QUERIES = {

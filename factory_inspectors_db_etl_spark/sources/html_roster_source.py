@@ -202,12 +202,27 @@ class HtmlRosterSimpleStreamReader(SimpleDataSourceStreamReader):
         )
         present: list[str] = []
         for p in replay:
-            if _os.path.exists(p):
+            cur = self._stat_sig(p)
+            if cur == end_sigs[p]:
                 present.append(p)
-            else:
+            elif cur is None:
                 _warnings.warn(
                     f"html_roster recovery: committed file {p!r} no longer "
                     "exists; its rows cannot be replayed and are skipped",
+                    stacklevel=2,
+                )
+            else:
+                # rewritten in place between commit and recovery: the
+                # committed generation's bytes are gone, and replaying the
+                # CURRENT content would both fabricate this batch and
+                # duplicate the rewrite (the next read() will emit the new
+                # signature as its own batch).  Losing only the committed
+                # generation beats either.
+                _warnings.warn(
+                    f"html_roster recovery: committed file {p!r} was "
+                    f"rewritten (signature {end_sigs[p]!r} -> {cur!r}); the "
+                    "committed generation's rows cannot be replayed and are "
+                    "skipped — the new content arrives as its own batch",
                     stacklevel=2,
                 )
         return list(self._rows_for(present))

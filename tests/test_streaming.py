@@ -839,3 +839,45 @@ def test_stream_stream_left_outer_matches_batch_with_watermark_cut(
     wm = _final_watermark(ev, "40 minutes")
     old_unmatched = {pid for pid, ts in unmatched.items() if ts < wm}
     assert old_unmatched and old_unmatched <= null_ids
+
+
+def test_html_roster_replay_skips_rewritten_file_without_duplicating():
+    """Recovery edge (round-5 review finding): a file rewritten IN PLACE
+    between commit and recovery must NOT be replayed as the committed
+    batch (that would fabricate the old batch from new bytes AND
+    duplicate the rewrite, which the next read() emits as its own
+    batch).  The committed generation is lost with a warning; the new
+    generation arrives exactly once."""
+    import os
+    import tempfile
+    import time as _time
+    import warnings
+
+    from factory_inspectors_db_etl_spark.sources.html_roster_source import (
+        HtmlRosterSimpleStreamReader,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "fabric1901.html")
+        shutil.copy("/root/reference/diplom/fabric1901.html", p)
+        rdr = HtmlRosterSimpleStreamReader({"path": f"{d}/*.html"})
+        rows1, end1 = rdr.read(rdr.initialOffset())
+        n1 = len(list(rows1))
+        assert n1 > 0
+
+        # rewrite in place (distinct mtime) BEFORE recovery replays
+        _time.sleep(0.05)
+        shutil.copy("/root/reference/diplom/fabric1905.html", p)
+        os.utime(p)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            replayed = rdr.readBetweenOffsets(rdr.initialOffset(), end1)
+        assert replayed == []
+        assert any("rewritten" in str(x.message) for x in w)
+
+        # the new generation then arrives exactly once as its own batch
+        rows2, end2 = rdr.read(end1)
+        n2 = len(list(rows2))
+        assert n2 > 0
+        # and that batch IS replayable (signature still matches)
+        assert len(rdr.readBetweenOffsets(end1, end2)) == n2
