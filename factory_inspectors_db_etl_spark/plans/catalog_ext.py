@@ -1,6 +1,8 @@
-"""Round-4 extension catalog: histogramming, skew-salted joins,
-canonical-doc selection, corpus LM scoring, group-wise model fitting,
-and graph centrality.
+"""Round-4/5 extension catalog: histogramming (equi-width + equi-depth),
+skew-salted / interval / fuzzy-blocked joins, canonical-doc selection,
+corpus LM scoring, group-wise model fitting, graph centrality and
+community detection (broadcast + shuffle join modes), exact heavy
+hitters, substring-window dedup, and stream-stream join batch twins.
 
 Same contract as ``plans.catalog``: every query has a DuckDB oracle and
 the pair is registered in ``catalog.QUERIES`` / ``catalog.ORACLES``.
