@@ -444,6 +444,57 @@ GROUP BY 1, 2
 """
 
 
+def q_w16_ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """W16: OHLC time-bucket resampling — the open/high/low/close +
+    volume aggregation every metrics/financial pipeline runs to downsample
+    an event stream to fixed buckets (here: per user per hour).
+
+    Open/close are NOT window functions here: ``min(struct(ts, event_id,
+    value))`` picks the first-by-(ts, event_id) row's value inside a
+    plain hash aggregate — one shuffle total, no per-row rank, and
+    (ts, event_id) is a total order (event_id unique), so the struct
+    comparison is deterministic.  That is the 100 TB shape: a
+    first/last-in-group via ordered-struct min/max stays map-side
+    combinable where a row_number window would shuffle and sort every
+    event.  high/low are raw double extremes (no arithmetic — hash-safe);
+    volume follows the decimal(18,2) sum convention; bucket is an ISO
+    string (w11's cross-engine lesson)."""
+    ev = load_table(spark, sf, "events")
+    bucket = F.date_format(F.date_trunc("HOUR", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    return (
+        ev.groupBy("user_id", bucket.alias("bucket"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).getField("value").alias("open"),
+            F.max(F.struct("ts", "event_id", "value")).getField("value").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+    )
+
+
+O_W16 = """
+WITH h AS (
+  SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+         ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rrn
+  FROM events
+)
+SELECT user_id, bucket,
+       max(CASE WHEN rn = 1 THEN value END) AS open,
+       max(CASE WHEN rrn = 1 THEN value END) AS close,
+       max(value) AS high,
+       min(value) AS low,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_w12_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """W12: EXACT per-group quartiles (linear interpolation) — the
     non-sketch complement of a5's GK quantiles.  One hash aggregation
@@ -3217,6 +3268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
     "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
     "d_incremental_dedup": q_d_incremental_dedup,
+    "w16_ohlc_resample": q_w16_ohlc_resample,
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3252,18 +3304,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_collect_set": q_a7_collect_set,
     "s2b_json_extract": q_s2b_json_extract,
     "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
-    "w12_exact_percentiles": q_w12_exact_percentiles,
-    # ------- 50-slot window boundary (w12_exact_percentiles is position 50) -------
+    # ------- 50-slot window boundary (u3_grouped_agg_udaf is position 50) -------
     # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The nineteen r3-green entries that did not fit —
-    # w13_sessionize, w14_scd2_intervals, t_repetition_stats,
-    # p_profile_columns, p_curate_corpus, d_contamination, t_pii_redact,
-    # p_hash_split, p_stratified_sample, p_group_sample, p_pack_bins,
-    # t_text_stats, t_language_guess, t_quality_score, t_token_count_bpe,
-    # t_char_fingerprint, m_multimodal_meta, m_multimodal_decode,
-    # m_frame_sample — rotate forward FIRST in round 6.
+    # locally per round.  The twenty r3-green entries that did not fit —
+    # w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
+    # t_repetition_stats, p_profile_columns, p_curate_corpus, t_pii_redact,
+    # d_contamination, p_hash_split, p_stratified_sample, p_group_sample,
+    # p_pack_bins, t_text_stats, t_language_guess, t_quality_score,
+    # t_token_count_bpe, t_char_fingerprint, m_multimodal_meta,
+    # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
     "w14_scd2_intervals": q_w14_scd2_intervals,
     "t_repetition_stats": q_t_repetition_stats,
@@ -3374,6 +3426,7 @@ ORACLES: dict[str, str] = {
     "w9_range_frame": O_W9,
     "w10_funnel": O_W10,
     "w11_cohort_retention": O_W11,
+    "w16_ohlc_resample": O_W16,
     "o5_topk": O_O5,
     "e1_union_dedup": O_E1,
     "e2_except": O_E2,
