@@ -2,10 +2,13 @@
 
 Media (image/audio/video) ride through the engine as opaque ``binary``
 payload columns plus a typed metadata struct — the storage pattern used by
-large-scale training-data pipelines: the *plumbing* (schema, partitioning,
-Arrow batch shape, UDF signatures) is fully real and tested, while the
-codec step is stubbed because no image/audio libraries exist in this
-container.
+large-scale training-data pipelines.  The *plumbing* (schema, partitioning,
+Arrow batch shape, UDF signatures) is fully real and tested; the codec
+step is REAL for self-describing formats parseable with pure numpy
+(PCM WAV via ``decode_wav_pcm``, binary PPM via ``decode_ppm`` — tested
+against genuine generated payloads), and falls back to a deterministic
+byte-level featurizer for formats that need external codec libraries
+(png/mp4) or for payloads whose bytes don't match their claimed mime.
 
 * ``with_payload`` manufactures a deterministic binary payload + metadata
   struct from the ``documents`` table (so every test table works at any
@@ -86,17 +89,136 @@ def with_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def _decode_real(payload: bytes, mime: str):  # pragma: no cover - no codecs here
-    """Real decode path — requires codec libraries absent from this
-    container.  Kept as the documented integration point."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
+def decode_wav_pcm(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL audio decode for PCM WAV (RIFF) payloads — pure stdlib/numpy,
+    no external codec library.  Parses the RIFF chunk list (fmt + data),
+    validates 16-bit integer PCM, and extracts content features as exact
+    integer-ratio float64s:
+
+      [n_channels, sample_rate/1000, frames, mean|amp| ch0 /32768,
+       mean|amp| ch1 /32768 (0 if mono), max|amp|/32768,
+       zero-crossing rate ch0, duration seconds]
+
+    Raises ValueError on anything that is not a PCM WAV — the
+    featurizer then falls back to byte-level features, so arbitrary
+    binary payloads never crash the pipeline."""
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_channels not in (1, 2):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data[: len(data) - len(data) % (2 * n_channels)], dtype="<i2")
+    frames = samples.reshape(-1, n_channels)
+    n = len(frames)
+    if n == 0:
+        raise ValueError("empty data chunk")
+    absf = np.abs(frames.astype("int64"))
+    ch0 = frames[:, 0]
+    zc = int(np.count_nonzero(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+    feats = [
+        float(n_channels),
+        sample_rate / 1000.0,
+        float(n),
+        int(absf[:, 0].sum()) / (n * 32768),
+        (int(absf[:, 1].sum()) / (n * 32768)) if n_channels == 2 else 0.0,
+        int(absf.max()) / 32768,
+        zc / (n - 1) if n > 1 else 0.0,
+        n / sample_rate,
+    ]
+    return (feats + [0.0] * n_features)[:n_features]
+
+
+def decode_ppm(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL image decode for binary PPM (P6) payloads — pure
+    stdlib/numpy.  Parses the ASCII header (magic, width, height,
+    maxval, with comment support), reshapes the raw RGB plane, and
+    extracts exact integer-ratio features:
+
+      [width, height, 3, mean R/maxval, mean G/maxval, mean B/maxval,
+       overall mean/maxval, aspect ratio]
+
+    Raises ValueError for non-P6 payloads (fallback path, as with WAV)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens; '#' starts a comment through end-of-line
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = tokens
+    pos += 1  # single whitespace after maxval
+    raster = payload[pos : pos + w * h * 3]
+    if maxval <= 0 or maxval > 255 or len(raster) < w * h * 3:
+        raise ValueError("bad PPM raster")
+    px = np.frombuffer(raster, dtype="u1").reshape(h, w, 3).astype("int64")
+    npx = w * h
+    feats = [
+        float(w),
+        float(h),
+        3.0,
+        int(px[:, :, 0].sum()) / (npx * maxval),
+        int(px[:, :, 1].sum()) / (npx * maxval),
+        int(px[:, :, 2].sum()) / (npx * maxval),
+        int(px.sum()) / (npx * 3 * maxval),
+        w / h,
+    ]
+    return (feats + [0.0] * n_features)[:n_features]
+
+
+_CODECS = {
+    "audio/wav": decode_wav_pcm,
+    "audio/x-wav": decode_wav_pcm,
+    "image/ppm": decode_ppm,
+    "image/x-portable-pixmap": decode_ppm,
+}
+
+
+def _decode_real(payload: bytes, mime: str, n_features: int = 8) -> list[float]:
+    """Real decode dispatch: PCM WAV and P6 PPM are decoded natively
+    (pure numpy — no codec library needed, so these two paths are REAL
+    in this container and tested with genuine payloads); other mimes
+    (png/mp4) still require external codecs and raise
+    NotImplementedError so the featurizer falls back to byte-level
+    features.  A payload whose bytes do not match its claimed mime
+    raises ValueError — also a fallback, never a crash."""
+    codec = _CODECS.get(mime)
+    if codec is None:
         raise NotImplementedError(
-            "media codecs (Pillow/torchaudio/pyav) are not installed; "
-            "decode_and_featurize falls back to the byte-level featurizer"
-        ) from e
-    raise NotImplementedError("wire the codec here when the libraries exist")
+            f"no native decoder for {mime!r}; png/mp4 need external codec "
+            "libraries (Pillow/pyav) absent from this container"
+        )
+    return codec(payload, n_features)
 
 
 def _byte_features(payload: bytes, n_features: int = 8) -> list[float]:
@@ -124,8 +246,12 @@ def decode_and_featurize(media: DataFrame, n_features: int = 8) -> DataFrame:
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 data = bytes(payload) if payload is not None else b""
                 try:
-                    feats = _decode_real(data, meta["mime"] if meta is not None else "")
-                except NotImplementedError:
+                    feats = _decode_real(
+                        data, meta["mime"] if meta is not None else "", n_features
+                    )
+                except (NotImplementedError, ValueError):
+                    # no native decoder for the mime, or payload bytes
+                    # don't match the claimed mime: byte-level fallback
                     feats = _byte_features(data, n_features)
                 rows.append(
                     {
