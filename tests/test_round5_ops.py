@@ -310,3 +310,14 @@ def test_lsh_neardup_collapse_is_bit_identical(spark, sf_dir):
             ).collect()
         )
         assert old == new and new
+
+
+def test_heavy_hitters_on_bigint_keys(spark, sf_dir):
+    """The MG schema derives from the input column type (review finding):
+    bigint keys must work end-to-end and match the exact baseline."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k")
+    )
+    want = _exact_hh_baseline(li, "k", 40)
+    got = {(r["k"], r["cnt"]) for r in heavy_hitters_exact(li, "k", 40).collect()}
+    assert got == want and want  # 10 uniform suppliers, all above n/40
