@@ -170,6 +170,7 @@ def pack_token_bins(
     size_col: str,
     budget: int,
     shards: int = 64,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Contiguous-fill packing of documents into fixed token budgets
     (the training-batch assembly pass): within each of ``shards`` hash
@@ -183,12 +184,23 @@ def pack_token_bins(
     bounded per-task state).  Bins never span shards; the (shard, bin)
     pair is the global bin id.  Oversized single documents get a bin to
     themselves (contiguous fill never splits a document).
+
+    ``tiebreak_col``: a UNIQUE column appended to the pack order.  The
+    cumulative sum is only deterministic under a TOTAL order; when
+    ``key_col`` is document CONTENT, byte-identical duplicates tie on
+    (hash, content) and each engine breaks the tie its own way — found
+    as an sf1-only hash mismatch on the 10x-replicated sweep corpus
+    (unique texts at sf<=0.1 masked it).  Pass the row's id column
+    whenever ``key_col`` values can repeat.
     """
     h = portable_hash60(F.col(key_col))
     shard = (h % F.lit(shards)).alias("shard")
+    order = [h.asc(), F.col(key_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
     w = (
         Window.partitionBy("shard")
-        .orderBy(h.asc(), F.col(key_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = df.withColumn("shard", shard).withColumn(

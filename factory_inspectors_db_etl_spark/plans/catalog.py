@@ -1798,7 +1798,9 @@ def q_p_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.sampling import pack_token_bins
 
     d = load_table(spark, sf, "documents")
-    out = pack_token_bins(d, "text", "n_chars", budget=2000, shards=16)
+    out = pack_token_bins(
+        d, "text", "n_chars", budget=2000, shards=16, tiebreak_col="doc_id"
+    )
     return out.select("doc_id", "shard", "bin")
 
 
@@ -1809,7 +1811,7 @@ WITH h AS (
   SELECT doc_id, n_chars, h, h % 16 AS shard, text FROM h
 ), c AS (
   SELECT doc_id, shard,
-         sum(n_chars) OVER (PARTITION BY shard ORDER BY h, text
+         sum(n_chars) OVER (PARTITION BY shard ORDER BY h, text, doc_id
                             ROWS UNBOUNDED PRECEDING) AS cum,
          n_chars
   FROM s

@@ -89,5 +89,9 @@ def build_training_set(
         "n_chars",
         budget=budget,
         shards=shards,
+        # near-dup clustering upstream keeps one doc per cluster, but only
+        # NEAR dups — byte-identical texts in different clusters would tie
+        # the (hash, text) pack order, so the unique id closes the order
+        tiebreak_col="doc_id",
     )
     return {"kept": kept, "splits": splits, "packed_train": packed_train}
