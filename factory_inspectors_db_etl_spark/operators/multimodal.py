@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -102,8 +103,6 @@ def decode_wav_pcm(payload: bytes, n_features: int = 8) -> list[float]:
     Raises ValueError on anything that is not a PCM WAV — the
     featurizer then falls back to byte-level features, so arbitrary
     binary payloads never crash the pipeline."""
-    import numpy as np
-
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -124,6 +123,8 @@ def decode_wav_pcm(payload: bytes, n_features: int = 8) -> list[float]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits != 16 or n_channels not in (1, 2):
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if sample_rate <= 0:
+        raise ValueError("non-positive sample rate")
     samples = np.frombuffer(data[: len(data) - len(data) % (2 * n_channels)], dtype="<i2")
     frames = samples.reshape(-1, n_channels)
     n = len(frames)
@@ -155,8 +156,6 @@ def decode_ppm(payload: bytes, n_features: int = 8) -> list[float]:
        overall mean/maxval, aspect ratio]
 
     Raises ValueError for non-P6 payloads (fallback path, as with WAV)."""
-    import numpy as np
-
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # header = magic, width, height, maxval as whitespace-separated ASCII
@@ -177,6 +176,8 @@ def decode_ppm(payload: bytes, n_features: int = 8) -> list[float]:
     if len(tokens) < 3:
         raise ValueError("truncated PPM header")
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive PPM dimensions")
     pos += 1  # single whitespace after maxval
     raster = payload[pos : pos + w * h * 3]
     if maxval <= 0 or maxval > 255 or len(raster) < w * h * 3:

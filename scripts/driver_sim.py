@@ -195,9 +195,12 @@ for name, fn in mod.queries().items():
         }
     except Exception as e:  # noqa: BLE001
         results[name] = {"status": "ERROR", "error": str(e)[:200], "sec": round(time.time() - t0, 2)}
-    # stream each verdict as it lands: long sweeps (sf1) can outlive their
-    # timeout, and an end-only dump loses every finished query with them
-    print(f"## {name}: {results[name]['status']} ({results[name]['sec']}s)", flush=True)
+    finally:
+        # stream each verdict as it lands (finally: the early `continue`s
+        # for UNHASHABLE/rows-only/ORACLE_TYPE must emit too): long sweeps
+        # (sf1) can outlive their timeout, and an end-only dump loses
+        # every finished query with them
+        print(f"## {name}: {results[name]['status']} ({results[name]['sec']}s)", flush=True)
 
 bad = {k: v for k, v in results.items() if v["status"] not in ("MATCH", "rows-only")}
 

@@ -117,3 +117,21 @@ def test_featurizer_uses_real_codecs_end_to_end(spark):
     assert out[3]["features"] == _byte_features(b"just some text")
     assert out[4]["features"] == _byte_features(b"png-ish bytes")
     assert out[1]["n_bytes"] == len(wav)
+
+
+def test_codecs_reject_degenerate_headers_without_crashing():
+    """Review findings: structurally-valid-but-degenerate headers must
+    raise ValueError (-> featurizer fallback), never ZeroDivisionError."""
+    # WAV with sample_rate=0: RIFF/WAVE + fmt(PCM,1ch,rate0,16bit) + data
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    wav0 = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav_pcm(wav0)
+    # PPM with zero / negative dimensions
+    for hdr in (b"P6\n0 0\n255\n", b"P6\n4 -1\n255\n" + b"\x00" * 48):
+        with pytest.raises(ValueError):
+            decode_ppm(hdr)
