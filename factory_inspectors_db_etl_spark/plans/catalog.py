@@ -3271,6 +3271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
     "d_incremental_dedup": q_d_incremental_dedup,
     "w16_ohlc_resample": q_w16_ohlc_resample,
+    "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3305,11 +3306,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6b_unpivot": q_a6b_unpivot,
     "a7_collect_set": q_a7_collect_set,
     "s2b_json_extract": q_s2b_json_extract,
-    "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
-    # ------- 50-slot window boundary (u3_grouped_agg_udaf is position 50) -------
+    # ------- 50-slot window boundary (s2b_json_extract is position 50) -------
     # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The twenty r3-green entries that did not fit —
-    # w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
+    # locally per round.  The twenty-one r3-green entries that did not fit —
+    # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
     # t_repetition_stats, p_profile_columns, p_curate_corpus, t_pii_redact,
     # d_contamination, p_hash_split, p_stratified_sample, p_group_sample,
     # p_pack_bins, t_text_stats, t_language_guess, t_quality_score,
@@ -3317,6 +3317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
     "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
     "w14_scd2_intervals": q_w14_scd2_intervals,

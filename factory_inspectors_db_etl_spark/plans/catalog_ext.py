@@ -1239,6 +1239,114 @@ WHERE a.p_name <> b.p_name
 """
 
 
+def _deletion_variants(s) -> "F.Column":
+    """All strings reachable from ``s`` by deleting up to 2 characters
+    (FastSS/SymSpell signature set), as a distinct array — pure
+    higher-order functions, zero UDFs.  |variants| = 1 + n + C(n,2):
+    ~56 for a 10-char name."""
+    n = F.length(s)
+    one = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, n - i)),
+    )
+    two = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.greatest(n, i + 1)),
+                lambda j: F.concat(
+                    s.substr(F.lit(1), i - 1),
+                    s.substr(i + 1, j - i - 1),
+                    s.substr(j + 1, n - j),
+                ),
+            ),
+        )
+    )
+    # no length guards needed: Spark's substring yields "" for
+    # non-positive lengths and sequence() descends harmlessly for n<2 —
+    # any junk variant is only a candidate, and the exact-Levenshtein
+    # verify removes every false positive
+    return F.array_distinct(F.concat(F.array(s), one, two))
+
+
+def q_j12b_deletion_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J12b: the PRODUCTION-complete fuzzy join — every same-brand part
+    pair within Levenshtein distance 2, with NO length-equality
+    blocking (j12's same-length policy is a demonstration that silently
+    misses every insert/delete variant; this form misses nothing).
+
+    Candidate generation is the FastSS/SymSpell deletion neighborhood
+    (Bocek et al. 2007 "Fast Similarity Search in Large Dictionaries"):
+    two strings within edit distance k share at least one common
+    <=k-deletion variant, so candidates come from an EQUI-join on
+    (brand, variant-hash) — lossless (no false negatives), never
+    all-pairs, and the signature set (~1+n+C(n,2) per name) is built
+    with zero-UDF higher-order functions.  Exact Levenshtein then
+    removes false positives.  The duplicate-density lesson applies as
+    in j12: signatures and the DP run once per DISTINCT (brand, name);
+    key expansion afterward.
+
+    The DuckDB oracle is the brute-force within-brand pair scan — at
+    oracle scale that's fine, and hash-equality against it proves the
+    deletion-neighborhood filter is genuinely lossless on real data."""
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name", "p_brand")
+    names = p.select(F.col("p_brand").alias("brand"), "p_name").distinct()
+    sigs = names.select(
+        "brand",
+        "p_name",
+        F.explode(_deletion_variants(F.col("p_name"))).alias("var"),
+    ).select("brand", "p_name", portable_hash60(F.col("var")).alias("sig"))
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    name_pairs = (
+        sa.join(
+            sb,
+            (F.col("sa.brand") == F.col("sb.brand"))
+            & (F.col("sa.sig") == F.col("sb.sig"))
+            & (F.col("sa.p_name") < F.col("sb.p_name")),
+        )
+        .select(
+            F.col("sa.brand").alias("brand"),
+            F.col("sa.p_name").alias("n1"),
+            F.col("sb.p_name").alias("n2"),
+        )
+        .dropDuplicates(["brand", "n1", "n2"])
+        .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2")))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+    )
+    k1 = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("n1"),
+        F.col("p_partkey").alias("k1"),
+    )
+    k2 = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("n2"),
+        F.col("p_partkey").alias("k2"),
+    )
+    first_is_a = F.col("k1") > F.col("k2")
+    return (
+        name_pairs.join(k1, ["brand", "n1"])
+        .join(k2, ["brand", "n2"])
+        .select(
+            F.greatest("k1", "k2").alias("key_a"),
+            F.least("k1", "k2").alias("key_b"),
+            F.when(first_is_a, F.col("n1")).otherwise(F.col("n2")).alias("name_a"),
+            F.when(first_is_a, F.col("n2")).otherwise(F.col("n1")).alias("name_b"),
+            "dist",
+        )
+    )
+
+
+O_J12B_DELETION = f"""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND b.p_partkey < a.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+
 # ---------------------------------------------------------------------------
 # A12: equi-depth histogram (round 5)
 # ---------------------------------------------------------------------------
@@ -1368,6 +1476,7 @@ EXT_QUERIES = {
     "a13_heavy_hitters": q_a13_heavy_hitters,
     "d_substring_dedup": q_d_substring_dedup,
     "j12_fuzzy_blocked_join": q_j12_fuzzy_blocked_join,
+    "j12b_deletion_join": q_j12b_deletion_join,
     "s13_stream_stream_left_outer": q_s13_stream_stream_left_outer,
     "g1b_pagerank_shuffle": q_g1b_pagerank_shuffle,
     "g3b_label_prop_shuffle": q_g3b_label_prop_shuffle,
@@ -1390,6 +1499,7 @@ EXT_ORACLES = {
     "a13_heavy_hitters": O_A13_HEAVY_HITTERS,
     "d_substring_dedup": O_D_SUBSTRING_DEDUP,
     "j12_fuzzy_blocked_join": O_J12_FUZZY,
+    "j12b_deletion_join": O_J12B_DELETION,
     "s13_stream_stream_left_outer": O_S13_LEFT_OUTER,
     "g3_label_propagation": O_G3_LPA,
     "g1b_pagerank_shuffle": O_G1_PAGERANK,

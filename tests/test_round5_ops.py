@@ -321,3 +321,52 @@ def test_heavy_hitters_on_bigint_keys(spark, sf_dir):
     want = _exact_hh_baseline(li, "k", 40)
     got = {(r["k"], r["cnt"]) for r in heavy_hitters_exact(li, "k", 40).collect()}
     assert got == want and want  # 10 uniform suppliers, all above n/40
+
+
+def test_deletion_join_finds_indel_variants_blocked_join_misses(spark, tmp_path):
+    """j12b's deletion-neighborhood candidates are lossless for lev<=2:
+    on planted insert/delete variants (different lengths — invisible to
+    j12's same-length blocking) it finds exactly the brute-force pair
+    set, and strictly more than j12."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext import (
+        q_j12b_deletion_join,
+    )
+
+    rows = [
+        (1, "red widget", "Brand#1", "t", 1, 1.0),
+        (2, "red widgets", "Brand#1", "t", 1, 1.0),   # 1 insert
+        (3, "rd widget", "Brand#1", "t", 1, 1.0),     # 1 delete
+        (4, "red gadget", "Brand#1", "t", 1, 1.0),    # 2 subs (same len)
+        (5, "blue bolt", "Brand#1", "t", 1, 1.0),     # far away
+        (6, "red widget", "Brand#2", "t", 1, 1.0),    # other brand
+        (7, "x", "Brand#3", "t", 1, 1.0),             # len<2 edge
+        (8, "xy", "Brand#3", "t", 1, 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    got = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in q_j12b_deletion_join(spark, str(tmp_path)).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for x, y in itertools.combinations(rows, 2):
+        a, b = (x, y) if x[0] > y[0] else (y, x)
+        if a[2] == b[2] and a[1] != b[1] and lev(a[1], b[1]) <= 2:
+            want.add((a[0], b[0], lev(a[1], b[1])))
+    assert got == want
+    # and the different-length pair (1,2) is present — the j12 blind spot
+    assert (2, 1, 1) in got
