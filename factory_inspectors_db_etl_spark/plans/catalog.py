@@ -49,6 +49,7 @@ from ..operators.similarity import (
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
 from .catalog_ext import EXT_ORACLES as _EXT_ORACLES, EXT_QUERIES as _EXT_QUERIES
+from .catalog_ext2 import EXT2_ORACLES as _EXT2_ORACLES, EXT2_QUERIES as _EXT2_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3272,6 +3273,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_incremental_dedup": q_d_incremental_dedup,
     "w16_ohlc_resample": q_w16_ohlc_resample,
     "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
+    "d_setsim_prefix_join": _EXT2_QUERIES["d_setsim_prefix_join"],
+    "d_containment": _EXT2_QUERIES["d_containment"],
+    "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
+    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3302,13 +3307,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
     "j2_surrogate_dim": q_j2_surrogate_dim,
     "j3_nullsafe_join": q_j3_nullsafe_join,
-    "a6_pivot": q_a6_pivot,
-    "a6b_unpivot": q_a6b_unpivot,
-    "a7_collect_set": q_a7_collect_set,
-    "s2b_json_extract": q_s2b_json_extract,
-    # ------- 50-slot window boundary (s2b_json_extract is position 50) -------
+    # ------- 50-slot window boundary (j3_nullsafe_join is position 50) -------
     # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The twenty-one r3-green entries that did not fit —
+    # locally per round.  The twenty-five r3-green entries that did not fit —
+    # a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
     # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
     # t_repetition_stats, p_profile_columns, p_curate_corpus, t_pii_redact,
     # d_contamination, p_hash_split, p_stratified_sample, p_group_sample,
@@ -3317,6 +3319,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "a6_pivot": q_a6_pivot,
+    "a6b_unpivot": q_a6b_unpivot,
+    "a7_collect_set": q_a7_collect_set,
+    "s2b_json_extract": q_s2b_json_extract,
     "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
     "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
@@ -3482,6 +3488,7 @@ ORACLES: dict[str, str] = {
     "f1_standardize": O_F1,
     "u3_grouped_agg_udaf": O_U3,
     **_EXT_ORACLES,
+    **_EXT2_ORACLES,
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error

@@ -1,0 +1,234 @@
+"""Round-5 second-batch catalog: lossless prefix-filtered set-similarity
+join, directed containment dedup, hourly gap-fill with exact linear
+interpolation, and a Bloom-pre-filtered selective join.
+
+Same contract as ``plans.catalog``: every query has a DuckDB oracle and
+the pair is registered in ``catalog.QUERIES`` / ``catalog.ORACLES``
+inside the driver's 50-key window.  Determinism follows the catalog
+conventions: thresholds and interpolation as integer rationals with one
+trailing IEEE division, time buckets via calendar arithmetic on
+TIMESTAMP_NTZ + ISO strings (never session-timezone epochs), integer
+aggregates CAST to BIGINT on the oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bloom_join import bloom_filtered_join
+from ..operators.setsim import containment_pairs, prefix_filter_jaccard_pairs
+from ..operators.timeseries import gap_fill_hourly
+from ..sources.tables import load_table
+
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# D: prefix-filtered exact Jaccard join (SSJoin/PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def q_d_setsim_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-shingle-set Jaccard >= 3/5 via the LOSSLESS prefix filter
+    (Chaudhuri ICDE'06 / Xiao WWW'08) — the deterministic complement of
+    MinHash-LSH: candidates come only from each document's rarest
+    ``|s| - ceil(0.6|s|) + 1`` shingles plus a length-ratio prune, yet
+    the output provably equals brute force (losslessness pinned against
+    the unfiltered join in tests/test_round5b_ops.py; the oracle below
+    IS the brute-force semantics).  At 100 TB the posting lists that
+    explode under a naive element join simply never form: a stop
+    element enters a prefix only for documents with nothing rarer."""
+    d = load_table(spark, sf, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold_num=3, threshold_den=5
+    )
+
+
+O_D_SETSIM_PREFIX = """
+WITH w AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), toks AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS tok
+  FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 5 * inter >= 3 * (sa.sz + sb.sz - inter)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D: directed containment (the asymmetric relation Jaccard can't see)
+# ---------------------------------------------------------------------------
+
+
+def q_d_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed shingle containment |src∩dst|/|src| >= 4/5: finds
+    documents quoted/embedded inside larger ones, where symmetric
+    Jaccard stays near zero.  Inverted-index candidates (shared-shingle
+    equi-join, stop-shingle cap) — one undirected intersection count
+    fans out into per-direction integer threshold checks."""
+    d = load_table(spark, sf, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", k=3, threshold_num=4, threshold_den=5
+    )
+
+
+O_D_CONTAINMENT = """
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT id_a AS src_id, id_b AS dst_id, inter, sa.sz AS sz_src
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+  UNION ALL
+  SELECT id_b AS src_id, id_a AS dst_id, inter, sb.sz AS sz_src
+  FROM inter JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT src_id, dst_id, CAST(inter AS BIGINT) AS inter,
+       CAST(sz_src AS BIGINT) AS sz_src,
+       CAST(inter AS DOUBLE) / sz_src AS containment
+FROM directed
+WHERE 5 * inter >= 4 * sz_src
+"""
+
+
+# ---------------------------------------------------------------------------
+# W17: hourly gap fill + exact linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_w17_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """W17: the hypertable resample→gapfill→interpolate shape — per user,
+    a DENSE hourly grid between the first and last observed hour, holes
+    filled by linear interpolation between the surrounding hourly sums.
+    All arithmetic is integer cents cross-multiplied over hour indexes;
+    each output value is one correctly-rounded double division, so the
+    hash matches DuckDB bit-for-bit (w12's determinism lesson applied
+    to interpolation)."""
+    ev = load_table(spark, sf, "events")
+    return gap_fill_hourly(ev, "user_id", "ts", "value")
+
+
+O_W17_GAP_FILL = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), hourly AS (
+  SELECT user_id, hts, sum(cents) AS v FROM e GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(hts) AS lo,
+         date_diff('hour', min(hts), max(hts)) AS n_hours
+  FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, lo + to_hours(idx) AS hts, idx
+  FROM span, UNNEST(range(0, n_hours + 1)) AS t(idx)
+), j AS (
+  SELECT g.user_id, g.idx, g.hts, h.v
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hts = h.hts
+), f AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wb AS pi,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wf AS ni
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY idx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(hts, '%Y-%m-%d %H:00:00') AS bucket,
+  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 100
+       WHEN pv IS NOT NULL AND nv IS NOT NULL
+         THEN CAST(pv * (ni - idx) + nv * (idx - pi) AS DOUBLE) / ((ni - pi) * 100)
+       WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE) / 100
+       ELSE CAST(nv AS DOUBLE) / 100 END AS value_filled,
+  CASE WHEN v IS NOT NULL THEN 'exact'
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+       WHEN pv IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS fill_kind
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# J13: Bloom-pre-filtered selective join
+# ---------------------------------------------------------------------------
+
+_J13_BITS = 1 << 18  # 32 KiB bitmap; <5% FP to ~25k surviving keys
+
+
+def q_j13_bloom_filtered_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J13: monthly revenue of lineitems whose order is 1-URGENT in
+    1995 — through ``operators.bloom_join``: a constant-size (32 KiB)
+    Bloom bitmap over the surviving order keys broadcasts and drops
+    non-matching lineitems BEFORE the join's exchange; the exact join
+    then removes false positives, so the result — and the oracle — is
+    the plain join.  The 100 TB case this exists for: a post-filter dim
+    side too big to broadcast as exact keys still pre-filters the fact
+    shuffle through a fixed-size bitmap (Spark's runtime bloomFilter
+    rewrite, hand-rolled and plan-pinned)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    )
+    joined = bloom_filtered_join(
+        li, o.select("o_orderkey"), "l_orderkey", "o_orderkey", num_bits=_J13_BITS
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "double"
+    )
+    return joined.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+
+
+O_J13_BLOOM = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+GROUP BY 1
+"""
+
+
+EXT2_QUERIES = {
+    "d_setsim_prefix_join": q_d_setsim_prefix_join,
+    "d_containment": q_d_containment,
+    "w17_gap_fill": q_w17_gap_fill,
+    "j13_bloom_filtered_join": q_j13_bloom_filtered_join,
+}
+
+EXT2_ORACLES = {
+    "d_setsim_prefix_join": O_D_SETSIM_PREFIX,
+    "d_containment": O_D_CONTAINMENT,
+    "w17_gap_fill": O_W17_GAP_FILL,
+    "j13_bloom_filtered_join": O_J13_BLOOM,
+}
