@@ -3277,6 +3277,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_containment": _EXT2_QUERIES["d_containment"],
     "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
     "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
+    "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
+    "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
+    "w18_ewma": _EXT2_QUERIES["w18_ewma"],
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3304,12 +3307,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3b_cube": q_a3b_cube,
     "a3c_grouping_sets": q_a3c_grouping_sets,
     "a4_distinct_counts": q_a4_distinct_counts,
-    "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
-    "j2_surrogate_dim": q_j2_surrogate_dim,
-    "j3_nullsafe_join": q_j3_nullsafe_join,
-    # ------- 50-slot window boundary (j3_nullsafe_join is position 50) -------
+    # ------- 50-slot window boundary (a4_distinct_counts is position 50) -------
     # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The twenty-five r3-green entries that did not fit —
+    # locally per round.  The twenty-eight r3-green entries that did not fit —
+    # j1_broadcast_dim_join, j2_surrogate_dim, j3_nullsafe_join,
     # a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
     # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
     # t_repetition_stats, p_profile_columns, p_curate_corpus, t_pii_redact,
@@ -3319,6 +3320,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
+    "j2_surrogate_dim": q_j2_surrogate_dim,
+    "j3_nullsafe_join": q_j3_nullsafe_join,
     "a6_pivot": q_a6_pivot,
     "a6b_unpivot": q_a6b_unpivot,
     "a7_collect_set": q_a7_collect_set,

@@ -219,11 +219,232 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# J14: SCD2 point-in-time lookup (as-of join against a change history)
+# ---------------------------------------------------------------------------
+
+
+def q_j14_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """J14: the warehouse read side of w14 — each purchase event looks
+    up the user's dimension state VALID AT ITS TIMESTAMP from an SCD2
+    change history (here: the user's last non-purchase event type, the
+    same run construction as w14).  Implemented as a single-shuffle
+    as-of join (``operators/asof.py::asof_join``: union + ordered
+    forward-fill — never a point-in-interval theta join, whose O(n·m)
+    blowup is THE classic SCD2-lookup mistake at scale).
+
+    Determinism: the change history is collapsed to one state per
+    (user, ts) with ``max_by(event_id)`` before the join — (user, ts)
+    happens to be unique in this data, but uniqueness is a data
+    property, not a schema guarantee (the p_pack_bins sf1 lesson), and
+    the as-of fill must have a total order.  Purchases before the first
+    state row keep a NULL state (left semantics)."""
+    from ..operators.asof import asof_join
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    states = ev.filter(F.col("event_type") != "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        states.withColumn("_chg", prev.isNull() | (F.col("event_type") != prev))
+        .filter(F.col("_chg"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("state"))
+        .withColumn("state_since", F.col("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, changes, keys=["user_id"], on="ts", payload=["state", "state_since"]
+    )
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    return joined.select(
+        "event_id",
+        "user_id",
+        fmt("ts").alias("purchase_ts"),
+        "state",
+        fmt("state_since").alias("state_since"),
+    )
+
+
+O_J14_SCD2_LOOKUP = """
+WITH states AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type <> 'purchase'
+), changes AS (
+  SELECT user_id, ts, max_by(event_type, event_id) AS state
+  FROM states WHERE prev IS NULL OR event_type <> prev
+  GROUP BY 1, 2
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       c.state,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS state_since
+FROM p ASOF LEFT JOIN changes c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# A14: robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3
+
+
+def q_a14_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """A14: per-group robust outlier profile — median and MAD (median
+    absolute deviation) of the price, and how many rows sit more than
+    3×MAD from the median.  The mean/stddev z-score breaks exactly when
+    you need it (outliers drag the mean); median/MAD does not.
+
+    Determinism: both medians interpolate integer-cent (then half-cent)
+    grids at the dyadic fraction 1/2 — exact in IEEE under either
+    engine's formula (w12's lesson); the keep test compares exact
+    grid doubles (3×MAD is a .5-grid value scaled by 3 — still exact),
+    and the only rounding anywhere is the final /100.
+
+    Scale shape: three hash aggregations on the tiny group key, with the
+    one-row-per-group median/MAD tables broadcast back onto the scan —
+    the fact table is scanned, never shuffled."""
+    li = load_table(spark, sf, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("long").cast("double")
+    base = li.select("l_returnflag", cents.alias("_c"))
+    med = base.groupBy("l_returnflag").agg(F.percentile("_c", F.lit(0.5)).alias("_med"))
+    dev = base.join(F.broadcast(med), "l_returnflag").withColumn(
+        "_dev", F.abs(F.col("_c") - F.col("_med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile("_dev", F.lit(0.5)).alias("_mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = dev.join(F.broadcast(mad), "l_returnflag")
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.first("_med").alias("_m"),
+            F.first("_mad").alias("_d"),
+            F.first("n").alias("n"),
+            F.sum((F.col("_dev") > _MAD_K * F.col("_mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            (F.col("_m") / 100).alias("median_price"),
+            (F.col("_d") / 100).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
+O_A14_MAD = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS c
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, quantile_cont(c, 0.5) AS m FROM base GROUP BY 1
+), dev AS (
+  SELECT b.l_returnflag, abs(b.c - med.m) AS d, med.m
+  FROM base b JOIN med ON b.l_returnflag = med.l_returnflag
+), mad AS (
+  SELECT l_returnflag, quantile_cont(d, 0.5) AS md, CAST(count(*) AS BIGINT) AS n
+  FROM dev GROUP BY 1
+)
+SELECT dev.l_returnflag,
+       any_value(dev.m) / 100 AS median_price,
+       any_value(mad.md) / 100 AS mad,
+       any_value(mad.n) AS n,
+       CAST(sum(CASE WHEN dev.d > {_MAD_K} * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+GROUP BY dev.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# W18: exact bounded exponential moving average
+# ---------------------------------------------------------------------------
+
+_EWMA_SPAN = 8
+
+
+def q_w18_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """W18: exponentially-weighted moving average (α = 1/2) over each
+    user's hourly value series, bounded to the last 8 observed buckets —
+    the metrics-dashboard smoother, done bit-reproducibly: weights are
+    the integers 2^(7-j) over lagged integer-cent sums, so numerator and
+    denominator are exact integers and the only float op is ONE final
+    division.  An unbounded recursive EWMA would accumulate a float per
+    step (engine-divergent) and, as a running state, resist parallel
+    decomposition; the 8-term form is a pure window expression — one
+    shuffle on user_id, map-side everything else.
+
+    The 8 lag() calls share one WindowExec (same spec), so this costs
+    one sort, not eight."""
+    ev = load_table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("HOUR", "ts").alias("_hts")
+    ).agg(F.sum(cents).alias("_v"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("_hts")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(_EWMA_SPAN):
+        weight = 1 << (_EWMA_SPAN - 1 - j)
+        lagged = F.lag("_v", j).over(w)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return hourly.select(
+        "user_id",
+        F.date_format("_hts", "yyyy-MM-dd HH:00:00").alias("bucket"),
+        (num.cast("double") / (den * 100)).alias("ewma"),
+    )
+
+
+def _gen_ewma_oracle(span: int = _EWMA_SPAN) -> str:
+    lags = ", ".join(
+        f"lag(v, {j}) OVER (PARTITION BY user_id ORDER BY hts) AS l{j}"
+        for j in range(span)
+    )
+    num = " + ".join(f"coalesce(l{j} * {1 << (span - 1 - j)}, 0)" for j in range(span))
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN {1 << (span - 1 - j)} ELSE 0 END"
+        for j in range(span)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT user_id, hts, {lags} FROM hourly
+)
+SELECT user_id, strftime(hts, '%Y-%m-%d %H:00:00') AS bucket,
+       CAST({num} AS DOUBLE) / (({den}) * 100) AS ewma
+FROM lagged
+"""
+
+
+O_W18_EWMA = _gen_ewma_oracle()
+
+
 EXT2_QUERIES = {
     "d_setsim_prefix_join": q_d_setsim_prefix_join,
     "d_containment": q_d_containment,
     "w17_gap_fill": q_w17_gap_fill,
     "j13_bloom_filtered_join": q_j13_bloom_filtered_join,
+    "j14_scd2_lookup": q_j14_scd2_lookup,
+    "a14_mad_outliers": q_a14_mad_outliers,
+    "w18_ewma": q_w18_ewma,
 }
 
 EXT2_ORACLES = {
@@ -231,4 +452,7 @@ EXT2_ORACLES = {
     "d_containment": O_D_CONTAINMENT,
     "w17_gap_fill": O_W17_GAP_FILL,
     "j13_bloom_filtered_join": O_J13_BLOOM,
+    "j14_scd2_lookup": O_J14_SCD2_LOOKUP,
+    "a14_mad_outliers": O_A14_MAD,
+    "w18_ewma": O_W18_EWMA,
 }

@@ -258,3 +258,132 @@ def test_bloom_empty_build_side(spark):
     dim = spark.range(0, 10).select(F.col("id").alias("k")).filter(F.col("k") < 0)
     fact = spark.range(0, 100).select(F.col("id").alias("fk"))
     assert bloom_filtered_join(fact, dim, "fk", "k", num_bits=_NB).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# j14 SCD2 lookup
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_lookup_hand_case(spark):
+    """Purchases hit the state valid AT their timestamp: before any
+    state -> NULL, at exactly a change point -> the NEW state, after the
+    last change -> carried forward."""
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "signup"),
+        (2, 10, "2024-01-01 02:00:00", "click"),
+        (3, 10, "2024-01-01 04:00:00", "error"),
+        # purchases
+        (100, 10, "2023-12-31 23:00:00", "purchase"),  # before any state
+        (101, 10, "2024-01-01 01:00:00", "purchase"),  # inside signup
+        (102, 10, "2024-01-01 02:00:00", "purchase"),  # AT the click change
+        (103, 10, "2024-01-01 09:00:00", "purchase"),  # after last change
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+        "value", F.lit(1.0)
+    )
+    # rebuild the q_j14_scd2_lookup plan body on the in-memory frame
+    from factory_inspectors_db_etl_spark.operators.asof import asof_join
+    from pyspark.sql import Window as W
+
+    states = ev.filter(F.col("event_type") != "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        states.withColumn("_chg", prev.isNull() | (F.col("event_type") != prev))
+        .filter(F.col("_chg"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("state"))
+        .withColumn("state_since", F.col("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = {
+        r["event_id"]: r["state"]
+        for r in asof_join(
+            purchases, changes, keys=["user_id"], on="ts",
+            payload=["state", "state_since"],
+        ).collect()
+    }
+    assert out == {100: None, 101: "signup", 102: "click", 103: "error"}
+
+
+# ---------------------------------------------------------------------------
+# a14 MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from factory_inspectors_db_etl_spark.plans.catalog_ext2 import (
+        _MAD_K,
+        q_a14_mad_outliers,
+    )
+    from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+    got = {r["l_returnflag"]: r for r in q_a14_mad_outliers(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            round(r["l_extendedprice"] * 100)
+        )
+    for flag, cents in groups.items():
+        a = np.array(sorted(cents), dtype=float)
+        med = float(np.percentile(a, 50, method="linear"))
+        dev = np.abs(a - med)
+        mad = float(np.percentile(np.sort(dev), 50, method="linear"))
+        r = got[flag]
+        assert r["median_price"] == med / 100
+        assert r["mad"] == mad / 100
+        assert r["n"] == len(cents)
+        assert r["n_outliers"] == int((dev > _MAD_K * mad).sum())
+
+
+# ---------------------------------------------------------------------------
+# w18 EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_hand_case(spark):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext2 import _EWMA_SPAN
+
+    assert _EWMA_SPAN == 8
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:30:00", 10.0),
+            (2, 1, "2024-01-01 01:30:00", 20.0),
+            (3, 1, "2024-01-01 02:30:00", 40.0),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # rebuild the query body inline on the tiny frame
+    from pyspark.sql import Window as W
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hourly = ev.groupBy("user_id", F.date_trunc("HOUR", "ts").alias("_hts")).agg(
+        F.sum(cents).alias("_v")
+    )
+    w = W.partitionBy("user_id").orderBy("_hts")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(8):
+        weight = 1 << (7 - j)
+        lagged = F.lag("_v", j).over(w)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    out = hourly.select(
+        "user_id",
+        F.date_format("_hts", "yyyy-MM-dd HH:00:00").alias("bucket"),
+        (num.cast("double") / (den * 100)).alias("ewma"),
+    )
+    got = {r["bucket"]: r["ewma"] for r in out.collect()}
+    # bucket1: only itself -> 10.0; bucket2: (2000*128 + 1000*64)/((128+64)*100)
+    assert got["2024-01-01 00:00:00"] == 10.0
+    assert got["2024-01-01 01:00:00"] == (2000 * 128 + 1000 * 64) / (192 * 100)
+    assert got["2024-01-01 02:00:00"] == (4000 * 128 + 2000 * 64 + 1000 * 32) / (224 * 100)
