@@ -1,0 +1,255 @@
+"""Live relational round-trip: per-partition SQL writes and a
+partitioned SQL reader, exercised against SQLite (Python stdlib — no
+driver jar, no server, a REAL SQL engine with real locking).
+
+The reference's sink is a row-oriented relational load — psycopg2
+``executemany`` INSERTs with get-or-create dimension semantics
+(populate_db_ru_v1.py:765-769, :184-:226).  The repo substitutes
+parquet/`saveAsTable` for bulk analytics and pins the ``df.write.jdbc``
+call shape in a skip-marked test (no JDBC-reachable server in the
+sandbox); THIS module closes the remaining gap by running the full
+relational protocol against a live SQL engine:
+
+* ``write_relational``: the ``df.write.jdbc`` execution model made
+  explicit — the driver creates the table once, then EVERY PARTITION
+  opens its own connection and writes one transaction (numPartitions
+  concurrent writers contending on the real database lock, absorbed by
+  WAL mode + busy_timeout).  Task retries are the reason plain INSERT
+  is not enough on any engine: Spark gives at-least-once task
+  execution, so idempotent statement forms — ``upsert`` (INSERT OR
+  REPLACE on the PK) and ``ignore`` (INSERT OR IGNORE on the natural
+  key, the reference's get-or-create dim shape) — are the default
+  posture; ``append`` exists and documents its non-idempotence.
+* ``SqliteRelationDataSource``: the JDBC *partitioned read* model as a
+  Spark-4 Python Data Source — the driver reads only metadata (schema
+  from PRAGMA table_info, rowid bounds), and each task SELECTs its own
+  rowid range executor-side.  ``spark.read.format("sqlite_relation")
+  .options(path=db, table=t, partitions=8).load()``.
+
+On a cluster the same two shapes point at Postgres/MySQL through a
+connection factory; SQLite is the engine that makes them TESTABLE here
+(file path must be visible to executors — local mode / shared FS).
+
+Type mapping is the faithful subset both engines share: integral ->
+INTEGER, floating -> REAL, boolean -> INTEGER 0/1, date/timestamp ->
+ISO TEXT, binary -> BLOB, everything else -> TEXT.  Loud refusal on
+array/map/struct columns — silently stringifying nested data into a
+relational sink is a data bug, not a convenience.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_BATCH = 1_000
+_BUSY_MS = 30_000
+
+
+def _sqlite_type(dt) -> str:
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint", "boolean"):
+        return "INTEGER"
+    if name in ("float", "double"):
+        return "REAL"
+    if name.startswith("decimal"):
+        return "TEXT"  # exact decimal travels as text, never a lossy REAL
+    if name == "binary":
+        return "BLOB"
+    if name in ("string", "date", "timestamp", "timestamp_ntz"):
+        return "TEXT"
+    raise TypeError(
+        f"write_relational refuses column type {name!r}: nested/exotic types "
+        f"do not have a faithful relational form — project them to scalars "
+        f"(to_json / explode) before the sink"
+    )
+
+
+def _to_sql(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _connect(db_path: str) -> sqlite3.Connection:
+    con = sqlite3.connect(db_path, timeout=_BUSY_MS / 1000)
+    con.execute(f"PRAGMA busy_timeout={_BUSY_MS}")
+    return con
+
+
+def write_relational(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    key_cols: Sequence[str] | None = None,
+    mode: str = "upsert",
+    overwrite: bool = False,
+) -> None:
+    """Write ``df`` into SQLite table ``table`` at ``db_path``.
+
+    mode='upsert'  INSERT OR REPLACE — requires ``key_cols`` (the PK);
+                   retry-safe and re-run-safe (last write wins per key).
+    mode='ignore'  INSERT OR IGNORE — requires ``key_cols``; first write
+                   wins: the reference's get-or-create dimension load.
+    mode='append'  plain INSERT — NOT task-retry-idempotent; only for
+                   sinks with external exactly-once accounting.
+
+    ``overwrite=True`` clears existing rows first (driver-side, before
+    any task runs).  The table is created if absent, typed from the
+    DataFrame schema, with PRIMARY KEY(key_cols) when given.
+    """
+    if mode in ("upsert", "ignore") and not key_cols:
+        raise ValueError(f"mode={mode!r} needs key_cols (the idempotency key)")
+    if mode not in ("upsert", "ignore", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"suspicious table name {table!r}")
+    cols = df.schema.fields
+    col_defs = ", ".join(f'"{f.name}" {_sqlite_type(f.dataType)}' for f in cols)
+    if key_cols:
+        missing = set(key_cols) - {f.name for f in cols}
+        if missing:
+            raise ValueError(f"key_cols not in DataFrame: {sorted(missing)}")
+        col_defs += ", PRIMARY KEY (" + ", ".join(f'"{k}"' for k in key_cols) + ")"
+    con = _connect(db_path)
+    try:
+        con.execute("PRAGMA journal_mode=WAL")  # concurrent partition writers
+        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({col_defs})')
+        if overwrite:
+            con.execute(f'DELETE FROM "{table}"')
+        con.commit()
+    finally:
+        con.close()
+
+    names = [f.name for f in cols]
+    verb = {"upsert": "INSERT OR REPLACE", "ignore": "INSERT OR IGNORE", "append": "INSERT"}[mode]
+    sql = (
+        f'{verb} INTO "{table}" ('
+        + ", ".join(f'"{n}"' for n in names)
+        + ") VALUES ("
+        + ", ".join("?" for _ in names)
+        + ")"
+    )
+
+    def _write_partition(rows) -> None:
+        import sqlite3 as _sq
+
+        con = _sq.connect(db_path, timeout=_BUSY_MS / 1000)
+        con.execute(f"PRAGMA busy_timeout={_BUSY_MS}")
+        try:
+            buf = []
+            for row in rows:
+                buf.append(tuple(_to_sql(row[n]) for n in names))
+                if len(buf) >= _BATCH:
+                    con.executemany(sql, buf)
+                    buf.clear()
+            if buf:
+                con.executemany(sql, buf)
+            con.commit()  # one transaction per partition (per task attempt)
+        finally:
+            con.close()
+
+    df.foreachPartition(_write_partition)
+
+
+class _RowidRange(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class _SqliteRelationReader(DataSourceReader):
+    """Partitioned read: driver touches METADATA only (PRAGMA schema,
+    rowid bounds); each task SELECTs its rowid slice with its own
+    connection — the JDBC partitionColumn/lowerBound/upperBound model
+    with rowid as the free partition column."""
+
+    def __init__(self, options: dict):
+        self._db = options.get("path")
+        self._table = options.get("table")
+        if not self._db or not self._table:
+            raise ValueError("sqlite_relation requires options path=<db file> and table=<name>")
+        if not self._table.replace("_", "").isalnum():
+            raise ValueError(f"suspicious table name {self._table!r}")
+        self._n = max(int(options.get("partitions", "4")), 1)
+        con = _connect(self._db)
+        try:
+            self._cols = [r[1] for r in con.execute(f'PRAGMA table_info("{self._table}")')]
+            if not self._cols:
+                raise ValueError(f"table {self._table!r} not found in {self._db!r}")
+            lo_hi = con.execute(f'SELECT min(rowid), max(rowid) FROM "{self._table}"').fetchone()
+        finally:
+            con.close()
+        self._bounds = lo_hi if lo_hi and lo_hi[0] is not None else None
+
+    def partitions(self) -> list[_RowidRange]:
+        if self._bounds is None:
+            return [_RowidRange(1, 0)]  # empty table: one no-op partition
+        lo, hi = self._bounds
+        n = min(self._n, hi - lo + 1)
+        step = (hi - lo + 1 + n - 1) // n
+        return [_RowidRange(lo + i * step, min(lo + (i + 1) * step - 1, hi)) for i in range(n)]
+
+    def read(self, part: _RowidRange) -> Iterator[tuple]:
+        if part.lo > part.hi:
+            return
+        con = _connect(self._db)
+        try:
+            cols = ", ".join(f'"{c}"' for c in self._cols)
+            cur = con.execute(
+                f'SELECT {cols} FROM "{self._table}" WHERE rowid BETWEEN ? AND ?',
+                (part.lo, part.hi),
+            )
+            yield from cur
+        finally:
+            con.close()
+
+
+class SqliteRelationDataSource(DataSource):
+    """``spark.read.format("sqlite_relation").options(path=..., table=...,
+    partitions=8).load()`` — schema introspected from the live table
+    (declared SQLite column types -> bigint/double/string; SQLite's
+    dynamic typing means anything else is surfaced as string rather than
+    guessed)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite_relation"
+
+    def schema(self) -> str:
+        db, table = self.options.get("path"), self.options.get("table")
+        if not db or not table:
+            raise ValueError("sqlite_relation requires options path=<db file> and table=<name>")
+        if not table.replace("_", "").isalnum():
+            raise ValueError(f"suspicious table name {table!r}")
+        con = _connect(db)
+        try:
+            info = list(con.execute(f'PRAGMA table_info("{table}")'))
+        finally:
+            con.close()
+        if not info:
+            raise ValueError(f"table {table!r} not found in {db!r}")
+
+        def spark_type(decl: str) -> str:
+            d = (decl or "").upper()
+            if "INT" in d:
+                return "bigint"
+            if "REAL" in d or "FLOA" in d or "DOUB" in d:
+                return "double"
+            if "BLOB" in d:
+                return "binary"
+            return "string"
+
+        return ", ".join(f"{r[1]} {spark_type(r[2])}" for r in info)
+
+    def reader(self, schema) -> _SqliteRelationReader:
+        return _SqliteRelationReader(self.options)
