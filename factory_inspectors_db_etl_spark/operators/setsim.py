@@ -33,10 +33,42 @@ index (``max_df`` stop-shingle cap) from ``ngram_jaccard_pairs``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import materialize, normalize_for_shingling, shingles
+
+
+def _collapse_exact(df: DataFrame, id_col: str, text_col: str):
+    """Group byte-identical texts; returns (reps, members) where ``reps``
+    is one row per distinct text (the min-id representative, with its
+    group size ``_gn``) and ``members`` maps rep -> every member id.
+
+    The duplicate-density guard shared with the LSH/fuzzy-join family
+    (sf1 lesson): a corpus where every document has r verbatim copies
+    makes every posting list r× longer and the pair join r²× bigger,
+    while the DISTINCT-text pair set is unchanged — so compute pairs
+    once per distinct text and expand afterward.  Bit-identical by
+    construction: shingle/element sets are pure functions of the text,
+    so every expanded pair carries exactly the values the un-collapsed
+    pipeline would have computed.  (The expansion itself is output-bound:
+    q identical docs genuinely form q(q-1)/2 qualifying pairs — exact
+    dedup upstream is the fix when that output is unwanted.)"""
+    grp = Window.partitionBy(text_col)
+    tagged = materialize(
+        df.select(
+            F.col(id_col).alias("_mid"),
+            F.col(text_col).alias(text_col),
+            F.min(id_col).over(grp).alias("_rep"),
+            F.count(F.lit(1)).over(grp).alias("_gn"),
+        )
+    )
+    members = tagged.select(F.col("_rep").alias("rep"), F.col("_mid").alias("mid"))
+    reps = (
+        tagged.filter(F.col("_mid") == F.col("_rep"))
+        .select(F.col("_mid").alias(id_col), text_col, "_gn")
+    )
+    return reps, members
 
 
 def _element_stream(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -62,6 +94,7 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     threshold_num: int = 3,
     threshold_den: int = 5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard >= num/den over distinct word-``k``-shingle
     sets, via the prefix filter — O(candidates) work, zero false
@@ -82,9 +115,15 @@ def prefix_filter_jaccard_pairs(
     verify arrays, so the corpus is tokenized exactly once (materialize
     barrier, same rationale as ``ngram_jaccard_pairs``).
 
+    ``collapse_exact`` (default on) computes pairs once per DISTINCT
+    text and expands to member ids afterward — see ``_collapse_exact``.
+
     Returns (id_a, id_b, inter, union_sz, jaccard) with id_a < id_b.
     """
     p, q = threshold_num, threshold_den
+    members = None
+    if collapse_exact:
+        df, members = _collapse_exact(df, id_col, text_col)
     toks = materialize(_element_stream(df, id_col, text_col, k))
     dfreq = toks.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
     # per-doc element array sorted rarest-first under the global total
@@ -151,12 +190,44 @@ def prefix_filter_jaccard_pairs(
         .withColumn("union_sz", (F.col("_sza") + F.col("_szb") - F.col("inter")).cast("long"))
         .filter(q * F.col("inter") >= p * F.col("union_sz"))
     )
-    return verified.select(
+    out = verified.select(
         "id_a",
         "id_b",
         "inter",
         "union_sz",
         (F.col("inter") / F.col("union_sz")).alias("jaccard"),
+    )
+    if members is None:
+        return out
+    # identical texts always qualify (J = 1): one SELF-pair per
+    # multi-member group, valued from the group's own element-set size,
+    # so the expansion emits exactly what the un-collapsed pipeline would
+    if collapse_exact:
+        self_pairs = (
+            df.filter(F.col("_gn") >= 2)
+            .select(F.col(id_col).alias("doc"))
+            .join(per_doc.select("doc", "sz"), "doc")
+            .select(
+                F.col("doc").alias("id_a"),
+                F.col("doc").alias("id_b"),
+                F.col("sz").cast("long").alias("inter"),
+                F.col("sz").cast("long").alias("union_sz"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        out = out.unionByName(self_pairs)
+    return (
+        out.join(members.select(F.col("rep").alias("id_a"), F.col("mid").alias("xa")), "id_a")
+        .join(members.select(F.col("rep").alias("id_b"), F.col("mid").alias("xb")), "id_b")
+        .filter(F.col("xa") != F.col("xb"))
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "inter",
+            "union_sz",
+            "jaccard",
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -205,6 +276,7 @@ def containment_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     max_df: int | None = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Directed containment C(src→dst) = |src∩dst|/|src| >= num/den over
     word ``k``-shingle sets — finds documents (mostly) CONTAINED in
@@ -217,9 +289,16 @@ def containment_pairs(
     up to two DIRECTED rows, each thresholded against its own source
     size with cross-multiplied integers.
 
+    ``collapse_exact`` (default on): pairs once per distinct text,
+    member expansion afterward (``_collapse_exact``) — measured 254s →
+    ~20s Spark-side at sf1 on the 10×-replicated stress corpus.
+
     Returns (src_id, dst_id, inter, sz_src, containment).
     """
     p, q = threshold_num, threshold_den
+    members = None
+    if collapse_exact:
+        df, members = _collapse_exact(df, id_col, text_col)
     sh = materialize(
         df.withColumn("_words", F.split(normalize_for_shingling(F.col(text_col)), " "))
         .select(
@@ -266,13 +345,40 @@ def containment_pairs(
             )
         ).alias("d")
     ).select("d.*")
-    return (
-        directed.filter(q * F.col("inter") >= p * F.col("sz_src"))
+    out = directed.filter(q * F.col("inter") >= p * F.col("sz_src")).select(
+        "src_id",
+        "dst_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("sz_src").cast("long").alias("sz_src"),
+        (F.col("inter") / F.col("sz_src")).alias("containment"),
+    )
+    if members is None:
+        return out
+    # identical texts contain each other fully (C = 1 both directions):
+    # one SELF-pair per multi-member group; the directed expansion below
+    # emits every ordered member combination exactly once
+    self_pairs = (
+        df.filter(F.col("_gn") >= 2)
+        .select(F.col(id_col).alias("doc"))
+        .join(sizes, "doc")
         .select(
-            "src_id",
-            "dst_id",
-            F.col("inter").cast("long").alias("inter"),
-            F.col("sz_src").cast("long").alias("sz_src"),
-            (F.col("inter") / F.col("sz_src")).alias("containment"),
+            F.col("doc").alias("src_id"),
+            F.col("doc").alias("dst_id"),
+            F.col("sz").cast("long").alias("inter"),
+            F.col("sz").cast("long").alias("sz_src"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return (
+        out.unionByName(self_pairs)
+        .join(members.select(F.col("rep").alias("src_id"), F.col("mid").alias("xs")), "src_id")
+        .join(members.select(F.col("rep").alias("dst_id"), F.col("mid").alias("xd")), "dst_id")
+        .filter(F.col("xs") != F.col("xd"))
+        .select(
+            F.col("xs").alias("src_id"),
+            F.col("xd").alias("dst_id"),
+            "inter",
+            "sz_src",
+            "containment",
         )
     )

@@ -3280,6 +3280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
     "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
     "w18_ewma": _EXT2_QUERIES["w18_ewma"],
+    "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3306,11 +3307,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
     "a3c_grouping_sets": q_a3c_grouping_sets,
-    "a4_distinct_counts": q_a4_distinct_counts,
-    # ------- 50-slot window boundary (a4_distinct_counts is position 50) -------
+    # ------- 50-slot window boundary (a3c_grouping_sets is position 50) -------
     # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The twenty-eight r3-green entries that did not fit —
-    # j1_broadcast_dim_join, j2_surrogate_dim, j3_nullsafe_join,
+    # locally per round.  The twenty-nine r3-green entries that did not fit —
+    # a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim, j3_nullsafe_join,
     # a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
     # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
     # t_repetition_stats, p_profile_columns, p_curate_corpus, t_pii_redact,
@@ -3320,6 +3320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
     "j2_surrogate_dim": q_j2_surrogate_dim,
     "j3_nullsafe_join": q_j3_nullsafe_join,

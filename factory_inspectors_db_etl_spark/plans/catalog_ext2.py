@@ -220,6 +220,44 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# S14: stream-stream FULL OUTER join, batch twin
+# ---------------------------------------------------------------------------
+
+
+def q_s14_stream_stream_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """S14: batch twin of the watermarked stream-stream FULL OUTER join —
+    s12/s13's third sibling: matched view→purchase attributions PLUS
+    organic purchases (NULL view side) PLUS abandoned views that
+    converted nothing (NULL purchase side).  Runs the SAME function body
+    the streaming path uses (``how="full_outer"``); streaming-vs-batch
+    equivalence incl. both watermark-delayed null arms is pinned in
+    tests/test_streaming.py."""
+    from ..streaming.ops import stream_stream_view_purchase_join
+
+    ev = load_table(spark, sf, "events")
+    return stream_stream_view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="full_outer",
+    )
+
+
+O_S14_FULL_OUTER = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id AS purchase_id,
+       COALESCE(p.user_id, v.user_id) AS user_id,
+       v.ts AS view_ts, v.value AS view_value
+FROM p FULL JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
+# ---------------------------------------------------------------------------
 # J14: SCD2 point-in-time lookup (as-of join against a change history)
 # ---------------------------------------------------------------------------
 
@@ -445,9 +483,11 @@ EXT2_QUERIES = {
     "j14_scd2_lookup": q_j14_scd2_lookup,
     "a14_mad_outliers": q_a14_mad_outliers,
     "w18_ewma": q_w18_ewma,
+    "s14_stream_stream_full_outer": q_s14_stream_stream_full_outer,
 }
 
 EXT2_ORACLES = {
+    "s14_stream_stream_full_outer": O_S14_FULL_OUTER,
     "d_setsim_prefix_join": O_D_SETSIM_PREFIX,
     "d_containment": O_D_CONTAINMENT,
     "w17_gap_fill": O_W17_GAP_FILL,

@@ -425,7 +425,12 @@ def stream_stream_view_purchase_join(
     matching view can still arrive), so the nulls trail the matched rows
     by up to watermark+horizon — that delay is the semantic price of
     outer joins on unbounded input, and exactly why both watermarks are
-    mandatory for this mode."""
+    mandatory for this mode.
+
+    ``how="full_outer"`` additionally keeps views that converted nothing
+    (NULL purchase columns) — the abandonment side of the funnel; the
+    output ``user_id`` coalesces across sides (identical to ``p_user``
+    in inner/left mode, where the purchase side is never null)."""
     v = views.withWatermark("ts", watermark).select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -442,7 +447,12 @@ def stream_stream_view_purchase_join(
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
         how,
-    ).select("purchase_id", F.col("p_user").alias("user_id"), "view_ts", "view_value")
+    ).select(
+        "purchase_id",
+        F.coalesce("p_user", "v_user").alias("user_id"),
+        "view_ts",
+        "view_value",
+    )
 
 
 def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:

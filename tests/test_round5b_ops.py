@@ -387,3 +387,39 @@ def test_ewma_hand_case(spark):
     assert got["2024-01-01 00:00:00"] == 10.0
     assert got["2024-01-01 01:00:00"] == (2000 * 128 + 1000 * 64) / (192 * 100)
     assert got["2024-01-01 02:00:00"] == (4000 * 128 + 2000 * 64 + 1000 * 32) / (224 * 100)
+
+
+def test_setsim_collapse_is_bit_identical(spark):
+    """The duplicate-density collapse (default on) must emit EXACTLY the
+    un-collapsed pipeline's rows on a corpus where every text has
+    verbatim copies — including within-group pairs (J=1 / C=1 valued
+    from the group's own set size) and cross-group pairs."""
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over a lazy dog tonight",
+        "completely different text about spark engines here today",
+    ]
+    rows = [(i * 10 + j, t) for i, t in enumerate(base) for j in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = _pairs(prefix_filter_jaccard_pairs(docs, "doc_id", "text", k=3))
+    slow = _pairs(
+        prefix_filter_jaccard_pairs(docs, "doc_id", "text", k=3, collapse_exact=False)
+    )
+    brute = _pairs(bruteforce_jaccard_pairs(docs, "doc_id", "text", k=3))
+    assert fast == slow == brute
+    # within-group pairs present with J=1 semantics (inter == union)
+    assert any(a // 10 == b // 10 and i == u for a, b, i, u in fast)
+
+    c_fast = {
+        (r["src_id"], r["dst_id"], r["inter"], r["sz_src"])
+        for r in containment_pairs(docs, "doc_id", "text", k=3).collect()
+    }
+    c_slow = {
+        (r["src_id"], r["dst_id"], r["inter"], r["sz_src"])
+        for r in containment_pairs(
+            docs, "doc_id", "text", k=3, collapse_exact=False
+        ).collect()
+    }
+    assert c_fast == c_slow
+    # both directions inside a duplicate group
+    assert (0, 1, 8, 8) in c_fast and (1, 0, 8, 8) in c_fast

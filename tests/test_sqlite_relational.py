@@ -142,3 +142,55 @@ def test_overwrite_clears_previous_rows(spark, db):
     )
     got = sorted(r["id"] for r in _read(spark, db, "t7").collect())
     assert got == [100, 101, 102]
+
+
+def test_warehouse_star_schema_to_live_sql(spark, db):
+    """The reference's ACTUAL sink shape (populate_db_ru_v1.py:765-769 —
+    a relational star-schema load with get-or-create dims) against a
+    live SQL engine: all five dims + fact land in SQLite, a re-run
+    changes nothing (idempotent load), and referential integrity is
+    verified BY THE SQL ENGINE (the join the reference's FK constraints
+    enforce)."""
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import build_warehouse
+
+    t = build_warehouse(spark, "/root/reference/diplom/fabric*.html")
+    dims = {
+        "inspectors": "inspector_id",
+        "locations": "location_id",
+        "ranks": "rank_id",
+        "professions": "profession_id",
+        "educations": "education_id",
+    }
+    for name, key in dims.items():
+        write_relational(t[name], db, name, key_cols=[key], mode="ignore")
+    write_relational(t["assignments"], db, "assignments", key_cols=["assignment_id"])
+    # idempotent re-run: the daily reload leaves the database unchanged
+    for name, key in dims.items():
+        write_relational(t[name], db, name, key_cols=[key], mode="ignore")
+    write_relational(t["assignments"], db, "assignments", key_cols=["assignment_id"])
+
+    con = sqlite3.connect(db)
+    try:
+        for name in list(dims) + ["assignments"]:
+            (n,) = con.execute(f'SELECT count(*) FROM "{name}"').fetchone()
+            assert n == t[name].count(), name
+        # FK integrity checked by the live engine, reference's constraint set
+        for dim, key in dims.items():
+            fk = {
+                "inspectors": "inspector_id",
+                "locations": "inspector_location_id",
+                "ranks": "rank_id",
+                "professions": "profession_id",
+                "educations": "education_id",
+            }[dim]
+            (orphans,) = con.execute(
+                f'SELECT count(*) FROM assignments a LEFT JOIN "{dim}" d '
+                f'ON a."{fk}" = d."{key}" WHERE a."{fk}" IS NOT NULL AND d."{key}" IS NULL'
+            ).fetchone()
+            assert orphans == 0, f"orphan {fk} in assignments vs {dim}"
+        # and a value probe back through the partitioned reader
+    finally:
+        con.close()
+    back = _read(spark, db, "assignments", partitions=4)
+    assert back.groupBy().agg(F.sum("year")).collect()[0][0] == \
+        t["assignments"].groupBy().agg(F.sum("year")).collect()[0][0]
