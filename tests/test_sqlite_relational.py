@@ -194,3 +194,75 @@ def test_warehouse_star_schema_to_live_sql(spark, db):
     back = _read(spark, db, "assignments", partitions=4)
     assert back.groupBy().agg(F.sum("year")).collect()[0][0] == \
         t["assignments"].groupBy().agg(F.sum("year")).collect()[0][0]
+
+
+def test_stream_relational_sink_exactly_once(spark, db, sf_dir, tmp_path):
+    """Streaming -> live SQL: availableNow drains events into SQLite
+    (row parity with batch), a checkpoint-restart writes nothing new,
+    and a REPLAYED fully-committed batch is skipped via the batch
+    ledger (the handler, called again with the same batch_id and
+    different data, must not touch the table)."""
+    from factory_inspectors_db_etl_spark.sources.sqlite_relational import (
+        stream_relational_sink,
+    )
+    from factory_inspectors_db_etl_spark.streaming.ops import stream_events
+
+    ckpt = str(tmp_path / "ckpt")
+    st = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    q = stream_relational_sink(
+        st, db, "events_sink", ["event_id"], ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.count()
+    con = sqlite3.connect(db)
+    n, nd = con.execute(
+        'SELECT count(*), count(DISTINCT event_id) FROM "events_sink"'
+    ).fetchone()
+    assert (n, nd) == (want, want)
+
+    # restart on the same checkpoint: no new batches, no new rows
+    q2 = stream_relational_sink(
+        st, db, "events_sink", ["event_id"], ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(300)
+    (n2,) = con.execute('SELECT count(*) FROM "events_sink"').fetchone()
+    assert n2 == want
+
+    # committed-batch replay: drive the REAL handler again with batch_id
+    # 0 (already in the ledger) and different data — it must skip
+    from factory_inspectors_db_etl_spark.sources.sqlite_relational import (
+        relational_batch_handler,
+    )
+
+    (batches,) = con.execute(
+        'SELECT count(*) FROM "_spark_batch_log" WHERE tbl = ?', ("events_sink",)
+    ).fetchone()
+    assert batches >= 1
+    con.close()
+    probe = spark.createDataFrame(
+        [(999_999_999, 1, "hacked")], "event_id long, user_id long, event_type string"
+    )
+    handler = relational_batch_handler(db, "events_sink", ["event_id"])
+    handler(probe, 0)  # replay of a committed batch: skipped
+    con = sqlite3.connect(db)
+    (hacked,) = con.execute(
+        'SELECT count(*) FROM "events_sink" WHERE event_id = 999999999'
+    ).fetchone()
+    con.close()
+    assert hacked == 0
+    # an UNcommitted batch_id with the same handler DOES write (and is
+    # then ledgered): the skip is ledger-driven, not accidental
+    handler(probe, 999)
+    con = sqlite3.connect(db)
+    (hacked2,) = con.execute(
+        'SELECT count(*) FROM "events_sink" WHERE event_id = 999999999'
+    ).fetchone()
+    (ledgered,) = con.execute(
+        'SELECT count(*) FROM "_spark_batch_log" WHERE tbl=? AND batch_id=999',
+        ("events_sink",),
+    ).fetchone()
+    con.close()
+    assert hacked2 == 1 and ledgered == 1
+    with pytest.raises(ValueError, match="append mode"):
+        stream_relational_sink(st, db, "x", ["event_id"], ckpt, mode="append")
