@@ -146,20 +146,13 @@ def decode_wav_pcm(payload: bytes, n_features: int = 8) -> list[float]:
     return (feats + [0.0] * n_features)[:n_features]
 
 
-def decode_ppm(payload: bytes, n_features: int = 8) -> list[float]:
-    """REAL image decode for binary PPM (P6) payloads — pure
-    stdlib/numpy.  Parses the ASCII header (magic, width, height,
-    maxval, with comment support), reshapes the raw RGB plane, and
-    extracts exact integer-ratio features:
-
-      [width, height, 3, mean R/maxval, mean G/maxval, mean B/maxval,
-       overall mean/maxval, aspect ratio]
-
-    Raises ValueError for non-P6 payloads (fallback path, as with WAV)."""
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary PPM (P6) payload -> (w, h, maxval, h×w×3 uint8
+    array).  Header = magic, width, height, maxval as whitespace-
+    separated ASCII tokens; '#' starts a comment through end-of-line.
+    Raises ValueError for anything that is not a well-formed P6."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
-    # header = magic, width, height, maxval as whitespace-separated ASCII
-    # tokens; '#' starts a comment through end-of-line
     tokens, pos = [], 2
     while len(tokens) < 3 and pos < len(payload):
         c = payload[pos : pos + 1]
@@ -182,7 +175,21 @@ def decode_ppm(payload: bytes, n_features: int = 8) -> list[float]:
     raster = payload[pos : pos + w * h * 3]
     if maxval <= 0 or maxval > 255 or len(raster) < w * h * 3:
         raise ValueError("bad PPM raster")
-    px = np.frombuffer(raster, dtype="u1").reshape(h, w, 3).astype("int64")
+    return w, h, maxval, np.frombuffer(raster, dtype="u1").reshape(h, w, 3)
+
+
+def decode_ppm(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL image decode for binary PPM (P6) payloads — pure
+    stdlib/numpy.  Parses the ASCII header (magic, width, height,
+    maxval, with comment support), reshapes the raw RGB plane, and
+    extracts exact integer-ratio features:
+
+      [width, height, 3, mean R/maxval, mean G/maxval, mean B/maxval,
+       overall mean/maxval, aspect ratio]
+
+    Raises ValueError for non-P6 payloads (fallback path, as with WAV)."""
+    w, h, maxval, px8 = _parse_ppm(payload)
+    px = px8.astype("int64")
     npx = w * h
     feats = [
         float(w),
@@ -295,6 +302,77 @@ def sample_frames(media: DataFrame, stride: int = 1) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_ppm(payload: bytes, max_side: int) -> bytes:
+    """REAL image resize for binary PPM (P6) payloads — pure numpy
+    nearest-neighbor downsample so the longer side becomes ``max_side``
+    (aspect preserved via floor division; images already within bounds
+    are returned byte-identical).  Source pixel for target index i is
+    ``i * src // dst`` — the standard NN mapping, integer-exact, so the
+    output bytes are deterministic across platforms and the operation is
+    idempotent at fixed max_side.  Output is a canonical-header P6
+    (``P6\\n{w} {h}\\n{maxval}\\n`` + raster).  Raises ValueError for
+    non-P6 payloads — callers fall back to passthrough, as with decode."""
+    if max_side <= 0:
+        raise ValueError("max_side must be positive")
+    w, h, maxval, px = _parse_ppm(payload)
+    if max(w, h) <= max_side:
+        return bytes(payload)
+    if w >= h:
+        nw, nh = max_side, max(h * max_side // w, 1)
+    else:
+        nh, nw = max_side, max(w * max_side // h, 1)
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    out = px[np.ix_(ys, xs)]
+    return b"P6\n%d %d\n%d\n" % (nw, nh, maxval) + out.tobytes()
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Arrow-batched image resize over multimodal rows (the
+    decode→RESIZE→featurize step of a vision training-data pipeline).
+    PPM payloads are really resampled (``resize_ppm``); payloads whose
+    bytes aren't a parseable P6 — other mimes, or corrupt rasters — pass
+    through untouched with ``resized=false`` (same never-crash posture
+    as ``decode_and_featurize``).  The meta struct is rewritten with the
+    actual post-resize dimensions parsed from the output payload, so
+    downstream metadata filters see truth, not the pre-resize claim.
+
+    Scale: payload bytes move only inside Arrow batches (mapInPandas,
+    one output row per input row, bounded per-batch memory); no shuffle
+    is introduced — partitioning is whatever the upstream scan had."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                data = bytes(payload) if payload is not None else b""
+                meta = dict(meta) if meta is not None else {}
+                try:
+                    out = resize_ppm(data, max_side)
+                    nw, nh, _, _ = _parse_ppm(out)
+                    meta["width"], meta["height"] = nw, nh
+                    rows.append(
+                        {"doc_id": doc_id, "payload": out, "meta": meta, "resized": out != data}
+                    )
+                except ValueError:
+                    rows.append(
+                        {"doc_id": doc_id, "payload": data, "meta": meta, "resized": False}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(rs, RESIZED_SCHEMA)
 
 
 def payload_metadata(media: DataFrame) -> DataFrame:

@@ -50,6 +50,7 @@ from ..operators import text_analysis as TA
 from ..sources.tables import load_table
 from .catalog_ext import EXT_ORACLES as _EXT_ORACLES, EXT_QUERIES as _EXT_QUERIES
 from .catalog_ext2 import EXT2_ORACLES as _EXT2_ORACLES, EXT2_QUERIES as _EXT2_QUERIES
+from .catalog_ext3 import EXT3_ORACLES as _EXT3_ORACLES, EXT3_QUERIES as _EXT3_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3281,6 +3282,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
     "w18_ewma": _EXT2_QUERIES["w18_ewma"],
     "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
+    "t_bigram_lm": _EXT2_QUERIES["t_bigram_lm"],
+    "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
+    "a15_countmin": _EXT3_QUERIES["a15_countmin"],
+    "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
+    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
+    "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
+    "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
+    "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3299,6 +3308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f2_clean_number": q_f2_clean_number,
     "f5_regex_extract": q_f5_regex_extract,
     "f8_token_sort_canon": q_f8_token_sort_canon,
+    # ------- 50-slot window boundary (f8_token_sort_canon is position 50) -------
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
     "f11_typed_date": q_f11_typed_date,
@@ -3307,10 +3317,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
     "a3c_grouping_sets": q_a3c_grouping_sets,
-    # ------- 50-slot window boundary (a3c_grouping_sets is position 50) -------
     # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The twenty-nine r3-green entries that did not fit —
-    # a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim, j3_nullsafe_join,
+    # locally per round.  The thirty-seven r3-green entries that did not fit —
+    # f9_case_ladder, f10_dict_canonicalize, f11_typed_date,
+    # a1_pricing_summary, a2_skew_safe_distinct, a3_rollup, a3b_cube,
+    # a3c_grouping_sets, a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim, j3_nullsafe_join,
     # a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
     # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
     # t_repetition_stats, p_profile_columns, p_curate_corpus, t_pii_redact,
@@ -3494,6 +3505,7 @@ ORACLES: dict[str, str] = {
     "u3_grouped_agg_udaf": O_U3,
     **_EXT_ORACLES,
     **_EXT2_ORACLES,
+    **_EXT3_ORACLES,
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error

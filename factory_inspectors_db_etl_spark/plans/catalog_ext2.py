@@ -475,7 +475,125 @@ FROM lagged
 O_W18_EWMA = _gen_ewma_oracle()
 
 
+# ---------------------------------------------------------------------------
+# T: joint-bigram language-model scoring (train split -> held-out score)
+# ---------------------------------------------------------------------------
+
+
+def q_t_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """T: corpus bigram-LM fluency signal — bigram frequencies counted on
+    the content-hash TRAIN split (same 80% arithmetic as ``p_hash_split``
+    / ``t_unigram_lm``), every held-out doc scored by its mean
+    Laplace-smoothed JOINT bigram probability.  Word-order scrambles that
+    a unigram LM cannot see (same bag, broken adjacency) collapse a doc's
+    score; the joint form (rather than conditional c(w1,w2)/c(w1)) keeps
+    the t_unigram_lm exactness contract: sum(c_i + 1) and
+    n_bigrams * (B + V) are exact integers, ONE IEEE division per doc,
+    so the result hash-matches DuckDB bit-for-bit.
+
+    Plan shape == t_unigram_lm at one n higher: tokenize + adjacent-pair
+    zip in the scan (zero shuffle), one shuffle for bigram counts, 1-row
+    totals broadcast, counts broadcast-joined onto held-out bigrams (the
+    bigram vocab outgrows the broadcast ceiling before the unigram one
+    does — flip to a shuffle join on ``bi``; aggregation unchanged), one
+    per-doc shuffle."""
+    from ..operators import text_analysis as TA
+    from ..operators.dedup import portable_hash60
+    from ..operators.materialize import materialize
+
+    d = load_table(spark, sf, "documents")
+    docs = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("lt"),
+        (portable_hash60(F.col("text")) % 10_000 < 8_000).alias("is_train"),
+    )
+    w = TA.tokens(F.col("lt"))
+    # adjacent pairs: zip(w[0:n-1], w[1:n-1]) — guard size<2 (slice with a
+    # negative length errors at runtime)
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = docs.select("doc_id", "is_train", F.explode(pairs).alias("bi"))
+    vocab = materialize(
+        bi.filter("is_train").groupBy("bi").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = vocab.agg(
+        F.sum("c").cast("long").alias("B"), F.count(F.lit(1)).alias("V")
+    )
+    scored = (
+        bi.filter(~F.col("is_train"))
+        .join(F.broadcast(vocab), "bi", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.count(F.when(F.col("c").isNull(), 1)).cast("int").alias("n_oov"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0)) + 1).alias("num"),
+        )
+    )
+    return (
+        docs.filter(~F.col("is_train"))
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), F.lit(0.0))
+            .otherwise(
+                F.col("num").cast("double")
+                / (F.col("n_bigrams").cast("long") * (F.col("B") + F.col("V"))).cast("double")
+            )
+            .alias("mean_laplace_p"),
+        )
+    )
+
+
+_PORTABLE60 = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+
+O_T_BIGRAM_LM = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w,
+         {_PORTABLE60} % 10000 < 8000 AS is_train
+  FROM documents
+), bi AS (
+  SELECT doc_id, is_train, w[i] || ' ' || w[i + 1] AS bi
+  FROM docs, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+), vocab AS (
+  SELECT bi, CAST(count(*) AS BIGINT) AS c FROM bi WHERE is_train GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS B, CAST(count(*) AS BIGINT) AS V FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS INTEGER) AS n_bigrams,
+         CAST(count(CASE WHEN v.c IS NULL THEN 1 END) AS INTEGER) AS n_oov,
+         CAST(sum(coalesce(v.c, 0) + 1) AS BIGINT) AS num
+  FROM bi t LEFT JOIN vocab v ON v.bi = t.bi
+  WHERE NOT t.is_train
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.n_oov, 0) AS n_oov,
+       CASE WHEN s.n_bigrams IS NULL OR s.n_bigrams = 0 THEN 0.0
+            ELSE CAST(s.num AS DOUBLE)
+                 / CAST(CAST(s.n_bigrams AS BIGINT) * (t.B + t.V) AS DOUBLE) END
+         AS mean_laplace_p
+FROM docs d LEFT JOIN scored s ON s.doc_id = d.doc_id CROSS JOIN tot t
+WHERE NOT d.is_train
+"""
+
+
 EXT2_QUERIES = {
+    "t_bigram_lm": q_t_bigram_lm,
     "d_setsim_prefix_join": q_d_setsim_prefix_join,
     "d_containment": q_d_containment,
     "w17_gap_fill": q_w17_gap_fill,
@@ -487,6 +605,7 @@ EXT2_QUERIES = {
 }
 
 EXT2_ORACLES = {
+    "t_bigram_lm": O_T_BIGRAM_LM,
     "s14_stream_stream_full_outer": O_S14_FULL_OUTER,
     "d_setsim_prefix_join": O_D_SETSIM_PREFIX,
     "d_containment": O_D_CONTAINMENT,

@@ -1,0 +1,596 @@
+"""Round-5 third-batch catalog: bidirectional nearest-event temporal
+join, an exactly-reproducible count-min sketch, exact rolling medians,
+a referential-integrity audit, snapshot differencing to a changelog,
+integer-exact weighted Bernoulli sampling, and a seasonal-baseline
+anomaly flag.
+
+Same contract as ``plans.catalog``: every query has a DuckDB oracle and
+the pair is registered in ``catalog.QUERIES`` / ``catalog.ORACLES``
+inside the driver's 50-key window.  Determinism follows the catalog
+conventions: epoch keys via ``timestampdiff`` on TIMESTAMP_NTZ (never
+session-timezone ``unix_timestamp``), money in integer cents with one
+trailing IEEE division, integer aggregates CAST to BIGINT on the oracle
+side, every window over a provably TOTAL per-partition order
+(``(ts_us, event_id)`` — event_id breaks any future ts collision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_TS_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+# ---------------------------------------------------------------------------
+# J15: bidirectional nearest-event join (temporal alignment)
+# ---------------------------------------------------------------------------
+
+
+def q_j15_nearest_event_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J15: for every ``purchase`` event, the NEAREST ``click`` by the
+    same user in either time direction — the sensor-alignment /
+    attribution primitive that an as-of join (j6b, backward-only) cannot
+    express.  Computed without any inequality join: union both event
+    sets, sort per user by the total key ``(ts_us, event_id)``, and take
+    one ``last(click) ignorenulls`` pass backward plus one
+    ``first(click) ignorenulls`` pass forward — two frames sharing ONE
+    shuffle on ``user_id``, linear in events, never candidate-pair
+    quadratic.  Nearest = smaller absolute gap; exact tie prefers the
+    preceding click (integer microsecond compare, no floats anywhere).
+
+    At 100 TB this is the right plan: a single hash partition by user,
+    two window passes over the same sort, output one row per purchase.
+    The reference has no temporal-nearest operator; this generalizes its
+    senior-inspector as-of fill (populate_db_ru_v1.py:618-662) to the
+    bidirectional case.
+    """
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(_TS_US).alias("ts_us"),
+    )
+    is_click = F.col("event_type") == "click"
+    click_ts = F.when(is_click, F.col("ts_us"))
+    click_id = F.when(is_click, F.col("event_id"))
+    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    wb = W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    cand = ev.select(
+        "*",
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
+    ).filter(F.col("event_type") == "purchase")
+    gap_prev = F.col("ts_us") - F.col("prev_ts")  # >= 0 by frame
+    gap_next = F.col("next_ts") - F.col("ts_us")  # >= 0 by frame
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (gap_prev <= gap_next)
+    )
+    return cand.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias("click_id"),
+        F.when(take_prev, gap_prev)
+        .otherwise(gap_next)
+        .cast("long")
+        .alias("gap_us"),
+        F.when(F.col("prev_ts").isNull() & F.col("next_ts").isNull(), None)
+        .when(take_prev, F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("direction"),
+    )
+
+
+O_J15_NEAREST = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('purchase', 'click')
+), cand AS (
+  SELECT *,
+         last(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+           OVER wb AS prev_ts,
+         last(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER wb AS prev_id,
+         first(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+           OVER wf AS next_ts,
+         first(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER wf AS next_id
+  FROM ev
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN prev_ts IS NOT NULL
+                 AND (next_ts IS NULL OR ts_us - prev_ts <= next_ts - ts_us)
+            THEN prev_id ELSE next_id END AS click_id,
+       CAST(CASE WHEN prev_ts IS NOT NULL
+                      AND (next_ts IS NULL OR ts_us - prev_ts <= next_ts - ts_us)
+                 THEN ts_us - prev_ts ELSE next_ts - ts_us END AS BIGINT) AS gap_us,
+       CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+            WHEN prev_ts IS NOT NULL
+                 AND (next_ts IS NULL OR ts_us - prev_ts <= next_ts - ts_us)
+            THEN 'before' ELSE 'after' END AS direction
+FROM cand WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# A15: count-min sketch, exactly reproduced by the oracle
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket_spark(row: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{row}:"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % _CMS_W).cast("int")
+
+
+def q_a15_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    """A15: count-min sketch (Cormode-Muthukrishnan '05) frequency
+    estimation for every distinct ``user_id`` in the event stream —
+    depth 4 × width 256, bucket = md5-derived 60-bit hash mod width, so
+    the ENTIRE sketch is deterministic integer arithmetic that the
+    DuckDB oracle replays bit-for-bit: this query hash-verifies the
+    sketch itself (estimate >= truth always holds by construction and
+    is asserted as a column).
+
+    Scale shape: the sketch build is one map-side-combinable aggregation
+    onto d×w = 1024 cells regardless of input size — the canonical
+    mergeable summary for 100 TB streams (same posture as a9's HLL
+    rollup).  Estimates come from broadcasting the 1024-cell table onto
+    the distinct-key probe; nothing is collected.
+    """
+    ev = load_table(spark, sf, "events").select("user_id")
+    probes = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    rows = None
+    for r in range(_CMS_D):
+        cell = ev.select(F.lit(r).alias("row"), _cms_bucket_spark(r).alias("bucket"))
+        rows = cell if rows is None else rows.unionByName(cell)
+    sketch = rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_count")
+    )
+    probe_cells = None
+    for r in range(_CMS_D):
+        pc = probes.select(
+            "user_id", F.lit(r).alias("row"), _cms_bucket_spark(r).alias("bucket")
+        )
+        probe_cells = pc if probe_cells is None else probe_cells.unionByName(pc)
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+    return probes.join(est, "user_id").select(
+        "user_id",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).cast("long").alias("overcount"),
+        (F.col("cms_estimate") >= F.col("true_count")).alias("never_undercounts"),
+    )
+
+
+def _cms_bucket_sql(row: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{row}:' || CAST(user_id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+_CMS_CELLS_SQL = "\nUNION ALL\n".join(
+    f"SELECT {r} AS row, {_cms_bucket_sql(r)} AS bucket, user_id FROM events"
+    for r in range(_CMS_D)
+)
+
+O_A15_CMS = f"""
+WITH cells AS (
+  {_CMS_CELLS_SQL}
+), sketch AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cell_count
+  FROM cells GROUP BY 1, 2
+), probes AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_count FROM events GROUP BY 1
+), probe_cells AS (
+  SELECT DISTINCT row, bucket, user_id FROM cells
+), est AS (
+  SELECT pc.user_id, min(s.cell_count) AS cms_estimate
+  FROM probe_cells pc JOIN sketch s ON s.row = pc.row AND s.bucket = pc.bucket
+  GROUP BY 1
+)
+SELECT p.user_id, p.true_count, e.cms_estimate,
+       CAST(e.cms_estimate - p.true_count AS BIGINT) AS overcount,
+       e.cms_estimate >= p.true_count AS never_undercounts
+FROM probes p JOIN est e ON e.user_id = p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# W19: exact rolling median over a bounded ROWS frame
+# ---------------------------------------------------------------------------
+
+
+def q_w19_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """W19: exact trailing-7-row median of the event value per user —
+    the robust rolling location estimate (the windowed counterpart of
+    a14's global median/MAD).  Values are summed as integer cents so the
+    only float is the final half-sum a median of an even count produces:
+    dyadic fractions of integers are bit-identical across engines (w12's
+    lesson).  The frame is ROWS-bounded (7 rows), so per-row state is
+    O(7) — no unbounded percentile buffers — and the one shuffle is the
+    ``user_id`` hash partition.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(_TS_US).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "percentile(v_cents, 0.5) OVER ("
+            "PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ).alias("med_cents"),
+        F.expr(
+            "count(1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ).cast("int")
+        .alias("n_in_frame"),
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("med_cents") / 100).alias("rolling_median"),
+        "n_in_frame",
+    )
+
+
+O_W19_ROLLING_MEDIAN = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT event_id, user_id,
+       median(v_cents) OVER w / 100 AS rolling_median,
+       CAST(count(*) OVER w AS INTEGER) AS n_in_frame
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P: referential-integrity audit (orphan scan over every FK edge)
+# ---------------------------------------------------------------------------
+
+
+def q_p_fk_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """P: data-quality audit of every foreign-key edge in the star
+    schema — row count, distinct key count, and orphan count (child keys
+    with no parent) per relation, in ONE result table.  The reference
+    enforces these edges implicitly through insertion order
+    (populate_db_ru_v1.py's dim-then-fact protocol); a warehouse at
+    100 TB needs the audit as a standing query instead.
+
+    Plan shape per edge: left-anti join of the child's DISTINCT keys
+    against the parent key set — the distinct collapses the fact table
+    to key cardinality BEFORE the join, and the parent side of every
+    edge here is broadcastable by construction (dimension keys).  The
+    final result is a union of 1-row aggregates.
+    """
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    part = load_table(spark, sf, "part")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        keys = child.select(F.col(ckey).alias("k"))
+        stats = keys.agg(
+            F.count(F.lit(1)).cast("long").alias("child_rows"),
+            F.countDistinct("k").cast("long").alias("child_keys"),
+        ).select(F.lit(name).alias("relation"), "child_rows", "child_keys")
+        orphans = (
+            keys.distinct()
+            .join(
+                F.broadcast(parent.select(F.col(pkey).alias("k")).distinct()),
+                "k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("orphan_keys"))
+        )
+        return stats.crossJoin(F.broadcast(orphans))
+
+    edges = [
+        edge("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        edge("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        edge("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.select(
+        "relation",
+        "child_rows",
+        "child_keys",
+        "orphan_keys",
+        (F.col("orphan_keys") == 0).alias("intact"),
+    )
+
+
+O_P_FK_AUDIT = """
+WITH audits AS (
+  SELECT 'lineitem.orderkey->orders' AS relation,
+         CAST(count(*) AS BIGINT) AS child_rows,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS child_keys,
+         CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.k))
+              AS BIGINT) AS orphan_keys
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.partkey->part',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_partkey) AS BIGINT),
+         CAST((SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+               WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.k))
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.suppkey->supplier',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_suppkey) AS BIGINT),
+         CAST((SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) c
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = c.k))
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders.custkey->customer',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+               WHERE NOT EXISTS (SELECT 1 FROM customer cu WHERE cu.c_custkey = c.k))
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'customer.nationkey->nation',
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT c_nationkey) AS BIGINT),
+         CAST((SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.k))
+              AS BIGINT)
+  FROM customer
+)
+SELECT relation, child_rows, child_keys, orphan_keys,
+       orphan_keys = 0 AS intact
+FROM audits
+"""
+
+
+# ---------------------------------------------------------------------------
+# J17: snapshot differencing -> CDC changelog
+# ---------------------------------------------------------------------------
+
+
+def q_j17_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """J17: snapshot differencing — the inverse of j9's changelog APPLY:
+    given two full snapshots of a table, emit the minimal changelog
+    (insert / delete / update rows) that transforms old into new.  The
+    two snapshots are carved deterministically from ``orders``
+    (old = keys with k % 7 != 3, new = keys with k % 5 != 2, prices
+    bumped by $1 where k % 3 == 0), so every class is populated and the
+    oracle replays the identical carving.
+
+    Plan shape: ONE full outer join hash-partitioned on the key — the
+    scalable snapshot-diff plan (both sides shuffle once; no window, no
+    driver state).  Unchanged rows are dropped before the output.
+    """
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents")
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 3).select(
+        "o_orderkey", F.col("cents").alias("old_cents")
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 2).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("new_cents"),
+    )
+    d = old.join(new, "o_orderkey", "full_outer")
+    return (
+        d.select(
+            "o_orderkey",
+            F.when(F.col("old_cents").isNull(), F.lit("insert"))
+            .when(F.col("new_cents").isNull(), F.lit("delete"))
+            .when(F.col("old_cents") != F.col("new_cents"), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            (F.col("old_cents") / 100).alias("old_price"),
+            (F.col("new_cents") / 100).alias("new_price"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+O_J17_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), old AS (
+  SELECT o_orderkey, cents AS old_cents FROM base WHERE o_orderkey % 7 != 3
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN cents + 100 ELSE cents END AS new_cents
+  FROM base WHERE o_orderkey % 5 != 2
+), d AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey, old_cents, new_cents
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN old_cents IS NULL THEN 'insert'
+            WHEN new_cents IS NULL THEN 'delete'
+            WHEN old_cents != new_cents THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       old_cents / 100 AS old_price,
+       new_cents / 100 AS new_price
+FROM d
+WHERE NOT (old_cents IS NOT NULL AND new_cents IS NOT NULL AND old_cents = new_cents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P: integer-exact weighted Bernoulli sampling (Horvitz-Thompson weights)
+# ---------------------------------------------------------------------------
+
+_WS_DEN = 512
+_WS_SALT = "wsamp1:"
+
+
+def q_p_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """P: size-weighted Bernoulli document sample — inclusion
+    probability ``min(n_chars, 512)/512``, decided by pure integer
+    arithmetic on a salted content hash (``h % 512 < weight``), plus the
+    exact Horvitz-Thompson inverse-probability weight so downstream
+    token statistics stay unbiased.  This is the per-item refinement of
+    ``p_mixture_sample``'s domain-level rates: longer documents (more
+    tokens) are kept proportionally more often, which is how a token
+    budget — not a document budget — is sampled from a 100 TB corpus.
+
+    Determinism: no RNG anywhere — the same md5 arithmetic runs in the
+    oracle, and ``inv_prob`` is one exact integer ratio per row followed
+    by a single IEEE division.  Zero shuffles: scan → filter → project.
+    """
+    d = load_table(spark, sf, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_WS_SALT), F.col("text"))), 1, 15), 16, 10
+    ).cast("long")
+    weight = F.least(F.col("n_chars").cast("long"), F.lit(_WS_DEN))
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (h % _WS_DEN).alias("u"),
+            weight.alias("w"),
+        )
+        .filter(F.col("u") < F.col("w"))
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.lit(float(_WS_DEN)) / F.col("w").cast("double")).alias("inv_prob"),
+        )
+    )
+
+
+O_P_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(('0x' || substr(md5('{_WS_SALT}' || text), 1, 15)) AS BIGINT)
+           % {_WS_DEN} AS u,
+         least(CAST(n_chars AS BIGINT), {_WS_DEN}) AS w
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST({_WS_DEN} AS DOUBLE) / w AS inv_prob
+FROM d WHERE u < w
+"""
+
+
+# ---------------------------------------------------------------------------
+# A16: seasonal baseline + exact-integer anomaly flag
+# ---------------------------------------------------------------------------
+
+
+def q_a16_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """A16: seasonal-baseline anomaly screen — the mean event value per
+    (event_type, hour-of-day) cell is the baseline; an event is anomalous
+    when its value exceeds twice its cell's baseline.  The comparison is
+    EXACT integer arithmetic (``v_cents * n > 2 * sum_cents`` — the
+    baseline division never happens on the decision path), so the flag
+    cannot flip on a float ulp; the reported baseline itself is the one
+    trailing IEEE division the catalog convention allows.
+
+    Plan shape: one map-side-combinable aggregation onto at most
+    |types| × 24 cells, broadcast back onto the stream — the standing
+    profile-then-screen pattern for telemetry at 100 TB (no window, no
+    second shuffle; hour-of-day via calendar arithmetic on TIMESTAMP_NTZ,
+    timezone-independent).
+    """
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
+    )
+    cells = ev.groupBy("event_type", "hod").agg(
+        F.sum("v_cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return ev.join(F.broadcast(cells), ["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        "hod",
+        (F.col("v_cents") / 100).alias("value_usd"),
+        (F.col("sum_cents") / F.lit(100.0) / F.col("n")).alias("baseline_usd"),
+        (F.col("v_cents") * F.col("n") > 2 * F.col("sum_cents")).alias("is_anomaly"),
+    )
+
+
+O_A16_SEASONAL = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+), cells AS (
+  SELECT event_type, hod, CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT ev.event_id, ev.event_type, ev.hod,
+       ev.v_cents / 100 AS value_usd,
+       CAST(c.sum_cents AS DOUBLE) / 100.0 / c.n AS baseline_usd,
+       ev.v_cents * c.n > 2 * c.sum_cents AS is_anomaly
+FROM ev JOIN cells c ON c.event_type = ev.event_type AND c.hod = ev.hod
+"""
+
+
+EXT3_QUERIES = {
+    "j15_nearest_event_join": q_j15_nearest_event_join,
+    "a15_countmin": q_a15_countmin,
+    "w19_rolling_median": q_w19_rolling_median,
+    "p_fk_audit": q_p_fk_audit,
+    "j17_snapshot_diff": q_j17_snapshot_diff,
+    "p_weighted_sample": q_p_weighted_sample,
+    "a16_seasonal_baseline": q_a16_seasonal_baseline,
+}
+
+EXT3_ORACLES = {
+    "j15_nearest_event_join": O_J15_NEAREST,
+    "a15_countmin": O_A15_CMS,
+    "w19_rolling_median": O_W19_ROLLING_MEDIAN,
+    "p_fk_audit": O_P_FK_AUDIT,
+    "j17_snapshot_diff": O_J17_SNAPSHOT_DIFF,
+    "p_weighted_sample": O_P_WEIGHTED_SAMPLE,
+    "a16_seasonal_baseline": O_A16_SEASONAL,
+}
