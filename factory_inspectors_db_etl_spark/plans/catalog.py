@@ -3290,6 +3290,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
     "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
     "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
+    "w20_twap": _EXT3_QUERIES["w20_twap"],
+    "w21_funnel_window": _EXT3_QUERIES["w21_funnel_window"],
+    "a17_mode": _EXT3_QUERIES["a17_mode"],
+    "p_impute": _EXT3_QUERIES["p_impute"],
+    "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
+    "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -3301,6 +3307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_embedding_neardup": q_d_embedding_neardup,
     "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
     "sim_pq_topk": q_sim_pq_topk,
+    # ------- 50-slot window boundary (sim_pq_topk is position 50) -------
     # --- (d) r3-green core — refresh to r5 ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
@@ -3308,7 +3315,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f2_clean_number": q_f2_clean_number,
     "f5_regex_extract": q_f5_regex_extract,
     "f8_token_sort_canon": q_f8_token_sort_canon,
-    # ------- 50-slot window boundary (f8_token_sort_canon is position 50) -------
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
     "f11_typed_date": q_f11_typed_date,
@@ -3318,7 +3324,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3b_cube": q_a3b_cube,
     "a3c_grouping_sets": q_a3c_grouping_sets,
     # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The thirty-seven r3-green entries that did not fit —
+    # locally per round.  The forty-three r3-green entries that did not fit —
+    # flagship_q5_revenue, s1_filter_project, f1_standardize, f2_clean_number,
+    # f5_regex_extract, f8_token_sort_canon,
     # f9_case_ladder, f10_dict_canonicalize, f11_typed_date,
     # a1_pricing_summary, a2_skew_safe_distinct, a3_rollup, a3b_cube,
     # a3c_grouping_sets, a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim, j3_nullsafe_join,

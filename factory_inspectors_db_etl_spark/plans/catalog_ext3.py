@@ -594,3 +594,349 @@ EXT3_ORACLES = {
     "p_weighted_sample": O_P_WEIGHTED_SAMPLE,
     "a16_seasonal_baseline": O_A16_SEASONAL,
 }
+
+
+# ---------------------------------------------------------------------------
+# W20: time-weighted average (TWAP) per user-day
+# ---------------------------------------------------------------------------
+
+_DAY_END_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+    "date_trunc('DAY', ts) + INTERVAL 1 DAY)"
+)
+
+
+def q_w20_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """W20: time-weighted average value per (user, day) — each
+    observation holds until the next one (last of the day holds to
+    midnight), so the mean is duration-weighted, the TWAP/TWA shape a
+    plain ``avg`` gets wrong whenever sampling is irregular.  Weights
+    are exact epoch-microsecond spans and values exact cents; the
+    numerator/denominator stay integer until ONE IEEE division
+    (``sum(v*dur) / (sum(dur)*100)``), so the result hash-matches the
+    oracle bit-for-bit.
+
+    Plan shape: one window pass (lead over the (user, day) partition,
+    total order ``(ts_us, event_id)``) sharing its shuffle with the
+    following aggregation — two operators, one exchange, linear state.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.date_format(F.date_trunc("DAY", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.expr(_TS_US).alias("ts_us"),
+        F.expr(_DAY_END_US).alias("day_end_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    dur = F.coalesce(F.lead("ts_us").over(w), F.col("day_end_us")) - F.col("ts_us")
+    return (
+        ev.select("user_id", "day", "v_cents", dur.alias("dur_us"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(F.col("v_cents") * F.col("dur_us")).cast("long").alias("num"),
+            F.sum("dur_us").cast("long").alias("den"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_obs",
+            (F.col("num").cast("double") / (F.col("den") * 100).cast("double")).alias(
+                "twap_usd"
+            ),
+        )
+    )
+
+
+O_W20_TWAP = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         epoch_us(ts) AS ts_us,
+         epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS day_end_us,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+), spans AS (
+  SELECT user_id, day, v_cents,
+         coalesce(lead(ts_us) OVER (PARTITION BY user_id, day
+                                    ORDER BY ts_us, event_id), day_end_us)
+           - ts_us AS dur_us
+  FROM ev
+)
+SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(v_cents * dur_us) AS DOUBLE)
+         / CAST(sum(dur_us) * 100 AS DOUBLE) AS twap_usd
+FROM spans GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# W21: windowed funnel conversion (click -> purchase within 1 hour)
+# ---------------------------------------------------------------------------
+
+_CONV_WINDOW_US = 3_600_000_000
+
+
+def q_w21_funnel_window(spark: SparkSession, sf: str) -> DataFrame:
+    """W21: per-click conversion — did the SAME user purchase within one
+    hour after the click?  The timeout-constrained refinement of w10's
+    unordered funnel: order matters (purchase strictly after the click
+    in the ``(ts_us, event_id)`` total order) and the delay is bounded.
+    One forward window pass (``first purchase IGNORE NULLS`` over the
+    1-FOLLOWING..UNBOUNDED frame) on the user partition — never a
+    time-range self-join, so candidate volume is linear, the 100 TB
+    plan for sessionized attribution.
+    """
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ev = ev.select(
+        "event_id", "user_id", "event_type", F.expr(_TS_US).alias("ts_us")
+    )
+    is_p = F.col("event_type") == "purchase"
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    cand = ev.select(
+        "*",
+        F.first(F.when(is_p, F.col("ts_us")), ignorenulls=True).over(wf).alias("p_ts"),
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True).over(wf).alias("p_id"),
+    ).filter(F.col("event_type") == "click")
+    converted = F.col("p_ts").isNotNull() & (
+        F.col("p_ts") - F.col("ts_us") <= _CONV_WINDOW_US
+    )
+    return cand.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        converted.alias("converted"),
+        F.when(converted, F.col("p_id")).alias("purchase_id"),
+        F.when(converted, F.col("p_ts") - F.col("ts_us")).cast("long").alias("delay_us"),
+    )
+
+
+O_W21_FUNNEL_WINDOW = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+), cand AS (
+  SELECT *,
+         first(CASE WHEN event_type = 'purchase' THEN ts_us END IGNORE NULLS)
+           OVER wf AS p_ts,
+         first(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER wf AS p_id
+  FROM ev
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS click_id, user_id,
+       p_ts IS NOT NULL AND p_ts - ts_us <= {_CONV_WINDOW_US} AS converted,
+       CASE WHEN p_ts IS NOT NULL AND p_ts - ts_us <= {_CONV_WINDOW_US}
+            THEN p_id END AS purchase_id,
+       CAST(CASE WHEN p_ts IS NOT NULL AND p_ts - ts_us <= {_CONV_WINDOW_US}
+                 THEN p_ts - ts_us END AS BIGINT) AS delay_us
+FROM cand WHERE event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# A17: exact per-group mode (deterministic tiebreak)
+# ---------------------------------------------------------------------------
+
+
+def q_a17_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """A17: exact statistical mode of the order quantity per
+    (returnflag, linestatus) group, with a TOTAL tiebreak (higher count
+    wins, then smaller value) — the categorical companion of u3's exact
+    median and the fill value a mode-imputation step (p_impute uses the
+    median flavor) would take.
+
+    Plan shape: value-counts aggregation (map-side combinable, keyed by
+    group × value — bounded by value cardinality, 50 here), then a
+    1-row-per-group window over that tiny table.  The heavy shuffle is
+    the first one; the window runs on |groups × values| rows, never on
+    the fact table.
+    """
+    li = load_table(spark, sf, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("n").desc(), F.col("qty").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("n_mode"),
+        )
+    )
+
+
+O_A17_MODE = """
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                               ORDER BY n DESC, qty ASC) AS rn
+  FROM counts
+)
+SELECT l_returnflag, l_linestatus, qty AS mode_qty, n AS n_mode
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P: group-median imputation of deterministically-masked missing values
+# ---------------------------------------------------------------------------
+
+
+def q_p_impute(spark: SparkSession, sf: str) -> DataFrame:
+    """P: missing-value imputation by group statistic — the standard ML
+    preprocessing step.  A deterministic 10% of quantities are treated
+    as missing (salted content hash of the row key, so the oracle masks
+    the identical rows), and each hole is filled with the EXACT median
+    of its (returnflag, linestatus) group's observed values — integers,
+    so the only possible fraction is the dyadic half an even count
+    yields, bit-identical in both engines.
+
+    Plan shape: one grouped exact-percentile agg over the observed rows
+    (tiny result: one row per group), broadcast back onto the fact scan.
+    No window over the fact table, no second shuffle of the data.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("imp1:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    li = li.withColumn("is_missing", h % 10 == 0)
+    med = (
+        li.filter(~F.col("is_missing"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.expr("percentile(qty, 0.5)").alias("group_median"))
+    )
+    return li.join(F.broadcast(med), ["l_returnflag", "l_linestatus"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "is_missing",
+        F.when(F.col("is_missing"), F.col("group_median"))
+        .otherwise(F.col("qty").cast("double"))
+        .alias("qty_filled"),
+    )
+
+
+O_P_IMPUTE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(('0x' || substr(md5('imp1:' || CAST(l_orderkey AS VARCHAR) || ':'
+                                   || CAST(l_linenumber AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 = 0 AS is_missing
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, l_linestatus, median(qty) AS group_median
+  FROM li WHERE NOT is_missing GROUP BY 1, 2
+)
+SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag, li.l_linestatus,
+       li.is_missing,
+       CASE WHEN li.is_missing THEN m.group_median
+            ELSE CAST(li.qty AS DOUBLE) END AS qty_filled
+FROM li JOIN med m
+  ON m.l_returnflag = li.l_returnflag AND m.l_linestatus = li.l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# E2b/E3b: multiset EXCEPT ALL / INTERSECT ALL
+# ---------------------------------------------------------------------------
+
+
+def _custkey_bags(spark: SparkSession, sf: str):
+    o = load_table(spark, sf, "orders")
+    a = o.filter(F.year("o_orderdate") <= 1995).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a, b
+
+
+def q_e2b_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """E2b: bag difference (EXCEPT ALL) of two customer-key multisets —
+    each key survives ``max(count_a - count_b, 0)`` times, the
+    multiplicity semantics the set-based e2 cannot express (dedup
+    pipelines use it to subtract a processed batch from a backlog WITH
+    duplicate accounting).  Spark's native ``exceptAll`` rewrite is
+    aggregation-based (sum of +1/-1 tags, then replicate) — no window,
+    no join explosion; one shuffle on the value."""
+    a, b = _custkey_bags(spark, sf)
+    return a.exceptAll(b)
+
+
+O_E2B_EXCEPT_ALL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1995
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_e3b_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """E3b: bag intersection (INTERSECT ALL) of the same two multisets —
+    each key kept ``min(count_a, count_b)`` times.  Same
+    aggregation-based rewrite posture as e2b."""
+    a, b = _custkey_bags(spark, sf)
+    return a.intersectAll(b)
+
+
+O_E3B_INTERSECT_ALL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1995
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+EXT3_QUERIES.update(
+    {
+        "w20_twap": q_w20_twap,
+        "w21_funnel_window": q_w21_funnel_window,
+        "a17_mode": q_a17_mode,
+        "p_impute": q_p_impute,
+        "e2b_except_all": q_e2b_except_all,
+        "e3b_intersect_all": q_e3b_intersect_all,
+    }
+)
+
+EXT3_ORACLES.update(
+    {
+        "w20_twap": O_W20_TWAP,
+        "w21_funnel_window": O_W21_FUNNEL_WINDOW,
+        "a17_mode": O_A17_MODE,
+        "p_impute": O_P_IMPUTE,
+        "e2b_except_all": O_E2B_EXCEPT_ALL,
+        "e3b_intersect_all": O_E3B_INTERSECT_ALL,
+    }
+)

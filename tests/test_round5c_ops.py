@@ -203,3 +203,123 @@ def test_fk_audit_reports_intact_schema_and_counts(spark, sf_dir):
         assert 0 < r["child_keys"] <= r["child_rows"]
     li = load_table(spark, sf_dir, "lineitem").count()
     assert rows["lineitem.orderkey->orders"]["child_rows"] == li
+
+
+# ---------------------------------------------------------------------------
+# second ext3 batch: TWAP, windowed funnel, mode, impute, bag set-ops
+# ---------------------------------------------------------------------------
+
+
+def test_twap_matches_python_integration(spark, sf_dir):
+    from collections import defaultdict
+
+    pdf = _events_pdf(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day")
+    )
+    days = {r["event_id"]: r["day"] for r in ev.collect()}
+    by_ud = defaultdict(list)
+    for _, r in pdf.iterrows():
+        by_ud[(r.user_id, days[r.event_id])].append((r.ts_us, r.event_id, r.v_cents))
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import q_w20_twap
+
+    got = {
+        (r["user_id"], r["day"]): (r["n_obs"], r["twap_usd"])
+        for r in q_w20_twap(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_ud)
+    import datetime
+
+    for (uid, day), obs in by_ud.items():
+        obs.sort()
+        d = datetime.datetime.fromisoformat(day)
+        day_end = int(
+            (d + datetime.timedelta(days=1) - datetime.datetime(1970, 1, 1)).total_seconds()
+        ) * 1_000_000
+        num = den = 0
+        for i, (ts, _eid, v) in enumerate(obs):
+            nxt = obs[i + 1][0] if i + 1 < len(obs) else day_end
+            num += v * (nxt - ts)
+            den += nxt - ts
+        n, twap = got[(uid, day)]
+        assert n == len(obs)
+        assert twap == num / (den * 100)
+
+
+def test_funnel_window_matches_bruteforce(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        _CONV_WINDOW_US,
+        q_w21_funnel_window,
+    )
+
+    pdf = _events_pdf(spark, sf_dir)
+    clicks = pdf[pdf.event_type == "click"]
+    purchases = pdf[pdf.event_type == "purchase"]
+    got = {
+        r["click_id"]: (r["converted"], r["purchase_id"], r["delay_us"])
+        for r in q_w21_funnel_window(spark, sf_dir).collect()
+    }
+    assert len(got) == len(clicks)
+    n_conv = 0
+    for _, c in clicks.iterrows():
+        key = (c.ts_us, c.event_id)
+        up = purchases[purchases.user_id == c.user_id]
+        after = up[
+            [tuple(x) > key for x in zip(up.ts_us, up.event_id)]
+        ].sort_values(["ts_us", "event_id"])
+        if len(after) and after.iloc[0].ts_us - c.ts_us <= _CONV_WINDOW_US:
+            p = after.iloc[0]
+            assert got[c.event_id] == (True, p.event_id, p.ts_us - c.ts_us)
+            n_conv += 1
+        else:
+            assert got[c.event_id] == (False, None, None)
+    assert 0 < n_conv < len(clicks)
+
+
+def test_mode_and_impute_match_pandas(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        q_a17_mode,
+        q_p_impute,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", F.col("l_quantity").cast("long").alias("q"))
+        .toPandas()
+    )
+    for r in q_a17_mode(spark, sf_dir).collect():
+        grp = li[(li.l_returnflag == r["l_returnflag"]) & (li.l_linestatus == r["l_linestatus"])]
+        counts = grp.q.value_counts()
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r["mode_qty"], r["n_mode"]) == best
+
+    out = q_p_impute(spark, sf_dir).toPandas()
+    assert len(out) == len(li)
+    missing = out[out.is_missing]
+    assert 0 < len(missing) < len(out)
+    # every imputed value is its group's observed median; observed rows intact
+    obs = out[~out.is_missing]
+    for (rf, ls), grp in missing.groupby(["l_returnflag", "l_linestatus"]):
+        med = obs[(obs.l_returnflag == rf) & (obs.l_linestatus == ls)].qty_filled.median()
+        assert set(grp.qty_filled) == {med}
+
+
+def test_bag_setops_match_counter_arithmetic(spark, sf_dir):
+    from collections import Counter
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        _custkey_bags,
+        q_e2b_except_all,
+        q_e3b_intersect_all,
+    )
+
+    a, b = _custkey_bags(spark, sf_dir)
+    ca = Counter(r["o_custkey"] for r in a.collect())
+    cb = Counter(r["o_custkey"] for r in b.collect())
+    got_e = Counter(r["o_custkey"] for r in q_e2b_except_all(spark, sf_dir).collect())
+    got_i = Counter(r["o_custkey"] for r in q_e3b_intersect_all(spark, sf_dir).collect())
+    want_e = Counter({k: ca[k] - cb.get(k, 0) for k in ca if ca[k] > cb.get(k, 0)})
+    want_i = Counter({k: min(ca[k], cb[k]) for k in ca if k in cb})
+    assert got_e == want_e and got_i == want_i
+    # the bag semantics genuinely differ from the set semantics here
+    assert any(v > 1 for v in got_i.values())
