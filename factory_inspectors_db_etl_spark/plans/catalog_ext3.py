@@ -35,10 +35,9 @@ def q_j15_nearest_event_join(spark: SparkSession, sf: str) -> DataFrame:
     attribution primitive that an as-of join (j6b, backward-only) cannot
     express.  Computed without any inequality join: union both event
     sets, sort per user by the total key ``(ts_us, event_id)``, and take
-    one ``last(click) ignorenulls`` pass backward plus one
-    ``first(click) ignorenulls`` pass forward — two frames sharing ONE
-    shuffle on ``user_id``, linear in events, never candidate-pair
-    quadratic.  Nearest = smaller absolute gap; exact tie prefers the
+    one ``last(click) ignorenulls`` pass per direction (the forward one
+    over the descending sort) — two growing frames sharing ONE shuffle
+    on ``user_id``, linear in events, never candidate-pair quadratic.  Nearest = smaller absolute gap; exact tie prefers the
     preceding click (integer microsecond compare, no floats anywhere).
 
     At 100 TB this is the right plan: a single hash partition by user,
@@ -59,19 +58,27 @@ def q_j15_nearest_event_join(spark: SparkSession, sf: str) -> DataFrame:
     is_click = F.col("event_type") == "click"
     click_ts = F.when(is_click, F.col("ts_us"))
     click_id = F.when(is_click, F.col("event_id"))
-    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
-    wb = W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    # both directions as GROWING frames: the forward pass runs over the
+    # DESCENDING order so its frame is [unbounded preceding, current],
+    # which Spark evaluates incrementally — a [current, unbounded
+    # following] frame rescans the partition tail per row (quadratic per
+    # key; see gap_fill_hourly's measured case)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     wf = (
         W.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(0, W.unboundedFollowing)
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     cand = ev.select(
         "*",
         F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
         F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
-        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
-        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
+        F.last(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+        F.last(click_id, ignorenulls=True).over(wf).alias("next_id"),
     ).filter(F.col("event_type") == "purchase")
     gap_prev = F.col("ts_us") - F.col("prev_ts")  # >= 0 by frame
     gap_next = F.col("next_ts") - F.col("ts_us")  # >= 0 by frame
@@ -695,15 +702,19 @@ def q_w21_funnel_window(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "event_type", F.expr(_TS_US).alias("ts_us")
     )
     is_p = F.col("event_type") == "purchase"
+    # "first purchase strictly after" as a GROWING frame: descending
+    # order, frame ending one row before current (the strictness), so
+    # Spark evaluates it incrementally instead of rescanning the
+    # partition tail per row (see j15's frame note)
     wf = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
-        .rowsBetween(1, W.unboundedFollowing)
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     cand = ev.select(
         "*",
-        F.first(F.when(is_p, F.col("ts_us")), ignorenulls=True).over(wf).alias("p_ts"),
-        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True).over(wf).alias("p_id"),
+        F.last(F.when(is_p, F.col("ts_us")), ignorenulls=True).over(wf).alias("p_ts"),
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(wf).alias("p_id"),
     ).filter(F.col("event_type") == "click")
     converted = F.col("p_ts").isNotNull() & (
         F.col("p_ts") - F.col("ts_us") <= _CONV_WINDOW_US
