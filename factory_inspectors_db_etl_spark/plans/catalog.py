@@ -3296,18 +3296,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_impute": _EXT3_QUERIES["p_impute"],
     "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
     "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
+    "a18_gini": _EXT3_QUERIES["a18_gini"],
+    "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
+    "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
+    "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
     # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
     "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
     "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
+    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
+    # ------- 50-slot window boundary (d_embedding_neardup_lsh is position 50) -------
+    # The four similarity entries just below also sit in the changed-code
+    # family but their r5 edits did not touch their own plan path (the
+    # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside
+    # the window above); they are re-verified locally every round and
+    # rotate forward in round 6 ahead of the r3-green core.
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
     "d_embedding_neardup": q_d_embedding_neardup,
-    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
     "sim_pq_topk": q_sim_pq_topk,
-    # ------- 50-slot window boundary (sim_pq_topk is position 50) -------
     # --- (d) r3-green core — refresh to r5 ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,

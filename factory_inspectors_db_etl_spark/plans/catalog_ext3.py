@@ -951,3 +951,283 @@ EXT3_ORACLES.update(
         "e3b_intersect_all": O_E3B_INTERSECT_ALL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# A18: exact Gini coefficient per group
+# ---------------------------------------------------------------------------
+
+
+def q_a18_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """A18: Gini concentration coefficient of order value per priority
+    class — the standard inequality measure, computed by the
+    rank-weighted formula ``G = (2*Σ(i*x_i) - (n+1)*Σx) / (n*Σx)`` over
+    the ascending sort.  Every term is an exact integer (cents × ranks);
+    ties contribute identically under any tie order, so the arbitrary
+    ``row_number`` tiebreak cannot change the sum and ONE final IEEE
+    division makes the result bit-identical cross-engine.
+
+    Plan shape: one window (rank within the group) + one aggregation
+    sharing the same hash partition on the group key — the sort is the
+    unavoidable cost of any exact order statistic; no broadcast, no
+    second shuffle.
+    """
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderpriority", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sx"),
+            F.sum(F.col("i") * F.col("cents")).cast("long").alias("six"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            (
+                (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+                / (F.col("n") * F.col("sx")).cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
+O_A18_GINI = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY round(o_totalprice * 100), o_orderkey)
+              AS BIGINT) AS i
+  FROM orders
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS DOUBLE)
+         / CAST(count(*) * sum(cents) AS DOUBLE) AS gini
+FROM ranked GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W22: first-order Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+def q_w22_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """W22: event-type transition matrix — for every ordered pair of
+    consecutive events of the same user, count (prev_type → type) and
+    report each transition's probability among the source type's
+    outgoing transitions.  The first-order Markov/clickstream summary;
+    probability = exact integer ratio with ONE division.
+
+    Plan shape: one lag window on the user partition (total order
+    ``(ts_us, event_id)``), then an aggregation onto at most
+    |types|² = 25 cells — map-side combinable, broadcast row-total join.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.expr(_TS_US).alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    cells = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("prev_type").agg(F.sum("n").cast("long").alias("out_n"))
+    return cells.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        "n",
+        (F.col("n").cast("double") / F.col("out_n").cast("double")).alias("prob"),
+    )
+
+
+O_W22_TRANSITIONS = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+), pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_type,
+         event_type
+  FROM ev
+), cells AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n FROM cells GROUP BY 1
+)
+SELECT c.prev_type, c.event_type AS next_type, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.out_n AS DOUBLE) AS prob
+FROM cells c JOIN totals t ON t.prev_type = c.prev_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# O7: diversified top-k (global top with a per-group cap)
+# ---------------------------------------------------------------------------
+
+
+def q_o7_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """O7: global top-20 line items by extended price, subject to a
+    diversity cap of at most 3 per supplier — the search/recommendation
+    "no single source dominates the page" constraint.  Two
+    ``row_number`` passes over the SAME total order (price desc, then
+    the row key): within-supplier rank filters to ≤3, then the global
+    rank takes 20.
+
+    Plan shape at scale: the per-supplier window is one hash shuffle;
+    the global rank runs on the ≤3-per-supplier survivors only — Spark
+    plans a global top-k (rank ≤ 20 pushes a limit into the sort), never
+    a full global sort of the fact table.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    order = [
+        F.col("cents").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_suppkey").asc(),
+    ]
+    per_supp = W.partitionBy("l_suppkey").orderBy(*order)
+    capped = li.withColumn("supp_rank", F.row_number().over(per_supp).cast("int")).filter(
+        F.col("supp_rank") <= 3
+    )
+    # global rank over the survivors: tiny input (<= 3 * |suppliers|),
+    # single ordered top-k
+    g = W.orderBy(*order)
+    return (
+        capped.withColumn("rank", F.row_number().over(g).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            (F.col("cents") / 100).alias("price_usd"),
+            "supp_rank",
+        )
+    )
+
+
+O_O7_DIVERSIFIED_TOPK = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), capped AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY cents DESC, l_orderkey, l_linenumber, l_suppkey)
+              AS INTEGER) AS supp_rank
+  FROM li
+  QUALIFY supp_rank <= 3
+)
+SELECT CAST(row_number() OVER (ORDER BY cents DESC, l_orderkey, l_linenumber, l_suppkey)
+            AS INTEGER) AS rank,
+       l_orderkey, l_linenumber, l_suppkey,
+       cents / 100 AS price_usd, supp_rank
+FROM capped
+QUALIFY rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# H1: hierarchy (materialized-path) subtree rollup
+# ---------------------------------------------------------------------------
+
+_H_DEPTH = 7  # user_id < 10^7 in every SF => at most 7 ancestor levels
+
+
+def q_h1_hierarchy_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """H1: subtree rollup over an implicit decimal hierarchy —
+    ``parent(u) = u DIV 10`` turns user ids into a forest (root 0);
+    for every ancestor node, the total event count and value of its
+    ENTIRE subtree.  The scalable plan is the materialized-path trick:
+    each leaf EXPLODES its (bounded-depth) ancestor chain in closed form
+    — ``u, u/10, u/100, …`` — and one aggregation groups by ancestor.
+    No iteration, no recursive joins, no driver loops: depth is bounded
+    by the key domain (7 decimal levels here), so the fan-out is a
+    constant factor, the 100 TB answer to a recursive CTE.  The oracle
+    IS a recursive CTE — DuckDB walks edges upward and must agree with
+    the closed form exactly.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_cents").cast("long").alias("v"),
+    )
+    anc = F.explode(
+        F.array_distinct(
+            F.array(
+                *[
+                    F.expr(f"user_id div {10 ** k}").cast("long")
+                    for k in range(_H_DEPTH + 1)
+                ]
+            )
+        )
+    ).alias("node")
+    return (
+        per_user.select(anc, "n", "v")
+        .groupBy("node")
+        .agg(
+            F.sum("n").cast("long").alias("subtree_events"),
+            F.count(F.lit(1)).cast("long").alias("subtree_leaves"),
+            (F.sum("v").cast("double") / 100).alias("subtree_value_usd"),
+        )
+    )
+
+
+O_H1_HIERARCHY = f"""
+WITH RECURSIVE per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+), walk AS (
+  SELECT user_id AS leaf, user_id AS node, n, v, 0 AS depth FROM per_user
+  UNION ALL
+  SELECT leaf, node // 10, n, v, depth + 1
+  FROM walk WHERE node > 0 AND depth < {_H_DEPTH}
+), dedup AS (
+  SELECT DISTINCT leaf, node, n, v FROM walk
+)
+SELECT node, CAST(sum(n) AS BIGINT) AS subtree_events,
+       CAST(count(*) AS BIGINT) AS subtree_leaves,
+       CAST(sum(v) AS DOUBLE) / 100 AS subtree_value_usd
+FROM dedup GROUP BY 1
+"""
+
+
+EXT3_QUERIES.update(
+    {
+        "a18_gini": q_a18_gini,
+        "w22_transition_matrix": q_w22_transition_matrix,
+        "o7_diversified_topk": q_o7_diversified_topk,
+        "h1_hierarchy_rollup": q_h1_hierarchy_rollup,
+    }
+)
+
+EXT3_ORACLES.update(
+    {
+        "a18_gini": O_A18_GINI,
+        "w22_transition_matrix": O_W22_TRANSITIONS,
+        "o7_diversified_topk": O_O7_DIVERSIFIED_TOPK,
+        "h1_hierarchy_rollup": O_H1_HIERARCHY,
+    }
+)

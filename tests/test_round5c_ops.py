@@ -323,3 +323,128 @@ def test_bag_setops_match_counter_arithmetic(spark, sf_dir):
     assert got_e == want_e and got_i == want_i
     # the bag semantics genuinely differ from the set semantics here
     assert any(v > 1 for v in got_i.values())
+
+
+# ---------------------------------------------------------------------------
+# third ext3 batch: gini, transitions, diversified top-k, hierarchy rollup
+# ---------------------------------------------------------------------------
+
+
+def test_gini_matches_direct_formula_and_bounds(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import q_a18_gini
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .toPandas()
+    )
+    got = {r["o_orderpriority"]: (r["n"], r["gini"]) for r in q_a18_gini(spark, sf_dir).collect()}
+    assert set(got) == set(o.o_orderpriority.unique())
+    for prio, grp in o.groupby("o_orderpriority"):
+        xs = sorted(grp.c)
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        want = (2 * six - (n + 1) * sx) / (n * sx)
+        gn, gg = got[prio]
+        assert gn == n and gg == want
+        assert 0 <= gg < 1
+
+
+def test_transition_matrix_matches_pandas(spark, sf_dir):
+    from collections import Counter
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        q_w22_transition_matrix,
+    )
+
+    pdf = _events_pdf(spark, sf_dir).sort_values(["user_id", "ts_us", "event_id"])
+    pairs = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        types = list(grp.event_type)
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] += 1
+    rows = q_w22_transition_matrix(spark, sf_dir).collect()
+    got = {(r["prev_type"], r["next_type"]): (r["n"], r["prob"]) for r in rows}
+    assert set(got) == set(pairs)
+    out_totals = Counter()
+    for (a, _b), n in pairs.items():
+        out_totals[a] += n
+    for k, n in pairs.items():
+        gn, gp = got[k]
+        assert gn == n and gp == n / out_totals[k[0]]
+    # probabilities per source sum to 1 exactly as rationals
+    for src in out_totals:
+        assert sum(n for (a, _b), (n, _p) in got.items() if a == src) == out_totals[src]
+
+
+def test_diversified_topk_constraints_and_optimality(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        q_o7_diversified_topk,
+    )
+
+    rows = q_o7_diversified_topk(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    per_supp = {}
+    for r in rows:
+        per_supp[r["l_suppkey"]] = per_supp.get(r["l_suppkey"], 0) + 1
+        assert r["supp_rank"] <= 3
+    assert max(per_supp.values()) <= 3
+    # greedy optimality: the result equals the brute-force "walk the
+    # global order, take while the supplier cap allows" selection
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .toPandas()
+        .sort_values(
+            ["c", "l_orderkey", "l_linenumber", "l_suppkey"],
+            ascending=[False, True, True, True],
+        )
+    )
+    taken, caps = [], {}
+    for _, r in li.iterrows():
+        if caps.get(r.l_suppkey, 0) < 3:
+            caps[r.l_suppkey] = caps.get(r.l_suppkey, 0) + 1
+            taken.append((r.l_orderkey, r.l_linenumber, r.l_suppkey))
+            if len(taken) == 20:
+                break
+    got = [(r["l_orderkey"], r["l_linenumber"], r["l_suppkey"]) for r in rows]
+    assert got == taken
+
+
+def test_hierarchy_rollup_matches_python_walk(spark, sf_dir):
+    from collections import defaultdict
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        q_h1_hierarchy_rollup,
+    )
+
+    pdf = _events_pdf(spark, sf_dir)
+    per_user = pdf.groupby("user_id").agg(n=("event_id", "count"), v=("v_cents", "sum"))
+    want = defaultdict(lambda: [0, 0, 0])
+    for uid, row in per_user.iterrows():
+        seen = set()
+        node = int(uid)
+        while True:
+            if node not in seen:
+                seen.add(node)
+                want[node][0] += int(row.n)
+                want[node][1] += 1
+                want[node][2] += int(row.v)
+            if node == 0:
+                break
+            node //= 10
+    got = {
+        r["node"]: (r["subtree_events"], r["subtree_leaves"], r["subtree_value_usd"])
+        for r in q_h1_hierarchy_rollup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for node, (n, leaves, v) in want.items():
+        assert got[node] == (n, leaves, v / 100)
