@@ -1086,9 +1086,14 @@ def q_o7_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
     rank takes 20.
 
     Plan shape at scale: the per-supplier window is one hash shuffle;
-    the global rank runs on the ≤3-per-supplier survivors only — Spark
-    plans a global top-k (rank ≤ 20 pushes a limit into the sort), never
-    a full global sort of the fact table.
+    the global cut is ``orderBy().limit(20)`` — TakeOrderedAndProject,
+    a distributed per-partition top-k merged on the driver, never a
+    full global sort.  The rank COLUMN is then minted over the ≤20
+    survivors by the same broadcast inequality-join trick as w6
+    (count of strictly-earlier keys + 1): a
+    ``row_number().over(Window.orderBy(...))`` — even over 20 rows —
+    is an unpartitioned WindowExec, the single-task funnel the
+    catalog-wide plan gate forbids.
     """
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey",
@@ -1106,12 +1111,26 @@ def q_o7_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
     capped = li.withColumn("supp_rank", F.row_number().over(per_supp).cast("int")).filter(
         F.col("supp_rank") <= 3
     )
-    # global rank over the survivors: tiny input (<= 3 * |suppliers|),
-    # single ordered top-k
-    g = W.orderBy(*order)
+    # global cut over the survivors: TakeOrderedAndProject (per-partition
+    # top-20, merged once) — no global sort, no global window
+    top = capped.orderBy(*order).limit(20)
+    # rank = 1 + |strictly-earlier keys|, via a broadcast inequality
+    # self-join over the <=20 survivors.  The sort key is made ascending
+    # (-cents) so Spark's lexicographic struct comparison IS the total
+    # order; the key is unique (contains the row key), so the regroup
+    # is lossless.
+    key = F.struct(
+        (-F.col("cents")).alias("k0"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.col("l_suppkey").alias("k3"),
+    )
+    t = top.withColumn("_key", key)
+    earlier = t.select(F.col("_key").alias("_key2"))
     return (
-        capped.withColumn("rank", F.row_number().over(g).cast("int"))
-        .filter(F.col("rank") <= 20)
+        t.join(F.broadcast(earlier), F.col("_key2") < F.col("_key"), "left")
+        .groupBy("_key", "l_orderkey", "l_linenumber", "l_suppkey", "cents", "supp_rank")
+        .agg((F.count("_key2") + 1).cast("int").alias("rank"))
         .select(
             "rank",
             "l_orderkey",
