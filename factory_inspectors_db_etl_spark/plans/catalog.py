@@ -3308,6 +3308,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
     "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
     # ------- 50-slot window boundary (d_embedding_neardup_lsh is position 50) -------
+    # The two late-r5 additions below just missed the packed window (every
+    # slot above is an r2-stale refresh, an r5-new query, or r5-changed
+    # code); they are oracle-verified locally and at sf0.01/sf1 by
+    # driver_sim and MUST lead the round-6 rotation:
+    "w25_streaks": _EXT3_QUERIES["w25_streaks"],
+    "p_benford": _EXT3_QUERIES["p_benford"],
     # The four similarity entries just below also sit in the changed-code
     # family but their r5 edits did not touch their own plan path (the
     # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside

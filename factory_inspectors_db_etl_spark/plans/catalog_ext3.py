@@ -1233,12 +1233,125 @@ FROM dedup GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# W25: gaps-and-islands — longest consecutive-day streak per user
+# ---------------------------------------------------------------------------
+
+
+def q_w25_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """W25: longest consecutive-day activity streak per user — the
+    canonical gaps-and-islands problem, solved with the rank-difference
+    trick: over each user's DISTINCT active days in order,
+    ``day - row_number`` is constant exactly within a run of
+    consecutive days, so one window + one aggregation find every
+    island without self-joins or iteration.
+
+    Plan shape at scale: one shuffle for the (user, day) distinct, one
+    for the per-user window; both island and per-user aggregations
+    reuse the window's hash partitioning on user_id (their keys are
+    supersets), so nothing reshuffles after the sort.  All-integer
+    output.
+    """
+    ev = load_table(spark, sf, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("_anchor"),
+    )
+    streaks = islands.groupBy("user_id", "_anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("_len").cast("long").alias("longest_streak"),
+        F.sum("_len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+O_W25_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), islands AS (
+  SELECT user_id,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P-BENFORD: first-digit distribution audit (Benford profile)
+# ---------------------------------------------------------------------------
+
+
+def q_p_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """P: Benford first-digit profile of order totals per priority
+    class — the fraud/data-quality screen: natural multi-magnitude
+    amounts follow log10(1+1/d), fabricated or truncated ones don't.
+    The query emits the observed profile (digit, count, share) per
+    group; the judgment threshold is left to the consumer because the
+    expected shares are irrational constants and baking them in would
+    put transcendental floats on the comparison path.
+
+    First digit is taken from the integer-cent string (x100 never
+    changes the leading significant digit of a positive amount), so
+    the whole profile is integer until the single share division.
+    One aggregation plus a window over the tiny per-group digit table
+    (partitioned by group — never a global funnel).
+    """
+    o = load_table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digits = o.select(
+        "o_orderpriority",
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    ).filter(F.col("digit") > 0)
+    counts = digits.groupBy("o_orderpriority", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wg = W.partitionBy("o_orderpriority")
+    return counts.select(
+        "o_orderpriority",
+        "digit",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wg)).alias("share"),
+    )
+
+
+O_P_BENFORD = """
+WITH digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+), counts AS (
+  SELECT o_orderpriority, digit, CAST(count(*) AS BIGINT) AS cnt
+  FROM digits GROUP BY 1, 2
+)
+SELECT o_orderpriority, digit, cnt,
+       CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY o_orderpriority) AS share
+FROM counts
+"""
+
+
 EXT3_QUERIES.update(
     {
         "a18_gini": q_a18_gini,
         "w22_transition_matrix": q_w22_transition_matrix,
         "o7_diversified_topk": q_o7_diversified_topk,
         "h1_hierarchy_rollup": q_h1_hierarchy_rollup,
+        "w25_streaks": q_w25_streaks,
+        "p_benford": q_p_benford,
     }
 )
 
@@ -1248,5 +1361,7 @@ EXT3_ORACLES.update(
         "w22_transition_matrix": O_W22_TRANSITIONS,
         "o7_diversified_topk": O_O7_DIVERSIFIED_TOPK,
         "h1_hierarchy_rollup": O_H1_HIERARCHY,
+        "w25_streaks": O_W25_STREAKS,
+        "p_benford": O_P_BENFORD,
     }
 )

@@ -448,3 +448,63 @@ def test_hierarchy_rollup_matches_python_walk(spark, sf_dir):
     assert set(got) == set(want)
     for node, (n, leaves, v) in want.items():
         assert got[node] == (n, leaves, v / 100)
+
+
+def test_streaks_match_bruteforce(spark, sf_dir):
+    """Longest consecutive-day streak per user recomputed in Python from
+    the raw day sets — must equal the rank-difference plan exactly,
+    including total active days and island count."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import q_w25_streaks
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .toPandas()
+    )
+    got = {
+        r["user_id"]: (r["longest_streak"], r["active_days"], r["n_streaks"])
+        for r in q_w25_streaks(spark, sf_dir).collect()
+    }
+    assert len(got) == days.user_id.nunique() > 0
+    for uid, grp in days.groupby("user_id"):
+        ds = sorted(grp.d)
+        runs = []
+        cur = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[uid] == (max(runs), len(ds), len(runs)), uid
+
+
+def test_benford_profile_exact(spark, sf_dir):
+    """First-digit counts recomputed in pandas from the cent values;
+    shares must sum to 1 per group and every (group, digit) count must
+    agree exactly."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import q_p_benford
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .toPandas()
+    )
+    o = o[o.cents > 0]
+    o["digit"] = o.cents.astype(str).str[0].astype(int)
+    want = o.groupby(["o_orderpriority", "digit"]).size()
+    rows = q_p_benford(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    share_sum: dict[str, float] = {}
+    for r in rows:
+        assert want[(r["o_orderpriority"], r["digit"])] == r["cnt"]
+        share_sum[r["o_orderpriority"]] = share_sum.get(r["o_orderpriority"], 0.0) + r["share"]
+    for g, s in share_sum.items():
+        assert abs(s - 1.0) < 1e-9, (g, s)
