@@ -3314,6 +3314,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver_sim and MUST lead the round-6 rotation:
     "w25_streaks": _EXT3_QUERIES["w25_streaks"],
     "p_benford": _EXT3_QUERIES["p_benford"],
+    "p_kanon": _EXT3_QUERIES["p_kanon"],
+    "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
     # The four similarity entries just below also sit in the changed-code
     # family but their r5 edits did not touch their own plan path (the
     # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside

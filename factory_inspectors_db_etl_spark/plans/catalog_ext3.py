@@ -1344,6 +1344,107 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# P-KANON: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_p_kanon(spark: SparkSession, sf: str) -> DataFrame:
+    """P: k-anonymity audit — group orders by their quasi-identifier
+    tuple (priority, status, order year) and flag every equivalence
+    class smaller than k=5: those rows are re-identifiable and a
+    release pipeline must suppress or generalize them.  The standard
+    privacy pre-release gate (Sweeney '02), as one exact aggregation.
+
+    Plan shape at scale: a single hash aggregation on the QI tuple —
+    map-side combinable, bounded by QI-domain cardinality, zero joins,
+    zero windows.
+    """
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .withColumn("suppress", F.col("class_size") < _KANON_K)
+    )
+
+
+O_P_KANON = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < {_KANON_K} AS suppress
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# W26: period-over-period (month-over-month revenue per nation)
+# ---------------------------------------------------------------------------
+
+
+def q_w26_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
+    """W26: month-over-month revenue change per customer nation — the
+    universal reporting query: aggregate to a (nation, month) series,
+    then lag within each nation to get the absolute and relative
+    change.  Revenue stays in integer cents through the aggregation
+    AND the delta; the percent change is the single division
+    (bigint/bigint -> double, bit-identical across engines).
+
+    Plan shape at scale: the fact-side aggregation reduces orders to a
+    |nations| x |months| series BEFORE any window, so the lag runs over
+    a tiny table; customer is joined pre-aggregation on the shuffled
+    key (AQE picks broadcast when the dim fits).  ``lag`` needs no
+    gap handling here because every (nation, month) cell exists in the
+    aggregated series by construction — missing months would need a
+    gap-fill first (w17's operator).
+    """
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    series = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "month")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return series.select(
+        "c_nationkey",
+        "month",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue_usd"),
+        ((F.col("rev_cents") - prev).cast("double") / 100).alias("delta_usd"),
+        (
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double")
+        ).alias("pct_change"),
+    )
+
+
+O_W26_POP = """
+WITH series AS (
+  SELECT c_nationkey, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, month,
+       CAST(rev_cents AS DOUBLE) / 100 AS revenue_usd,
+       CAST(rev_cents - lag(rev_cents) OVER w AS DOUBLE) / 100 AS delta_usd,
+       CAST(rev_cents - lag(rev_cents) OVER w AS DOUBLE)
+         / CAST(lag(rev_cents) OVER w AS DOUBLE) AS pct_change
+FROM series
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY month)
+"""
+
+
 EXT3_QUERIES.update(
     {
         "a18_gini": q_a18_gini,
@@ -1352,6 +1453,8 @@ EXT3_QUERIES.update(
         "h1_hierarchy_rollup": q_h1_hierarchy_rollup,
         "w25_streaks": q_w25_streaks,
         "p_benford": q_p_benford,
+        "p_kanon": q_p_kanon,
+        "w26_period_over_period": q_w26_period_over_period,
     }
 )
 
@@ -1363,5 +1466,7 @@ EXT3_ORACLES.update(
         "h1_hierarchy_rollup": O_H1_HIERARCHY,
         "w25_streaks": O_W25_STREAKS,
         "p_benford": O_P_BENFORD,
+        "p_kanon": O_P_KANON,
+        "w26_period_over_period": O_W26_POP,
     }
 )

@@ -508,3 +508,55 @@ def test_benford_profile_exact(spark, sf_dir):
         share_sum[r["o_orderpriority"]] = share_sum.get(r["o_orderpriority"], 0.0) + r["share"]
     for g, s in share_sum.items():
         assert abs(s - 1.0) < 1e-9, (g, s)
+
+
+def test_kanon_classes_exact(spark, sf_dir):
+    """Every (priority, status, year) class size recomputed in pandas;
+    the suppress flag must be exactly class_size < 5."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import _KANON_K, q_p_kanon
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus", F.year("o_orderdate").alias("y"))
+        .toPandas()
+    )
+    want = o.groupby(["o_orderpriority", "o_orderstatus", "y"]).size()
+    rows = q_p_kanon(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n = want[(r["o_orderpriority"], r["o_orderstatus"], r["order_year"])]
+        assert r["class_size"] == n
+        assert r["suppress"] == (n < _KANON_K)
+
+
+def test_period_over_period_matches_pandas(spark, sf_dir):
+    """Month-over-month deltas recomputed via a pandas groupby+shift on
+    the integer-cent series; first month of each nation must be null."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        q_w26_period_over_period,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pdf = o.join(c, o.o_custkey == c.c_custkey).toPandas()
+    series = (
+        pdf.groupby(["c_nationkey", "month"]).cents.sum().rename("rev").reset_index()
+    ).sort_values(["c_nationkey", "month"])
+    series["prev"] = series.groupby("c_nationkey").rev.shift(1)
+    want = {
+        (r.c_nationkey, r.month): (r.rev, r.prev) for r in series.itertuples()
+    }
+    rows = q_w26_period_over_period(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        rev, prev = want[(r["c_nationkey"], r["month"])]
+        assert r["revenue_usd"] == rev / 100
+        if pd.isna(prev):
+            assert r["delta_usd"] is None and r["pct_change"] is None
+        else:
+            assert r["delta_usd"] == (rev - prev) / 100
+            assert r["pct_change"] == (rev - prev) / prev
