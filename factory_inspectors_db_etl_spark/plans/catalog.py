@@ -3316,6 +3316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_benford": _EXT3_QUERIES["p_benford"],
     "p_kanon": _EXT3_QUERIES["p_kanon"],
     "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
+    "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
     # The four similarity entries just below also sit in the changed-code
     # family but their r5 edits did not touch their own plan path (the
     # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside

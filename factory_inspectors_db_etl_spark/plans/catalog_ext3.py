@@ -1445,6 +1445,69 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY month)
 """
 
 
+# ---------------------------------------------------------------------------
+# W27: DAU / trailing-7-day WAU (distinct users over a sliding window)
+# ---------------------------------------------------------------------------
+
+
+def q_w27_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """W27: daily active users and trailing-7-day weekly active users —
+    the product-metrics staple, and the canonical distinct-over-
+    sliding-window problem: WAU(d) = |distinct users active in
+    [d-6, d]|, which no partial aggregate can roll up (distinct state
+    does not merge across overlapping windows).
+
+    The scalable plan inverts the window: each DISTINCT (user, day)
+    row explodes to the <=7 report days it contributes to, a second
+    distinct collapses multi-day users within a window, and a plain
+    count per report day IS the distinct count — bounded 7x fan-out of
+    the (user, day) table, never a range self-join of the fact against
+    itself.  Report days are clipped to the observed [min, max] span
+    via a broadcast 1-row bounds join so every reported window is
+    fully inside the data.
+    """
+    ev = load_table(spark, sf, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = ud.agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+        )
+        .distinct()
+        .join(
+            F.broadcast(bounds),
+            (F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("_hi")),
+        )
+    )
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("wau_7d"))
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return wau.join(dau, "day", "left").select(
+        "day", F.coalesce("dau", F.lit(0).cast("long")).alias("dau"), "wau_7d"
+    )
+
+
+O_W27_DAU_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM ud
+), contrib AS (
+  SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS day
+  FROM ud, range(7) t(i)
+), wau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS wau_7d
+  FROM contrib, bounds WHERE day BETWEEN lo AND hi GROUP BY 1
+), dau AS (
+  SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+)
+SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, wau.wau_7d
+FROM wau LEFT JOIN dau USING (day)
+"""
+
+
 EXT3_QUERIES.update(
     {
         "a18_gini": q_a18_gini,
@@ -1455,6 +1518,7 @@ EXT3_QUERIES.update(
         "p_benford": q_p_benford,
         "p_kanon": q_p_kanon,
         "w26_period_over_period": q_w26_period_over_period,
+        "w27_dau_wau": q_w27_dau_wau,
     }
 )
 
@@ -1468,5 +1532,6 @@ EXT3_ORACLES.update(
         "p_benford": O_P_BENFORD,
         "p_kanon": O_P_KANON,
         "w26_period_over_period": O_W26_POP,
+        "w27_dau_wau": O_W27_DAU_WAU,
     }
 )

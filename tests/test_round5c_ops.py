@@ -560,3 +560,32 @@ def test_period_over_period_matches_pandas(spark, sf_dir):
         else:
             assert r["delta_usd"] == (rev - prev) / 100
             assert r["pct_change"] == (rev - prev) / prev
+
+
+def test_dau_wau_matches_bruteforce(spark, sf_dir):
+    """WAU recomputed per report day by brute-force set union over the
+    trailing 7 calendar days; DAU by direct per-day set size."""
+    import datetime as dt
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import q_w27_dau_wau
+
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .toPandas()
+    )
+    by_day: dict = {}
+    for r in ud.itertuples():
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    lo, hi = min(by_day), max(by_day)
+    rows = q_w27_dau_wau(spark, sf_dir).collect()
+    assert {r["day"] for r in rows} == {
+        lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)
+    }
+    for r in rows:
+        window = set()
+        for i in range(7):
+            window |= by_day.get(r["day"] - dt.timedelta(days=i), set())
+        assert r["wau_7d"] == len(window), r["day"]
+        assert r["dau"] == len(by_day.get(r["day"], set())), r["day"]
