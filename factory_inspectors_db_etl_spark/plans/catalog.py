@@ -3317,6 +3317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_kanon": _EXT3_QUERIES["p_kanon"],
     "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
     "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
+    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
     # The four similarity entries just below also sit in the changed-code
     # family but their r5 edits did not touch their own plan path (the
     # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside

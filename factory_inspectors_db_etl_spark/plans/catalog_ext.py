@@ -1470,6 +1470,105 @@ def q_g3b_label_prop_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return q_g3_label_propagation(spark, sf, broadcast_nodes=False)
 
 
+# ---------------------------------------------------------------------------
+# G4: bounded-hop BFS (k-hop reachability / shortest hop distance)
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+_BFS_SEED_MOD = 100  # deterministic seed set: part ids divisible by 100
+
+
+def q_g4_khop_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """G4: minimum hop distance (<=3) from a deterministic seed set over
+    the part co-purchase graph — bounded-hop BFS, the reachability
+    member of the iterative-graph family (g1 centrality, g2 triangles,
+    g3 communities).
+
+    Textbook distributed BFS: per round, join the FRONTIER (nodes first
+    reached last round) onto the edge list, then anti-join against the
+    settled set so each node is expanded exactly once — the settled
+    table grows monotonically and every round is one equi-join + one
+    anti-join, both on the node key.  Joining the full distance table
+    instead of the frontier would be correct under min-merge but
+    re-expands every settled node every round.  Hop counts are exact
+    integers; the oracle is an INDEPENDENT algorithm (DuckDB recursive
+    CTE enumerating all paths <=3 then taking min), not a plan twin.
+    Frontier side is broadcast by default, conf-switchable to a shuffle
+    join (``spark.graft.graph.broadcast=false``) like g1/g3.
+    """
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize(
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    settled = materialize(
+        nodes.filter(F.col("node") % _BFS_SEED_MOD == 0).select(
+            "node", F.lit(0).cast("int").alias("hops")
+        ),
+        iterative=True,
+    )
+    frontier = settled
+    for k in range(1, _BFS_HOPS + 1):
+        reached = (
+            edges.join(
+                _graph_small_side(
+                    spark, frontier.select(F.col("node").alias("src"))
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = materialize(
+            reached.join(settled, "node", "left_anti").select(
+                "node", F.lit(k).cast("int").alias("hops")
+            ),
+            iterative=True,
+        )
+        settled = materialize(settled.unionByName(new), iterative=True)
+        frontier = new
+    return settled.select(F.col("node").alias("part_id"), "hops")
+
+
+def _gen_khop_oracle(hops: int = _BFS_HOPS) -> str:
+    """Level-wise min-merge BFS unrolled to SQL (like the g1/g3
+    generated oracles).  A recursive-CTE path enumeration is the more
+    independent check but enumerates ~seeds x degree^hops rows — at the
+    sf1 stress scale (avg co-purchase degree ~90) that is billions of
+    paths and the oracle itself becomes the bottleneck; the level-wise
+    form is bounded by one edge-list expansion per hop.  Algorithmic
+    independence is covered by the Python queue-BFS property test."""
+    sql = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+), d0 AS (
+  SELECT node, 0 AS dist FROM (SELECT DISTINCT src AS node FROM e)
+  WHERE node % {_BFS_SEED_MOD} = 0
+)"""
+    for k in range(1, hops + 1):
+        sql += f""", d{k} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM d{k - 1} d JOIN e ON d.node = e.src
+  ) GROUP BY node
+)"""
+    sql += f"""
+SELECT node AS part_id, CAST(dist AS INTEGER) AS hops FROM d{hops}
+"""
+    return sql
+
+
+O_G4_KHOP = _gen_khop_oracle()
+
+
 EXT_QUERIES = {
     "a10_histogram": q_a10_histogram,
     "a12_equidepth_histogram": q_a12_equidepth_histogram,
@@ -1492,6 +1591,7 @@ EXT_QUERIES = {
     "s2c_variant_extract": q_s2c_variant_extract,
     "t_bpe_encode": q_t_bpe_encode,
     "g3_label_propagation": q_g3_label_propagation,
+    "g4_khop_bfs": q_g4_khop_bfs,
 }
 
 EXT_ORACLES = {
@@ -1516,4 +1616,5 @@ EXT_ORACLES = {
     "t_unigram_lm": O_T_UNIGRAM_LM,
     "a11_groupwise_linreg": O_A11_LINREG,
     "g1_pagerank": O_G1_PAGERANK,
+    "g4_khop_bfs": O_G4_KHOP,
 }

@@ -589,3 +589,35 @@ def test_dau_wau_matches_bruteforce(spark, sf_dir):
             window |= by_day.get(r["day"] - dt.timedelta(days=i), set())
         assert r["wau_7d"] == len(window), r["day"]
         assert r["dau"] == len(by_day.get(r["day"], set())), r["day"]
+
+
+def test_khop_bfs_matches_bruteforce(spark, sf_dir):
+    """Hop distances recomputed by a Python BFS over the co-purchase
+    adjacency built in pandas — every settled node and hop count must
+    agree, and no unreached node may appear."""
+    from collections import deque
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext import (
+        _BFS_HOPS,
+        _BFS_SEED_MOD,
+        q_g4_khop_bfs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").toPandas()
+    adj: dict = {}
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp.l_partkey))
+        for p in parts:
+            adj.setdefault(p, set()).update(q for q in parts if q != p)
+    dist = {n: 0 for n in adj if n % _BFS_SEED_MOD == 0}
+    queue = deque(dist)
+    while queue:
+        n = queue.popleft()
+        if dist[n] >= _BFS_HOPS:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                queue.append(m)
+    got = {r["part_id"]: r["hops"] for r in q_g4_khop_bfs(spark, sf_dir).collect()}
+    assert got == dist
