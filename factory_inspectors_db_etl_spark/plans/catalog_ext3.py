@@ -1484,8 +1484,15 @@ def q_w27_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
     dau = ud.groupBy(F.col("d").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )
+    # day goes out as an ISO string, not DateType: pandas round-trips
+    # DATE columns asymmetrically (duckdb fetchdf -> Timestamp, Spark
+    # toPandas -> datetime.date), so a raw date column hash-mismatches
+    # on TYPE with identical values — catalog convention (see w16/w17
+    # buckets) is ISO strings for all date/bucket output columns
     return wau.join(dau, "day", "left").select(
-        "day", F.coalesce("dau", F.lit(0).cast("long")).alias("dau"), "wau_7d"
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("dau", F.lit(0).cast("long")).alias("dau"),
+        "wau_7d",
     )
 
 
@@ -1503,7 +1510,8 @@ WITH ud AS (
 ), dau AS (
   SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
 )
-SELECT wau.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, wau.wau_7d
+SELECT strftime(wau.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, wau.wau_7d
 FROM wau LEFT JOIN dau USING (day)
 """
 

@@ -581,14 +581,15 @@ def test_dau_wau_matches_bruteforce(spark, sf_dir):
     lo, hi = min(by_day), max(by_day)
     rows = q_w27_dau_wau(spark, sf_dir).collect()
     assert {r["day"] for r in rows} == {
-        lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)
+        (lo + dt.timedelta(days=i)).isoformat() for i in range((hi - lo).days + 1)
     }
     for r in rows:
+        day = dt.date.fromisoformat(r["day"])
         window = set()
         for i in range(7):
-            window |= by_day.get(r["day"] - dt.timedelta(days=i), set())
+            window |= by_day.get(day - dt.timedelta(days=i), set())
         assert r["wau_7d"] == len(window), r["day"]
-        assert r["dau"] == len(by_day.get(r["day"], set())), r["day"]
+        assert r["dau"] == len(by_day.get(day, set())), r["day"]
 
 
 def test_khop_bfs_matches_bruteforce(spark, sf_dir):
