@@ -1516,6 +1516,79 @@ FROM wau LEFT JOIN dau USING (day)
 """
 
 
+# ---------------------------------------------------------------------------
+# W27b: sliding-window WAU from merged daily HLL sketches
+# ---------------------------------------------------------------------------
+
+
+def q_w27b_wau_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """W27b: trailing-7-day WAU from MERGED DAILY HLL SKETCHES — the
+    scale companion to w27.  w27's exact inversion fans out the
+    (user, day) table by the window length; at a 90-day window on
+    billions of users that multiplier lands on the biggest table in
+    the plan.  Sketches move the fan-out to the |days|-row sketch
+    table instead: one daily ``hll_sketch_agg`` pass touches raw data,
+    then each day's FIXED-SIZE sketch explodes to the report days it
+    covers and ``hll_union_agg`` merges per report day — window length
+    now multiplies kilobytes, not users.  Same contract oracle as
+    a9: the exact WAU (w27's plan) is hash-checked and a boolean pins
+    the sketch estimate within 5% (lgK=12 => rse ~1.6%).
+    """
+    ev = load_table(spark, sf, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = ud.agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+    daily_sk = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    sk_contrib = daily_sk.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"), "_sk"
+    ).join(
+        F.broadcast(bounds),
+        (F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("_hi")),
+    )
+    est = sk_contrib.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+        )
+        .distinct()
+        .join(
+            F.broadcast(bounds),
+            (F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("_hi")),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_wau_7d"))
+    )
+    return exact.join(est, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_wau_7d",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("exact_wau_7d"))
+            / F.col("exact_wau_7d")
+            <= F.lit(0.05)
+        ).alias("sketch_ok"),
+    )
+
+
+O_W27B_WAU_SKETCH = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM ud
+), contrib AS (
+  SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS day
+  FROM ud, range(7) t(i)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS exact_wau_7d,
+       TRUE AS sketch_ok
+FROM contrib, bounds WHERE day BETWEEN lo AND hi GROUP BY 1
+"""
+
+
 EXT3_QUERIES.update(
     {
         "a18_gini": q_a18_gini,
@@ -1527,6 +1600,7 @@ EXT3_QUERIES.update(
         "p_kanon": q_p_kanon,
         "w26_period_over_period": q_w26_period_over_period,
         "w27_dau_wau": q_w27_dau_wau,
+        "w27b_wau_sketch": q_w27b_wau_sketch,
     }
 )
 
@@ -1541,5 +1615,6 @@ EXT3_ORACLES.update(
         "p_kanon": O_P_KANON,
         "w26_period_over_period": O_W26_POP,
         "w27_dau_wau": O_W27_DAU_WAU,
+        "w27b_wau_sketch": O_W27B_WAU_SKETCH,
     }
 )

@@ -622,3 +622,19 @@ def test_khop_bfs_matches_bruteforce(spark, sf_dir):
                 queue.append(m)
     got = {r["part_id"]: r["hops"] for r in q_g4_khop_bfs(spark, sf_dir).collect()}
     assert got == dist
+
+
+def test_wau_sketch_contract(spark, sf_dir):
+    """The sketch variant must report the SAME exact WAU as w27 per day
+    and every sketch_ok boolean must be TRUE (5% HLL contract)."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        q_w27_dau_wau,
+        q_w27b_wau_sketch,
+    )
+
+    exact = {r["day"]: r["wau_7d"] for r in q_w27_dau_wau(spark, sf_dir).collect()}
+    rows = q_w27b_wau_sketch(spark, sf_dir).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["exact_wau_7d"] == exact[r["day"]], r["day"]
+        assert r["sketch_ok"] is True, r["day"]
