@@ -3319,6 +3319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
     "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
     "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
+    "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
     # The four similarity entries just below also sit in the changed-code
     # family but their r5 edits did not touch their own plan path (the
     # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside

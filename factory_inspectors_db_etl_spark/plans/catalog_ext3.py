@@ -1589,6 +1589,70 @@ FROM contrib, bounds WHERE day BETWEEN lo AND hi GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# A21: exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+def q_a21_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """A21: exact quantity-weighted median of the extended price per
+    return flag — the robust-stats companion to w12's unweighted
+    percentiles: each value counts with its integer weight, and the
+    (lower) weighted median is the smallest value whose cumulative
+    weight reaches half the total.  All comparisons are integer
+    (``2*cumw >= tot`` avoids the half-weight division); the single
+    division is the final cents->dollars display cast.
+
+    Plan shape at scale: values pre-aggregated per (group, value) —
+    the window then runs over distinct values, not raw rows, and both
+    windows plus the final aggregation share one hash partition on the
+    group key.
+    """
+    li = load_table(spark, sf, "lineitem")
+    v = li.groupBy(
+        F.col("l_returnflag").alias("group_key"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("val"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wc = W.partitionBy("group_key").orderBy("val")
+    wt = W.partitionBy("group_key")
+    c = v.select(
+        "group_key",
+        "val",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return c.groupBy("group_key").agg(
+        (
+            F.min(F.when(F.lit(2) * F.col("cumw") >= F.col("tot"), F.col("val")))
+            .cast("double")
+            / 100
+        ).alias("wmedian_usd"),
+        F.max("tot").cast("long").alias("total_weight"),
+    )
+
+
+O_A21_WEIGHTED_MEDIAN = """
+WITH v AS (
+  SELECT l_returnflag AS group_key,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS val,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT group_key, val,
+         sum(w) OVER (PARTITION BY group_key ORDER BY val) AS cumw,
+         sum(w) OVER (PARTITION BY group_key) AS tot
+  FROM v
+)
+SELECT group_key,
+       CAST(min(CASE WHEN 2 * cumw >= tot THEN val END) AS DOUBLE) / 100
+         AS wmedian_usd,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM c GROUP BY 1
+"""
+
+
 EXT3_QUERIES.update(
     {
         "a18_gini": q_a18_gini,
@@ -1601,6 +1665,7 @@ EXT3_QUERIES.update(
         "w26_period_over_period": q_w26_period_over_period,
         "w27_dau_wau": q_w27_dau_wau,
         "w27b_wau_sketch": q_w27b_wau_sketch,
+        "a21_weighted_median": q_a21_weighted_median,
     }
 )
 
@@ -1616,5 +1681,6 @@ EXT3_ORACLES.update(
         "w26_period_over_period": O_W26_POP,
         "w27_dau_wau": O_W27_DAU_WAU,
         "w27b_wau_sketch": O_W27B_WAU_SKETCH,
+        "a21_weighted_median": O_A21_WEIGHTED_MEDIAN,
     }
 )

@@ -638,3 +638,38 @@ def test_wau_sketch_contract(spark, sf_dir):
     for r in rows:
         assert r["exact_wau_7d"] == exact[r["day"]], r["day"]
         assert r["sketch_ok"] is True, r["day"]
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """Weighted median recomputed by expanding each value to its integer
+    weight in Python (repeat-and-sort) — the lower weighted median of
+    the expanded multiset must equal the cumulative-weight plan."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext3 import (
+        q_a21_weighted_median,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("val"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .toPandas()
+    )
+    got = {
+        r["group_key"]: (r["wmedian_usd"], r["total_weight"])
+        for r in q_a21_weighted_median(spark, sf_dir).collect()
+    }
+    assert len(got) == li.l_returnflag.nunique() > 0
+    for g, grp in li.groupby("l_returnflag"):
+        pairs = sorted(zip(grp.val, grp.w))
+        tot = int(grp.w.sum())
+        cum = 0
+        for val, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                break
+        assert got[g] == (val / 100, tot), g
