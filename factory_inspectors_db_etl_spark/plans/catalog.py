@@ -373,6 +373,45 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_j6c_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """J6c: as-of join WITH STALENESS TOLERANCE — j6b's point-in-time
+    lookup, but a match older than 1 hour is rejected (null payload),
+    the ``pandas.merge_asof(tolerance=...)`` semantic that keeps a
+    feature store from serving stale values.  Exercises the
+    ``tolerance`` arm of ``operators/asof.py::asof_join`` (previously
+    implemented but not oracle-verified).  Plan identical to j6b: one
+    union + one window shuffle; the tolerance check is a columnar
+    interval comparison on the carried match timestamp."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        on="ts",
+        payload=["view_value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return out.select("event_id", "user_id", "view_value")
+
+
+O_J6C = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id,
+       CASE WHEN l.ts - r.ts <= INTERVAL 1 HOUR THEN r.view_value END AS view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_w10_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """W10: ordered-event funnel — per user, did view precede signup and
     signup precede purchase?  One conditional-min aggregation per stage
@@ -3320,6 +3359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
     "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
     "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
+    "j6c_asof_tolerance": q_j6c_asof_tolerance,
     # The four similarity entries just below also sit in the changed-code
     # family but their r5 edits did not touch their own plan path (the
     # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside
@@ -3470,6 +3510,7 @@ ORACLES: dict[str, str] = {
     "j5b_semi_join": O_J5B,
     "j6_asof_fill": O_J6,
     "j6b_asof_join": O_J6B,
+    "j6c_asof_tolerance": O_J6C,
     "j8_range_join": O_J8,
     "j8b_range_join_bucketed": O_J8B,
     "w1_forward_fill": O_W1,

@@ -673,3 +673,40 @@ def test_weighted_median_matches_bruteforce(spark, sf_dir):
             if 2 * cum >= tot:
                 break
         assert got[g] == (val / 100, tot), g
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    """j6c must agree with j6b wherever the matched view is within 1
+    hour and be NULL exactly where j6b's match is older (or absent) —
+    recomputed from the raw events in Python."""
+    from factory_inspectors_db_etl_spark.plans.catalog import (
+        q_j6b_asof_join,
+        q_j6c_asof_tolerance,
+    )
+
+    ev = _events_pdf(spark, sf_dir)
+    views = ev[ev.event_type == "view"]
+    view_ts = {}
+    for r in views.itertuples():
+        view_ts.setdefault(r.user_id, []).append(r.ts_us)
+    for v in view_ts.values():
+        v.sort()
+    purchases = {r.event_id: (r.user_id, r.ts_us) for r in ev[ev.event_type == "purchase"].itertuples()}
+    import bisect
+
+    base = {r["event_id"]: r["view_value"] for r in q_j6b_asof_join(spark, sf_dir).collect()}
+    tol = {r["event_id"]: r["view_value"] for r in q_j6c_asof_tolerance(spark, sf_dir).collect()}
+    assert base.keys() == tol.keys() == purchases.keys()
+    hour_us = 3_600_000_000
+    n_stale = 0
+    for eid, (uid, ts) in purchases.items():
+        vs = view_ts.get(uid, [])
+        i = bisect.bisect_right(vs, ts)
+        if i == 0:
+            assert base[eid] is None and tol[eid] is None
+        elif ts - vs[i - 1] <= hour_us:
+            assert tol[eid] == base[eid] is not None
+        else:
+            assert base[eid] is not None and tol[eid] is None
+            n_stale += 1
+    assert n_stale > 0, "fixture produced no stale matches; tolerance arm unexercised"
