@@ -92,19 +92,29 @@ def bloom_prefilter(
     per row at the scan.  Positions are bound as named columns first so
     the bit-test expressions (SQL ``shiftright`` takes column shift
     amounts, the pyspark wrapper does not) reference stable names.
-    Output drops the bitmap and scratch columns."""
-    probed = fact.crossJoin(F.broadcast(bloom))
+    Scratch names (the bitmap column and the k position columns) are
+    suffixed until they collide with nothing in ``fact`` — a fact table
+    that already has a ``bloom_words`` or ``_bpos0`` column keeps it
+    intact.  Output drops only the scratch columns."""
+    # deterministic collision-proof scratch names (no uuid: plans must
+    # be reproducible run-to-run for plan pins and driver resume)
+    suffix = ""
+    existing = set(fact.columns)
+    while {"bloom_words" + suffix, *(f"_bpos{i}{suffix}" for i in range(num_hashes))} & existing:
+        suffix += "_x"
+    bw = "bloom_words" + suffix
+    probed = fact.crossJoin(F.broadcast(bloom.withColumnRenamed("bloom_words", bw)))
     scratch = []
     for i, p in enumerate(_positions(F.col(fact_key), num_bits, num_hashes)):
-        probed = probed.withColumn(f"_bpos{i}", p)
-        scratch.append(f"_bpos{i}")
+        probed = probed.withColumn(f"_bpos{i}{suffix}", p)
+        scratch.append(f"_bpos{i}{suffix}")
     keep = F.lit(True)
     for c in scratch:
         keep = keep & F.expr(
-            f"(shiftright(element_at(bloom_words, CAST({c} DIV 64 AS INT) + 1), "
+            f"(shiftright(element_at({bw}, CAST({c} DIV 64 AS INT) + 1), "
             f"CAST({c} % 64 AS INT)) & 1) = 1"
         )
-    return probed.filter(keep).drop("bloom_words", *scratch)
+    return probed.filter(keep).drop(bw, *scratch)
 
 
 def bloom_filtered_join(

@@ -17,6 +17,10 @@ filter):
   see (a short document quoted whole inside a long one has tiny
   Jaccard but containment ~1).  The inverted-index shape of
   ``dedup.ngram_jaccard_pairs``, with per-direction thresholds.
+  Exact ONLY with ``max_df=None``: the default stop-shingle cap
+  (``max_df=1000``) drops hot shingles from the intersection count,
+  which can undercount or miss true pairs on boilerplate-heavy
+  corpora — an operational speed/recall trade, not a lossless filter.
 
 Thresholds are integer rationals (``threshold_num/threshold_den``),
 never floats: ceil(t*n) on a float threshold hits the 0.6*5 == 3.0000…4
@@ -289,6 +293,13 @@ def containment_pairs(
     up to two DIRECTED rows, each thresholded against its own source
     size with cross-multiplied integers.
 
+    EXACTNESS: lossless only when ``max_df=None``.  A finite cap
+    excludes any shingle whose document frequency exceeds it from the
+    intersection count, so pairs held together by hot shingles can be
+    undercounted or dropped.  Use the cap as an operational guard on
+    boilerplate-heavy corpora; use ``None`` when the output must equal
+    the brute-force all-pairs answer.
+
     ``collapse_exact`` (default on): pairs once per distinct text,
     member expansion afterward (``_collapse_exact``) — measured 254s →
     ~20s Spark-side at sf1 on the 10×-replicated stress corpus.
@@ -380,5 +391,208 @@ def containment_pairs(
             "inter",
             "sz_src",
             "containment",
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """EXACT all-pairs idf-weighted cosine >= num/den over distinct word
+    sets — the WHIRL / fuzzy-match entity-resolution join (Cohen
+    SIGMOD'98; Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity
+    Search" for the candidate discipline): two strings match when they
+    share RARE words, with common words contributing almost nothing.
+
+    Weighting is the integer-exact surrogate idf ``w(t) = N div df(t)``
+    (N = corpus size, df = document frequency) with binary term
+    frequency: monotone in rarity like log(N/df), but an integer — so
+    dot products and norms are exact BIGINT sums, the keep decision is a
+    cross-multiplied DECIMAL(38,0) compare (``dot²·den² >= num²·‖a‖²·‖b‖²``),
+    and the one trailing IEEE division makes the output bit-identical in
+    any engine.  (A float idf would make every sum order-dependent.)
+
+    Candidates come from a SUFFIX-NORM prefix filter, lossless by the
+    Bayardo bound: order all tokens globally by (df, token-hash); for a
+    document sorted under that order, index token position i only while
+    ``‖suffix from i‖² >= t²·‖doc‖²``.  If a qualifying pair (cos >= t)
+    shared tokens ONLY outside one side's indexed prefix, then all
+    shared tokens would sit in that side's suffix S and Cauchy-Schwarz
+    gives cos <= ‖â restricted to S‖·‖b̂‖ = ‖â_S‖ < t — contradiction.
+    So the globally-first shared token is indexed by BOTH sides and the
+    prefix-posting equi-join meets every qualifying pair; an exact
+    verify (intersection dot + norm threshold) finishes.  A norm-ratio
+    prune (``num²·max(‖a‖²,‖b‖²) <= den²·min(...)``, from
+    cos <= sqrt(min/max) for same-weight intersections) drops cross-size
+    candidates before the pair forms.
+
+    ``collapse_exact`` (default on): the duplicate-density guard shared
+    with the whole set-similarity family — pairs computed once per
+    DISTINCT text, df/N counted over RAW member documents (so weights
+    equal the un-collapsed pipeline's exactly), members expanded after.
+
+    Returns (id_a, id_b, dot, na2, nb2, cosine) with id_a < id_b.
+    """
+    p, q = threshold_num, threshold_den
+    members = None
+    if collapse_exact:
+        df, members = _collapse_exact(df, id_col, text_col)
+    else:
+        df = df.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_gn"))
+    toks = materialize(_element_stream(df, id_col, text_col, k=1))
+    # df(t) over RAW documents: each rep's tokens count once per member
+    gn = df.select(F.col(id_col).alias("doc"), F.col("_gn"))
+    dfreq = (
+        toks.join(gn, "doc").groupBy("elem").agg(F.sum("_gn").cast("long").alias("df"))
+    )
+    nd = df.agg(F.sum("_gn").cast("long").alias("nd"))  # raw corpus size, 1 row
+    wt = dfreq.crossJoin(F.broadcast(nd)).select(
+        "elem", F.expr("nd div df").alias("w"), "df"
+    )
+    tw = materialize(
+        toks.join(wt, "elem").select("doc", "elem", "df", (F.col("w") * F.col("w")).alias("w2"))
+    )
+    norms = materialize(tw.groupBy("doc").agg(F.sum("w2").cast("long").alias("n2")))
+    # global token order (df asc, elem): w2 is non-increasing along it,
+    # and the order is total per doc (elements are distinct), so the
+    # emit set below is a true prefix
+    wdoc = Window.partitionBy("doc").orderBy("df", "elem")
+    cum = F.sum("w2").over(wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pref = (
+        tw.join(norms, "doc")
+        .withColumn("_suffix2", F.col("n2") - cum + F.col("w2"))
+        .filter(F.lit(q * q) * F.col("_suffix2") >= F.lit(p * p) * F.col("n2"))
+        .select("doc", "elem", "n2")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.elem") == F.col("b.elem"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # norm-ratio prune: cos <= sqrt(min(n2)/max(n2))
+            & (
+                F.lit(p * p) * F.greatest("a.n2", "b.n2")
+                <= F.lit(q * q) * F.least("a.n2", "b.n2")
+            ),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(tw.select(F.col("doc").alias("id_a"), "elem", "w2"), "id_a")
+        .join(tw.select(F.col("doc").alias("id_b"), "elem"), ["id_b", "elem"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w2").cast("long").alias("dot"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    out = (
+        inter.join(norms.select(F.col("doc").alias("id_a"), F.col("n2").alias("na2")), "id_a")
+        .join(norms.select(F.col("doc").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
+        .filter(
+            dec("dot") * dec("dot") * F.lit(q * q).cast("decimal(38,0)")
+            >= F.lit(p * p).cast("decimal(38,0)") * dec("na2") * dec("nb2")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            F.col("na2").cast("long").alias("na2"),
+            F.col("nb2").cast("long").alias("nb2"),
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    if members is None:
+        return out
+    # identical texts: cos = 1 >= t always — one SELF-pair per
+    # multi-member group, valued with the group's own norm so the
+    # expansion emits exactly what the un-collapsed pipeline would
+    self_pairs = (
+        df.filter(F.col("_gn") >= 2)
+        .select(F.col(id_col).alias("doc"))
+        .join(norms, "doc")
+        .select(
+            F.col("doc").alias("id_a"),
+            F.col("doc").alias("id_b"),
+            F.col("n2").cast("long").alias("dot"),
+            F.col("n2").cast("long").alias("na2"),
+            F.col("n2").cast("long").alias("nb2"),
+            (
+                F.col("n2").cast("double")
+                / F.sqrt(F.col("n2").cast("double") * F.col("n2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    # when least/greatest reorders the expanded ids, the per-side norms
+    # must swap along (dot and cosine are symmetric; na2/nb2 are not)
+    flipped = F.col("xa") > F.col("xb")
+    return (
+        out.unionByName(self_pairs)
+        .join(members.select(F.col("rep").alias("id_a"), F.col("mid").alias("xa")), "id_a")
+        .join(members.select(F.col("rep").alias("id_b"), F.col("mid").alias("xb")), "id_b")
+        .filter(F.col("xa") != F.col("xb"))
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "dot",
+            F.when(flipped, F.col("nb2")).otherwise(F.col("na2")).alias("na2"),
+            F.when(flipped, F.col("na2")).otherwise(F.col("nb2")).alias("nb2"),
+            "cosine",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def bruteforce_tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Reference twin of ``tfidf_cosine_pairs``: full inverted-index
+    join, no prefix filter, no collapse.  Test-only (quadratic on hot
+    tokens; not registered)."""
+    p, q = threshold_num, threshold_den
+    toks = _element_stream(df, id_col, text_col, k=1)
+    dfreq = toks.groupBy("elem").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = df.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tw = (
+        toks.join(dfreq.crossJoin(F.broadcast(nd)), "elem")
+        .select("doc", "elem", (F.expr("nd div df") * F.expr("nd div df")).alias("w2"))
+    )
+    norms = tw.groupBy("doc").agg(F.sum("w2").cast("long").alias("n2"))
+    a, b = tw.alias("a"), tw.alias("b")
+    inter = (
+        a.join(b, (F.col("a.elem") == F.col("b.elem")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.sum("a.w2").cast("long").alias("dot"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        inter.join(norms.select(F.col("doc").alias("id_a"), F.col("n2").alias("na2")), "id_a")
+        .join(norms.select(F.col("doc").alias("id_b"), F.col("n2").alias("nb2")), "id_b")
+        .filter(
+            dec("dot") * dec("dot") * F.lit(q * q).cast("decimal(38,0)")
+            >= F.lit(p * p).cast("decimal(38,0)") * dec("na2") * dec("nb2")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            F.col("na2").cast("long").alias("na2"),
+            F.col("nb2").cast("long").alias("nb2"),
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+            ).alias("cosine"),
         )
     )

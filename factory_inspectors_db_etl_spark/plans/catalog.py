@@ -51,6 +51,7 @@ from ..sources.tables import load_table
 from .catalog_ext import EXT_ORACLES as _EXT_ORACLES, EXT_QUERIES as _EXT_QUERIES
 from .catalog_ext2 import EXT2_ORACLES as _EXT2_ORACLES, EXT2_QUERIES as _EXT2_QUERIES
 from .catalog_ext3 import EXT3_ORACLES as _EXT3_ORACLES, EXT3_QUERIES as _EXT3_QUERIES
+from .catalog_ext4 import EXT4_ORACLES as _EXT4_ORACLES, EXT4_QUERIES as _EXT4_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3278,98 +3279,55 @@ JOIN c ON q.doc_id = c.doc_id
 """
 
 # Ordering contract: the external driver verifies the FIRST 50 keys of this
-# dict per round.  Round 2 checked the 50 §2-core keys; round 3 the 29
-# never-checked entries + 21 core; round 4 the changed/new/r2-parked set.
-# Round 5 leads with (a) the six queries whose NEWEST driver row was round 2
-# (e3, s9, s9b, s10, d_exact_dedup, t_chunk_windows — the r4 verdict's #1),
-# (b) the four round-5 additions (s12 stream-stream join batch twin, the
-# shuffle-join graph variants, multi-probe SemDeDup), (c) every query whose
-# CODE changed this round (similarity.py: _assign_cells/semantic_dedup ->
-# the whole ANN + embedding-dedup family; catalog_ext.py: _graph_small_side
-# -> g1/g3), then (d) r3-green §2-core entries.  The r3-green entries that
-# did not fit rotate in round 6 — the AUTHORITATIVE list is the window-
-# boundary comment below (currently nineteen, w13_sessionize ..
-# m_frame_sample); union across rounds stays total and every rotated-out
-# query is re-verified locally by tests/test_catalog_vs_duckdb.py each
-# round.
+# dict per round.  Rotation history: r2 = the 50 §2-core keys; r3 = 29
+# never-checked + 21 core; r4 = changed/new/r2-parked; r5 = r2-stale
+# refreshes + the 47 round-5 additions + r5-changed code (all 50 green,
+# CORRECTNESS_r05.json).
+#
+# Round 6 leads with (a) the NINE queries that have never had a driver row
+# (the late-r5d additions that missed the packed r5 window — the r5
+# verdict's #1), (b) queries whose CODE changed in round 6
+# (d_containment: max_df=None to close the ADVICE oracle-divergence;
+# j13_bloom_filtered_join: collision-proof scratch names), plus new
+# round-6 queries as they land, (c) the four similarity entries deferred
+# from r5, then (d) the OLDEST-evidence r3-green core.  The r3-green
+# entries that do not fit rotate forward FIRST in round 7 — the
+# AUTHORITATIVE list is the window-boundary comment below.  Union across
+# rounds stays total and every rotated-out query is re-verified locally by
+# tests/test_catalog_vs_duckdb.py each round.  tests/test_plan_shapes.py
+# pins the rotation rule itself: no never-driver-checked query may sit
+# outside the first-50 window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) newest driver row is round 2 — refresh FIRST ---
-    "e3_intersect": q_e3_intersect,
-    "s9_tumbling_window": q_s9_tumbling_window,
-    "s9b_sliding_window": q_s9b_sliding_window,
-    "s10_session_window": q_s10_session_window,
-    "d_exact_dedup": q_d_exact_dedup,
-    "t_chunk_windows": q_t_chunk_windows,
-    # --- (b) new in round 5 ---
-    "s12_stream_stream_join": q_s12_stream_stream_join,
-    "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
-    "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
-    "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
-    "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
-    "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
-    "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
-    "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
-    "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
-    "d_incremental_dedup": q_d_incremental_dedup,
-    "w16_ohlc_resample": q_w16_ohlc_resample,
-    "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
-    "d_setsim_prefix_join": _EXT2_QUERIES["d_setsim_prefix_join"],
-    "d_containment": _EXT2_QUERIES["d_containment"],
-    "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
-    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
-    "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
-    "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
-    "w18_ewma": _EXT2_QUERIES["w18_ewma"],
-    "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
-    "t_bigram_lm": _EXT2_QUERIES["t_bigram_lm"],
-    "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
-    "a15_countmin": _EXT3_QUERIES["a15_countmin"],
-    "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
-    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
-    "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
-    "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
-    "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
-    "w20_twap": _EXT3_QUERIES["w20_twap"],
-    "w21_funnel_window": _EXT3_QUERIES["w21_funnel_window"],
-    "a17_mode": _EXT3_QUERIES["a17_mode"],
-    "p_impute": _EXT3_QUERIES["p_impute"],
-    "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
-    "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
-    "a18_gini": _EXT3_QUERIES["a18_gini"],
-    "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
-    "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
-    "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
-    # --- (c) code changed in round 5 (similarity.py / catalog_ext.py) ---
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
-    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
-    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
-    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
-    # ------- 50-slot window boundary (d_embedding_neardup_lsh is position 50) -------
-    # The two late-r5 additions below just missed the packed window (every
-    # slot above is an r2-stale refresh, an r5-new query, or r5-changed
-    # code); they are oracle-verified locally and at sf0.01/sf1 by
-    # driver_sim and MUST lead the round-6 rotation:
+    # --- (a) NEVER driver-checked (late-r5d additions) — lead the window ---
     "w25_streaks": _EXT3_QUERIES["w25_streaks"],
     "p_benford": _EXT3_QUERIES["p_benford"],
     "p_kanon": _EXT3_QUERIES["p_kanon"],
     "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
     "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
-    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
     "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
+    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
     "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
     "j6c_asof_tolerance": q_j6c_asof_tolerance,
-    # The four similarity entries just below also sit in the changed-code
-    # family but their r5 edits did not touch their own plan path (the
-    # exact-dup collapse lives in embedding_neardup_pairs_lsh, kept inside
-    # the window above); they are re-verified locally every round and
-    # rotate forward in round 6 ahead of the r3-green core.
+    # --- (b) code changed in round 6 — re-verify ---
+    "d_containment": _EXT2_QUERIES["d_containment"],
+    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
+    # (new round-6 queries are registered here as they land, displacing
+    # r3-core entries past the window boundary below)
+    "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
+    "g5_wcc": _EXT4_QUERIES["g5_wcc"],
+    "m_png_decode": _EXT4_QUERIES["m_png_decode"],
+    "a22_hhi_concentration": _EXT4_QUERIES["a22_hhi_concentration"],
+    "w28_rfm_segmentation": _EXT4_QUERIES["w28_rfm_segmentation"],
+    "j18_interval_align": _EXT4_QUERIES["j18_interval_align"],
+    "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
+    "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
+    "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
+    # --- (c) similarity entries deferred from the r5 changed-code family ---
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
     "d_embedding_neardup": q_d_embedding_neardup,
     "sim_pq_topk": q_sim_pq_topk,
-    # --- (d) r3-green core — refresh to r5 ---
+    # --- (d) r3-green core, oldest driver evidence — refresh to r6 ---
     "flagship_q5_revenue": flagship,
     "s1_filter_project": q_s1_filter_project,
     "f1_standardize": q_f1_standardize,
@@ -3384,22 +3342,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,
     "a3c_grouping_sets": q_a3c_grouping_sets,
-    # Everything below holds a green driver row from r3/r4 and is re-verified
-    # locally per round.  The forty-three r3-green entries that did not fit —
-    # flagship_q5_revenue, s1_filter_project, f1_standardize, f2_clean_number,
-    # f5_regex_extract, f8_token_sort_canon,
-    # f9_case_ladder, f10_dict_canonicalize, f11_typed_date,
-    # a1_pricing_summary, a2_skew_safe_distinct, a3_rollup, a3b_cube,
-    # a3c_grouping_sets, a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim, j3_nullsafe_join,
-    # a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
-    # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize, w14_scd2_intervals,
-    # t_repetition_stats, p_profile_columns, p_curate_corpus, t_pii_redact,
-    # d_contamination, p_hash_split, p_stratified_sample, p_group_sample,
-    # p_pack_bins, t_text_stats, t_language_guess, t_quality_score,
-    # t_token_count_bpe, t_char_fingerprint, m_multimodal_meta,
-    # m_multimodal_decode, m_frame_sample — rotate forward FIRST in round 6.
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
     "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
     "j2_surrogate_dim": q_j2_surrogate_dim,
@@ -3412,6 +3354,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
     "w14_scd2_intervals": q_w14_scd2_intervals,
+    # ------- 50-slot window boundary (w14_scd2_intervals is position 50) -------
+    # The r3-green entries below did NOT fit the round-6 window and hold
+    # the repo's oldest driver evidence — rotate them forward FIRST in
+    # round 7: t_repetition_stats, p_profile_columns, p_curate_corpus,
+    # d_contamination, t_pii_redact, p_hash_split, p_stratified_sample,
+    # p_group_sample, p_pack_bins, t_text_stats, t_language_guess,
+    # t_quality_score, t_token_count_bpe, t_char_fingerprint,
+    # m_multimodal_meta, m_multimodal_decode, m_frame_sample.
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
     "t_repetition_stats": q_t_repetition_stats,
     "p_profile_columns": q_p_profile_columns,
     "p_curate_corpus": q_p_curate_corpus,
@@ -3474,6 +3426,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o5_topk": q_o5_topk,
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
+    # --- r5-green (CORRECTNESS_r05.json, all 50 pass — freshest evidence) ---
+    "e3_intersect": q_e3_intersect,
+    "s9_tumbling_window": q_s9_tumbling_window,
+    "s9b_sliding_window": q_s9b_sliding_window,
+    "s10_session_window": q_s10_session_window,
+    "d_exact_dedup": q_d_exact_dedup,
+    "t_chunk_windows": q_t_chunk_windows,
+    "s12_stream_stream_join": q_s12_stream_stream_join,
+    "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
+    "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
+    "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
+    "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
+    "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
+    "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
+    "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
+    "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
+    "d_incremental_dedup": q_d_incremental_dedup,
+    "w16_ohlc_resample": q_w16_ohlc_resample,
+    "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
+    "d_setsim_prefix_join": _EXT2_QUERIES["d_setsim_prefix_join"],
+    "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
+    "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
+    "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
+    "w18_ewma": _EXT2_QUERIES["w18_ewma"],
+    "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
+    "t_bigram_lm": _EXT2_QUERIES["t_bigram_lm"],
+    "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
+    "a15_countmin": _EXT3_QUERIES["a15_countmin"],
+    "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
+    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
+    "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
+    "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
+    "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
+    "w20_twap": _EXT3_QUERIES["w20_twap"],
+    "w21_funnel_window": _EXT3_QUERIES["w21_funnel_window"],
+    "a17_mode": _EXT3_QUERIES["a17_mode"],
+    "p_impute": _EXT3_QUERIES["p_impute"],
+    "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
+    "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
+    "a18_gini": _EXT3_QUERIES["a18_gini"],
+    "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
+    "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
+    "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
+    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
+    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
+    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
 }
 
 
@@ -3576,6 +3577,7 @@ ORACLES: dict[str, str] = {
     **_EXT_ORACLES,
     **_EXT2_ORACLES,
     **_EXT3_ORACLES,
+    **_EXT4_ORACLES,
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error

@@ -83,8 +83,13 @@ def q_d_containment(spark: SparkSession, sf: str) -> DataFrame:
     equi-join, stop-shingle cap) — one undirected intersection count
     fans out into per-direction integer threshold checks."""
     d = load_table(spark, sf, "documents")
+    # max_df=None: the uncapped (exact) mode, matching O_D_CONTAINMENT,
+    # which has no stop-shingle cap.  The capped default (max_df=1000)
+    # undercounts intersections once a shingle's document frequency
+    # exceeds the cap — fine as an operational guard on boilerplate-heavy
+    # corpora, but an oracle divergence here.
     return containment_pairs(
-        d, "doc_id", "text", k=3, threshold_num=4, threshold_den=5
+        d, "doc_id", "text", k=3, threshold_num=4, threshold_den=5, max_df=None
     )
 
 

@@ -1463,8 +1463,12 @@ def q_w27_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
     count per report day IS the distinct count — bounded 7x fan-out of
     the (user, day) table, never a range self-join of the fact against
     itself.  Report days are clipped to the observed [min, max] span
-    via a broadcast 1-row bounds join so every reported window is
-    fully inside the data.
+    via a broadcast 1-row bounds join — this bounds the REPORT DAY,
+    not the window: for the first six report days the trailing window
+    extends before the first observed day, so those WAU values cover
+    truncated (partial) windows.  The oracle computes the same
+    semantics; consumers comparing early-day WAU to later days should
+    start at lo+6 if they need full windows only.
     """
     ev = load_table(spark, sf, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()

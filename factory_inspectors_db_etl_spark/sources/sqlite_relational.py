@@ -115,6 +115,13 @@ def write_relational(
     if not table.replace("_", "").isalnum():
         raise ValueError(f"suspicious table name {table!r}")
     cols = df.schema.fields
+    # Column names get interpolated into CREATE TABLE / INSERT SQL, so
+    # they need the same identifier validation as the table name — a
+    # name containing a double quote would break (or inject into) the
+    # statement despite the quote-wrapping.
+    for f in cols:
+        if not f.name.replace("_", "").isalnum():
+            raise ValueError(f"suspicious column name {f.name!r}")
     col_defs = ", ".join(f'"{f.name}" {_sqlite_type(f.dataType)}' for f in cols)
     if key_cols:
         missing = set(key_cols) - {f.name for f in cols}

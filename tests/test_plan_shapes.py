@@ -244,6 +244,35 @@ def test_driver_window_boundary_comment_is_accurate():
     )
 
 
+def test_no_never_driver_checked_query_outside_window():
+    """The rotation rule itself, pinned (VERDICT r5 item #3): every
+    registered query that has NO green driver CORRECTNESS row in ANY
+    recorded round must sit INSIDE the first-50 window, where the next
+    driver run will finally check it.  This makes the r5 process failure
+    — landing new queries below the boundary and re-verifying 50
+    already-green ones — impossible to repeat silently."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if isinstance(rec, dict) and rec.get("rows_match") and rec.get("err") is None:
+                green.add(name)
+    keys = list(QUERIES)
+    never_checked = [k for k in keys if k not in green]
+    parked = [k for k in never_checked if keys.index(k) >= 50]
+    assert not parked, (
+        f"queries with no driver row in any round sit OUTSIDE the first-50 "
+        f"window and will never be checked: {parked}; rotate them forward "
+        "(the cardinal sin — see the registry's ordering-contract comment)"
+    )
+
+
 @pytest.mark.slow
 def test_whole_catalog_no_cartesian_no_unpartitioned_window(spark, sf_dir):
     """The two catalog-wide invariants scripts/plan_audit.py reports as
