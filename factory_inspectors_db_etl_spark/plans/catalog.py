@@ -3311,6 +3311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (b) code changed in round 6 — re-verify ---
     "d_containment": _EXT2_QUERIES["d_containment"],
     "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
+    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
     # (new round-6 queries are registered here as they land, displacing
     # r3-core entries past the window boundary below)
     "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
@@ -3353,17 +3354,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
     "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
-    "w14_scd2_intervals": q_w14_scd2_intervals,
-    # ------- 50-slot window boundary (w14_scd2_intervals is position 50) -------
+    # ------- 50-slot window boundary (w13_sessionize is position 50) -------
     # The r3-green entries below did NOT fit the round-6 window and hold
     # the repo's oldest driver evidence — rotate them forward FIRST in
-    # round 7: t_repetition_stats, p_profile_columns, p_curate_corpus,
-    # d_contamination, t_pii_redact, p_hash_split, p_stratified_sample,
-    # p_group_sample, p_pack_bins, t_text_stats, t_language_guess,
-    # t_quality_score, t_token_count_bpe, t_char_fingerprint,
-    # m_multimodal_meta, m_multimodal_decode, m_frame_sample.
+    # round 7: w14_scd2_intervals, t_repetition_stats, p_profile_columns,
+    # p_curate_corpus, d_contamination, t_pii_redact, p_hash_split,
+    # p_stratified_sample, p_group_sample, p_pack_bins, t_text_stats,
+    # t_language_guess, t_quality_score, t_token_count_bpe,
+    # t_char_fingerprint, m_multimodal_meta, m_multimodal_decode,
+    # m_frame_sample.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "w14_scd2_intervals": q_w14_scd2_intervals,
     "t_repetition_stats": q_t_repetition_stats,
     "p_profile_columns": q_p_profile_columns,
     "p_curate_corpus": q_p_curate_corpus,
@@ -3455,7 +3457,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
     "a15_countmin": _EXT3_QUERIES["a15_countmin"],
     "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
-    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
     "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
     "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
     "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],

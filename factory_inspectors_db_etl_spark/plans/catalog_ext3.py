@@ -304,11 +304,15 @@ def q_p_fk_audit(spark: SparkSession, sf: str) -> DataFrame:
     (populate_db_ru_v1.py's dim-then-fact protocol); a warehouse at
     100 TB needs the audit as a standing query instead.
 
-    Plan shape per edge: left-anti join of the child's DISTINCT keys
-    against the parent key set — the distinct collapses the fact table
-    to key cardinality BEFORE the join, and the parent side of every
-    edge here is broadcastable by construction (dimension keys).  The
-    final result is a union of 1-row aggregates.
+    Plan shape (round-6 collapse — the r5 form ran 5 independent
+    audit sub-plans totaling 25 exchanges; correct but the widest plan
+    in the catalog): tag every child's keys with its relation name,
+    UNION them, and run ONE ``groupBy(relation, key)`` distinct-collapse
+    shuffle over the combined stream; parent keys (all dimension-sized)
+    union into a single broadcast flag join; one final
+    ``groupBy(relation)`` produces all five audit rows.  Total: two real
+    exchanges (child-key collapse + 5-row final) plus one dim-sized
+    distinct — the same scan volume as before, 5 jobs fused into one.
     """
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
@@ -317,40 +321,32 @@ def q_p_fk_audit(spark: SparkSession, sf: str) -> DataFrame:
     supplier = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
 
-    def edge(name, child, ckey, parent, pkey):
-        keys = child.select(F.col(ckey).alias("k"))
-        stats = keys.agg(
-            F.count(F.lit(1)).cast("long").alias("child_rows"),
-            F.countDistinct("k").cast("long").alias("child_keys"),
-        ).select(F.lit(name).alias("relation"), "child_rows", "child_keys")
-        orphans = (
-            keys.distinct()
-            .join(
-                F.broadcast(parent.select(F.col(pkey).alias("k")).distinct()),
-                "k",
-                "left_anti",
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("orphan_keys"))
-        )
-        return stats.crossJoin(F.broadcast(orphans))
+    def tag(name, df, key):
+        return df.select(F.lit(name).alias("relation"), F.col(key).cast("long").alias("k"))
 
     edges = [
-        edge("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
-        edge("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
-        edge("lineitem.suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
-        edge("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
-        edge("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        ("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem.suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        ("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        ("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
     ]
-    out = edges[0]
-    for e in edges[1:]:
-        out = out.unionByName(e)
-    return out.select(
-        "relation",
-        "child_rows",
-        "child_keys",
-        "orphan_keys",
-        (F.col("orphan_keys") == 0).alias("intact"),
+    kids = edges[0][1].transform(lambda d: tag(edges[0][0], d, edges[0][2]))
+    parents = tag(edges[0][0], edges[0][3], edges[0][4])
+    for name, child, ckey, parent, pkey in edges[1:]:
+        kids = kids.unionByName(tag(name, child, ckey))
+        parents = parents.unionByName(tag(name, parent, pkey))
+    keyed = kids.groupBy("relation", "k").agg(F.count(F.lit(1)).alias("_cnt"))
+    flagged = keyed.join(
+        F.broadcast(parents.distinct().withColumn("_p", F.lit(1))),
+        ["relation", "k"],
+        "left",
     )
+    return flagged.groupBy("relation").agg(
+        F.sum("_cnt").cast("long").alias("child_rows"),
+        F.count(F.lit(1)).cast("long").alias("child_keys"),
+        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).cast("long").alias("orphan_keys"),
+    ).withColumn("intact", F.col("orphan_keys") == 0)
 
 
 O_P_FK_AUDIT = """

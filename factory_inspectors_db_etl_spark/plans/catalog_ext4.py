@@ -220,9 +220,13 @@ def q_a22_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
     chosen over entropy/Theil because HHI = Σ shareᵢ² is exactly
     computable from integer cents: per-customer revenue in cents
     (BIGINT), squares summed in DECIMAL(38,0) (cents² overflows BIGINT
-    at scale), and the only float op is the single trailing division
-    sumsq / total² — bit-identical in any engine.  Plan: one shuffle to
-    customer grain, one to nation grain, nation dim broadcast."""
+    at scale), and the headline value is the EXACT integer
+    ``hhi_e12 = (sumsq·10¹²) div total²`` — integral division of
+    38-digit decimals is exact in both engines, where a direct
+    sumsq→double cast is NOT (sf1 lesson: DuckDB's int128→double
+    double-rounds, 1-ulp mismatch on one nation); the display double
+    divides that exact integer by 1e12.  Plan: one shuffle to customer
+    grain, one to nation grain, nation dim broadcast."""
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
@@ -238,14 +242,19 @@ def q_a22_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
         F.sum(dec * dec).cast("decimal(38,0)").alias("_sumsq"),
     )
-    return agg.select(
+    return agg.withColumn(
+        "hhi_e12",
+        F.expr(
+            "CAST((_sumsq * CAST(1000000000000 AS DECIMAL(38,0))) div "
+            "(CAST(total_cents AS DECIMAL(38,0)) * CAST(total_cents AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ),
+    ).select(
         "n_name",
         "n_customers",
         "total_cents",
-        (
-            F.col("_sumsq").cast("double")
-            / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double"))
-        ).alias("hhi"),
+        "hhi_e12",
+        (F.col("hhi_e12").cast("double") / F.lit(1.0e12)).alias("hhi"),
     )
 
 
@@ -259,12 +268,16 @@ WITH cust AS (
   JOIN customer c ON c.c_custkey = o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
 )
-SELECT n_name,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(cents) AS BIGINT) AS total_cents,
-       CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
-         / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS hhi
-FROM j GROUP BY 1
+SELECT n_name, n_customers, total_cents, hhi_e12,
+       CAST(hhi_e12 AS DOUBLE) / 1e12 AS hhi
+FROM (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) * CAST(1000000000000 AS HUGEINT)
+              // (CAST(sum(cents) AS HUGEINT) * sum(cents)) AS BIGINT) AS hhi_e12
+  FROM j GROUP BY 1
+)
 """
 
 
