@@ -596,6 +596,138 @@ def with_png_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """REAL WAV (RIFF) encoder for mono 16-bit PCM — the write-side twin
+    of ``decode_wav_pcm``: canonical 44-byte header (fmt chunk 16 bytes,
+    PCM format 1) + little-endian sample data.  Pure stdlib/numpy."""
+    if samples.ndim != 1:
+        raise ValueError("encode_wav takes a 1-D mono sample array")
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # PCM
+        + (1).to_bytes(2, "little")   # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")   # block align
+        + (16).to_bytes(2, "little")  # bits
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def wav_frame_energies(payload: bytes, frame: int = 64) -> list[int]:
+    """Frame-level energy from a PCM WAV payload: for each complete
+    ``frame``-sample window of channel 0, the EXACT integer Σ s².
+    Shares ``decode_wav_pcm``'s RIFF walk and validation (raises
+    ValueError on non-WAV), so a hash-matched energy column proves the
+    full encode→decode round-trip at frame granularity."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_channels not in (1, 2):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(
+        data[: len(data) - len(data) % (2 * n_channels)], dtype="<i2"
+    ).reshape(-1, n_channels)[:, 0].astype("int64")
+    n_frames = len(samples) // frame
+    trimmed = samples[: n_frames * frame].reshape(n_frames, frame)
+    return [int(e) for e in (trimmed * trimmed).sum(axis=1)]
+
+
+def with_wav_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach a REAL mono 16-bit PCM WAV payload per document
+    (Arrow-batched ``mapInPandas``) whose SAMPLES replay a
+    SQL-expressible rule over the document text —
+
+        n = (doc_id % 5 + 2) * 64    (128..384 samples)
+        s[i] = (byte[i mod L] * ((i mod 7) + 1)) % 4096 - 2048   (0 if L=0)
+
+    — then encoded through ``encode_wav``.  Same verification design as
+    ``with_png_payload``: the payload is genuine RIFF bytes, the content
+    is replayable in SQL, so a downstream ``wav_frame_energies`` whose
+    output hash-matches the SQL replay proves the encode→decode
+    round-trip including the RIFF chunk walk."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_TYPE),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(doc_id)
+                n = (did % 5 + 2) * 64
+                codes = np.frombuffer((text or "").encode("utf-8"), dtype="u1")
+                i = np.arange(n, dtype="int64")
+                if len(codes):
+                    s = (codes[i % len(codes)].astype("int64") * (i % 7 + 1)) % 4096 - 2048
+                else:
+                    s = np.zeros(n, dtype="int64")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": encode_wav(s.astype("<i2")),
+                        "meta": {"mime": "audio/wav", "width": 0, "height": 0, "n_frames": n // 64},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def frame_energy_table(media: DataFrame, frame: int = 64) -> DataFrame:
+    """Explode WAV payloads to (doc_id, frame_idx, energy, n_samples)
+    rows via ``wav_frame_energies`` — Arrow-batched ``mapInPandas``,
+    payload bytes never shuffle outside Arrow, energies exact BIGINT."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                energies = wav_frame_energies(bytes(payload), frame)
+                n = (len(bytes(payload)) - 44) // 2
+                for fi, e in enumerate(energies):
+                    rows.append(
+                        {"doc_id": int(doc_id), "frame_idx": fi, "energy": e, "n_samples": n}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy", "n_samples"])
+
+    return media.select("doc_id", "payload").mapInPandas(extract, out_schema)
+
+
 def payload_metadata(media: DataFrame) -> DataFrame:
     """Columnar (no-UDF) metadata projection over multimodal rows: byte
     length + md5 of the payload and the flattened metadata struct.  The

@@ -402,6 +402,7 @@ def tfidf_cosine_pairs(
     threshold_num: int = 3,
     threshold_den: int = 5,
     collapse_exact: bool = True,
+    expand_members: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs idf-weighted cosine >= num/den over distinct word
     sets — the WHIRL / fuzzy-match entity-resolution join (Cohen
@@ -436,8 +437,26 @@ def tfidf_cosine_pairs(
     DISTINCT text, df/N counted over RAW member documents (so weights
     equal the un-collapsed pipeline's exactly), members expanded after.
 
-    Returns (id_a, id_b, dot, na2, nb2, cosine) with id_a < id_b.
+    ``expand_members`` (default on, requires ``collapse_exact``): with it
+    OFF the result stays at the distinct-text grain — one row per
+    qualifying pair of text GROUPS (min-id representatives, plus a
+    rep-with-itself row for every multi-member group, cosine exactly 1)
+    with member multiplicities ``(n_a, n_b, n_pairs)``.  This is the
+    100 TB contract: on duplicate-heavy corpora the member-level
+    enumeration is Θ(duplicates²) — q verbatim copies genuinely form
+    q(q-1)/2 qualifying pairs, so ANY engine materializing them is
+    output-bound (measured: the expanded form is ~3·10⁹ rows on the
+    10×-replicated sf1 stress corpus, killing a 24 GiB driver, while
+    the grouped form is 64 rows).  The multiplicity columns make the
+    grouped form information-complete; expansion is a consumer-side
+    flatMap if ever wanted.
+
+    Returns (id_a, id_b, dot, na2, nb2, cosine) with id_a < id_b when
+    ``expand_members``; with it off, (id_a, id_b, dot, na2, nb2, cosine,
+    n_a, n_b, n_pairs) with id_a <= id_b.
     """
+    if not expand_members and not collapse_exact:
+        raise ValueError("expand_members=False requires collapse_exact=True")
     p, q = threshold_num, threshold_den
     members = None
     if collapse_exact:
@@ -531,6 +550,26 @@ def tfidf_cosine_pairs(
             ).alias("cosine"),
         )
     )
+    if not expand_members:
+        gn = df.select(F.col(id_col).alias("doc"), F.col("_gn").cast("long").alias("_n"))
+        cols = ["id_a", "id_b", "dot", "na2", "nb2", "cosine", "n_a", "n_b", "n_pairs"]
+        cross = (
+            out.join(gn.select(F.col("doc").alias("id_a"), F.col("_n").alias("n_a")), "id_a")
+            .join(gn.select(F.col("doc").alias("id_b"), F.col("_n").alias("n_b")), "id_b")
+            .withColumn("n_pairs", (F.col("n_a") * F.col("n_b")).cast("long"))
+            .select(*cols)
+        )
+        selfg = (
+            self_pairs.join(
+                gn.select(F.col("doc").alias("id_a"), F.col("_n").alias("n_a")), "id_a"
+            )
+            .withColumn("n_b", F.col("n_a"))
+            .withColumn(
+                "n_pairs", F.expr("CAST((n_a * (n_a - 1)) div 2 AS BIGINT)")
+            )
+            .select(*cols)
+        )
+        return cross.unionByName(selfg)
     # when least/greatest reorders the expanded ids, the per-side norms
     # must swap along (dot and cosine are symmetric; na2/nb2 are not)
     flipped = F.col("xa") > F.col("xb")

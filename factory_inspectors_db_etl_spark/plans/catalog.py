@@ -3323,6 +3323,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
     "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
     "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
+    "j19_fifo_allocation": _EXT4_QUERIES["j19_fifo_allocation"],
+    "j21_grid_spatial_join": _EXT4_QUERIES["j21_grid_spatial_join"],
+    "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
+    "t_vocab_growth": _EXT4_QUERIES["t_vocab_growth"],
+    "w29_last_touch_attribution": _EXT4_QUERIES["w29_last_touch_attribution"],
+    "g6_clustering_coeff": _EXT4_QUERIES["g6_clustering_coeff"],
+    "p_temporal_split": _EXT4_QUERIES["p_temporal_split"],
+    "j23_incremental_join_view": _EXT4_QUERIES["j23_incremental_join_view"],
     # --- (c) similarity entries deferred from the r5 changed-code family ---
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
@@ -3346,6 +3354,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_distinct_counts": q_a4_distinct_counts,
     "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
     "j2_surrogate_dim": q_j2_surrogate_dim,
+    # ------- 50-slot window boundary (j2_surrogate_dim is position 50) -------
+    # The r3-green entries below did NOT fit the round-6 window and hold
+    # the repo's oldest driver evidence — rotate them forward FIRST in
+    # round 7: j3_nullsafe_join, a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
+    # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize,
+    # w14_scd2_intervals, t_repetition_stats, p_profile_columns,
+    # p_curate_corpus, d_contamination, t_pii_redact, p_hash_split,
+    # p_stratified_sample, p_group_sample, p_pack_bins, t_text_stats,
+    # t_language_guess, t_quality_score, t_token_count_bpe,
+    # t_char_fingerprint, m_multimodal_meta, m_multimodal_decode,
+    # m_frame_sample.
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
     "j3_nullsafe_join": q_j3_nullsafe_join,
     "a6_pivot": q_a6_pivot,
     "a6b_unpivot": q_a6b_unpivot,
@@ -3354,17 +3375,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
     "w12_exact_percentiles": q_w12_exact_percentiles,
     "w13_sessionize": q_w13_sessionize,
-    # ------- 50-slot window boundary (w13_sessionize is position 50) -------
-    # The r3-green entries below did NOT fit the round-6 window and hold
-    # the repo's oldest driver evidence — rotate them forward FIRST in
-    # round 7: w14_scd2_intervals, t_repetition_stats, p_profile_columns,
-    # p_curate_corpus, d_contamination, t_pii_redact, p_hash_split,
-    # p_stratified_sample, p_group_sample, p_pack_bins, t_text_stats,
-    # t_language_guess, t_quality_score, t_token_count_bpe,
-    # t_char_fingerprint, m_multimodal_meta, m_multimodal_decode,
-    # m_frame_sample.
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
     "w14_scd2_intervals": q_w14_scd2_intervals,
     "t_repetition_stats": q_t_repetition_stats,
     "p_profile_columns": q_p_profile_columns,

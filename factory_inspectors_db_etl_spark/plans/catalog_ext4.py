@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as MM
+from ..operators.allocation import fifo_allocate
 from ..operators.dedup import (
     connected_components_large_star,
     materialize,
@@ -50,28 +51,41 @@ def q_j16_tfidf_cosine_join(spark: SparkSession, sf: str) -> DataFrame:
     they share RARE words, with ubiquitous words contributing ~nothing.
     Integer surrogate idf (``w = N div df``) + suffix-norm prefix filter
     (lossless, Bayardo WWW'07) + DECIMAL(38,0) cross-multiplied
-    threshold — see ``operators.setsim.tfidf_cosine_pairs``.  The oracle
-    is capless all-pairs SQL over the same weights, so the prefix
-    filter's zero-false-negative claim is value-checked every run."""
+    threshold — see ``operators.setsim.tfidf_cosine_pairs``.
+
+    Registered at the DISTINCT-TEXT grain with member multiplicities
+    (``expand_members=False``): on duplicate-heavy corpora the
+    member-level enumeration is Θ(duplicates²) — measured ~3·10⁹ rows
+    on the 10×-replicated sf1 stress corpus, where the grouped result
+    is 64 rows — so the grouped form IS the scale contract, and the
+    multiplicity columns keep it information-complete.  The oracle is
+    capless all-pairs SQL at the same grain with df/N counted over RAW
+    rows, so the prefix filter's zero-false-negative claim is still
+    value-checked every run (member-level losslessness is pinned vs
+    brute force in tests/test_round6_ops.py)."""
     p = load_table(spark, sf, "part").select("p_partkey", "p_name")
     return tfidf_cosine_pairs(
-        p, "p_partkey", "p_name", threshold_num=3, threshold_den=5
+        p, "p_partkey", "p_name", threshold_num=3, threshold_den=5,
+        expand_members=False,
     )
 
 
 O_J16 = """
-WITH toks AS (
-  SELECT DISTINCT p_partkey AS doc, tok
+WITH grp AS MATERIALIZED (
+  SELECT min(p_partkey) AS doc, CAST(count(*) AS BIGINT) AS gn, p_name
+  FROM part GROUP BY p_name
+), toks AS (
+  SELECT DISTINCT doc, tok
   FROM (
-    SELECT p_partkey,
+    SELECT doc,
            unnest(string_split(regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g'), ' ')) AS tok
-    FROM part
+    FROM grp
   )
 ), n AS (
-  SELECT CAST(count(*) AS BIGINT) AS nd FROM part
+  SELECT CAST(sum(gn) AS BIGINT) AS nd FROM grp
 ), wt AS (
-  SELECT tok, CAST((SELECT nd FROM n) // CAST(count(*) AS BIGINT) AS BIGINT) AS w
-  FROM toks GROUP BY tok
+  SELECT tok, CAST((SELECT nd FROM n) // CAST(sum(g.gn) AS BIGINT) AS BIGINT) AS w
+  FROM toks t JOIN grp g USING (doc) GROUP BY tok
 ), tw AS (
   SELECT doc, t.tok, CAST(w * w AS BIGINT) AS w2
   FROM toks t JOIN wt USING (tok)
@@ -81,14 +95,27 @@ WITH toks AS (
   SELECT a.doc AS id_a, b.doc AS id_b, CAST(sum(a.w2) AS BIGINT) AS dot
   FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc < b.doc
   GROUP BY 1, 2
+), cross_pairs AS (
+  SELECT id_a, id_b, dot,
+         na.n2 AS na2, nb.n2 AS nb2,
+         CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine,
+         ga.gn AS n_a, gb.gn AS n_b,
+         CAST(ga.gn * gb.gn AS BIGINT) AS n_pairs
+  FROM dots
+  JOIN norms na ON na.doc = id_a
+  JOIN norms nb ON nb.doc = id_b
+  JOIN grp ga ON ga.doc = id_a
+  JOIN grp gb ON gb.doc = id_b
+  WHERE CAST(dot AS HUGEINT) * dot * 25 >= 9 * CAST(na.n2 AS HUGEINT) * nb.n2
+), self_pairs AS (
+  SELECT g.doc AS id_a, g.doc AS id_b, nm.n2 AS dot, nm.n2 AS na2, nm.n2 AS nb2,
+         CAST(nm.n2 AS DOUBLE) / sqrt(CAST(nm.n2 AS DOUBLE) * CAST(nm.n2 AS DOUBLE)) AS cosine,
+         g.gn AS n_a, g.gn AS n_b,
+         CAST(g.gn * (g.gn - 1) // 2 AS BIGINT) AS n_pairs
+  FROM grp g JOIN norms nm ON nm.doc = g.doc
+  WHERE g.gn >= 2
 )
-SELECT id_a, id_b, dot,
-       na.n2 AS na2, nb.n2 AS nb2,
-       CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
-FROM dots
-JOIN norms na ON na.doc = id_a
-JOIN norms nb ON nb.doc = id_b
-WHERE CAST(dot AS HUGEINT) * dot * 25 >= 9 * CAST(na.n2 AS HUGEINT) * nb.n2
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM self_pairs
 """
 
 
@@ -128,27 +155,53 @@ def q_g5_wcc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-O_G5_WCC = """
-WITH RECURSIVE li AS (
+# level-wise unrolled min-label propagation, NOT a recursive transitive
+# closure: the urgent co-purchase graph is one near-giant component, so
+# a walk CTE materializes O(|component|²) rows (~3.6e8 at sf0.1,
+# infeasible at sf1) — the same oracle-is-the-bottleneck lesson as g4.
+# Each round joins the label table against the symmetric edge list once;
+# _G5_ROUNDS=16 covers any plausible diameter of a dense co-purchase
+# graph (measured convergence is ~4-6 rounds), and an insufficient round
+# count cannot pass silently: Spark computes the true fixed point, so
+# the hashes would mismatch.  Every CTE is MATERIALIZED: each round
+# references its predecessor twice, and DuckDB's default inlining would
+# re-expand the whole chain 2^rounds times (measured: "too many open
+# files" at round 16 — g4 survives only because it unrolls 3).
+_G5_ROUNDS = 16
+
+
+def _gen_wcc_oracle(rounds: int = _G5_ROUNDS) -> str:
+    sql = """
+WITH li AS MATERIALIZED (
   SELECT l.l_orderkey, l.l_partkey
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
   WHERE o.o_orderpriority = '1-URGENT'
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b USING (l_orderkey)
   WHERE a.l_partkey < b.l_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT u, v FROM e0
   UNION
   SELECT v AS u, u AS v FROM e0
-), walk(node, label) AS (
-  SELECT u, u FROM edges
-  UNION
-  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
-)
-SELECT node AS part_id, min(label) AS component
-FROM walk GROUP BY node
-"""
+), r0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS lab FROM edges
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+r{i} AS MATERIALIZED (
+  SELECT r.node, least(r.lab, coalesce(m.ml, r.lab)) AS lab
+  FROM r{i - 1} r LEFT JOIN (
+    SELECT e.u AS node, min(p.lab) AS ml
+    FROM edges e JOIN r{i - 1} p ON p.node = e.v
+    GROUP BY 1
+  ) m ON m.node = r.node
+)"""
+    sql += f"\nSELECT node AS part_id, lab AS component FROM r{rounds}"
+    return sql
+
+
+O_G5_WCC = _gen_wcc_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -599,6 +652,537 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# J19: FIFO allocation (inventory lot matching via cumulative intervals)
+# ---------------------------------------------------------------------------
+
+
+def q_j19_fifo_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """J19: FIFO lot matching — per part, match 'A'-returnflag lineitems
+    (demand) against 'R'-flag lineitems (supply) in shipdate order,
+    emitting the exact quantity each (demand, supply) pair exchanges.
+    The distributed form is the cumulative-interval identity (see
+    ``operators.allocation.fifo_allocate``): alloc(i,j) = overlap of the
+    two cumulative unit ranges, paired by fixed-width cells of the
+    cumulative axis (J11 discipline) — no sequential walk, no per-key
+    all-pairs.  Rows pre-aggregate on the full natural key so the
+    per-part order (shipdate, orderkey, linenumber) is total by
+    construction (the p_pack_bins lesson: totality is a data property).
+    All quantities exact BIGINT."""
+    li = load_table(spark, sf, "lineitem")
+    base = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(
+            "l_partkey", "l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber"
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    demand = base.filter(F.col("l_returnflag") == "A").drop("l_returnflag")
+    supply = base.filter(F.col("l_returnflag") == "R").drop("l_returnflag")
+    out = fifo_allocate(
+        demand,
+        supply,
+        key_cols=["l_partkey"],
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        qty_col="qty",
+    )
+    return out.select(
+        F.col("l_partkey").alias("part_id"),
+        F.col("d_l_orderkey").alias("d_orderkey"),
+        F.col("d_l_linenumber").alias("d_linenumber"),
+        F.col("s_l_orderkey").alias("s_orderkey"),
+        F.col("s_l_linenumber").alias("s_linenumber"),
+        "alloc_qty",
+    )
+
+
+O_J19_FIFO = """
+WITH base AS (
+  SELECT l_partkey, l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1, 2, 3, 4, 5
+), c AS (
+  SELECT *,
+         CAST(sum(qty) OVER (PARTITION BY l_partkey, l_returnflag
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM base
+)
+SELECT d.l_partkey AS part_id,
+       d.l_orderkey AS d_orderkey, d.l_linenumber AS d_linenumber,
+       s.l_orderkey AS s_orderkey, s.l_linenumber AS s_linenumber,
+       CAST(least(d.hi, s.hi) - greatest(d.hi - d.qty, s.hi - s.qty) AS BIGINT)
+         AS alloc_qty
+FROM c d JOIN c s ON d.l_partkey = s.l_partkey
+WHERE d.l_returnflag = 'A' AND s.l_returnflag = 'R'
+  AND d.hi - d.qty < s.hi AND s.hi - s.qty < d.hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# J21: grid-bucketed spatial self-join (exact integer L2²)
+# ---------------------------------------------------------------------------
+
+_SPATIAL_R = 10_000  # radius on the 1e6 x 1e6 integer grid
+
+
+def q_j21_grid_spatial_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J21: spatial distance self-join — every customer pair within
+    Euclidean distance r on a synthetic 10⁶×10⁶ integer plane
+    (coordinates are md5-derived from the key: deterministic, uniform,
+    engine-portable — the p_hash_split identity convention).  Classic
+    grid decomposition: cell side = r, each point PROBES its 3×3 cell
+    neighborhood while standing in its home cell, so a qualifying pair
+    (L2 ≤ r ⟹ L∞ ≤ r ⟹ adjacent cells) joins on exactly one
+    (probe-cell = home-cell) key — an equi-join, never a quadratic
+    inequality join, and no post-dedup.  Distance stays the exact
+    integer dx²+dy² (BIGINT); candidate volume is O(n · density·r²),
+    the spatial-join optimum."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    hx = F.conv(F.substring(F.md5(F.concat(F.lit("gx:"), F.col("c_custkey").cast("string"))), 1, 15), 16, 10).cast("long")
+    hy = F.conv(F.substring(F.md5(F.concat(F.lit("gy:"), F.col("c_custkey").cast("string"))), 1, 15), 16, 10).cast("long")
+    pts = c.select(
+        "c_custkey",
+        (hx % 1_000_000).alias("x"),
+        (hy % 1_000_000).alias("y"),
+    ).withColumn("cx", F.expr(f"x div {_SPATIAL_R}")).withColumn(
+        "cy", F.expr(f"y div {_SPATIAL_R}")
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"), (F.expr("id div 3") - 1).alias("dy")
+    )
+    probes = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("jcx"),
+        (F.col("cy") + F.col("dy")).alias("jcy"),
+    )
+    home = pts.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probes.join(home, ["jcx", "jcy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(_SPATIAL_R * _SPATIAL_R)))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("xa").cast("long").alias("xa"),
+            F.col("ya").cast("long").alias("ya"),
+            F.col("xb").cast("long").alias("xb"),
+            F.col("yb").cast("long").alias("yb"),
+            d2.cast("long").alias("dist2"),
+        )
+    )
+
+
+O_J21_SPATIAL = f"""
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS x,
+         CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS y
+  FROM customer
+), cells AS (
+  SELECT *, x // {_SPATIAL_R} AS cx, y // {_SPATIAL_R} AS cy FROM pts
+), offsets AS (
+  SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(a.x AS BIGINT) AS xa, CAST(a.y AS BIGINT) AS ya,
+       CAST(b.x AS BIGINT) AS xb, CAST(b.y AS BIGINT) AS yb,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM cells a
+JOIN offsets o ON TRUE
+JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+WHERE a.c_custkey < b.c_custkey
+  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_SPATIAL_R * _SPATIAL_R}
+"""
+
+
+# ---------------------------------------------------------------------------
+# M-WAV: real WAV encode -> decode round-trip, frame-level integer energy
+# ---------------------------------------------------------------------------
+
+
+def q_m_wav_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """M-WAV: REAL audio frame analysis.  ``with_wav_payload`` builds a
+    genuine RIFF/PCM WAV per document whose SAMPLES replay a
+    SQL-expressible rule over the text; ``frame_energy_table`` then
+    really decodes it (RIFF chunk walk + PCM validation) and emits the
+    EXACT integer Σs² per 64-sample frame.  The oracle recomputes the
+    energies from the sample RULE — a hash match proves the whole
+    encode→decode round-trip bit-exactly (the audio twin of
+    ``m_png_decode``)."""
+    d = load_table(spark, sf, "documents")
+    return MM.frame_energy_table(MM.with_wav_payload(d), frame=64)
+
+
+O_M_WAV = """
+WITH m AS (
+  SELECT doc_id,
+         (CAST(doc_id % 5 AS BIGINT) + 2) * 64 AS n,
+         length(text) AS L,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+  FROM documents
+), smp AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n), i ->
+            CASE WHEN L = 0 THEN 0
+                 ELSE (codes[(i % L) + 1] * ((i % 7) + 1)) % 4096 - 2048 END) AS s
+  FROM m
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(list_sum(list_transform(list_slice(s, 64 * f + 1, 64 * f + 64), v -> v * v)) AS BIGINT) AS energy,
+       CAST(n AS BIGINT) AS n_samples
+FROM smp, UNNEST(range(0, n // 64)) t(f)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T-VG: n-gram vocabulary growth (Heaps law) at batch grain
+# ---------------------------------------------------------------------------
+
+_VG_BATCH = 200
+
+
+def q_t_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """T-VG: vocabulary-growth (Heaps-law) curve over the corpus in
+    ingestion order — per batch of 200 docs, the number of NEVER-SEEN
+    3-shingles and the cumulative vocabulary size.  The crawl-monitoring
+    companion to t_ngram_novelty: same first-owner framing (min doc_id
+    per shingle — one groupBy, no per-prefix rescans), aggregated to the
+    batch grain.  The cumulative sum runs over the BATCH table (≤ a few
+    hundred rows at any SF) via a broadcast inequality self-join — the
+    catalog's standing fix for unpartitioned-window funnels
+    (``operators/dims.py::mint_surrogate_ids``), so no stage ever
+    single-threads on the corpus."""
+    d = load_table(spark, sf, "documents")
+    sh = (
+        d.withColumn("_words", F.split(normalize_for_shingling(F.col("text")), " "))
+        .select("doc_id", F.explode(shingles(F.col("_words"), 3)).alias("_sh"))
+        .select("doc_id", F.xxhash64("_sh").alias("elem"))
+        .distinct()
+    )
+    firsts = sh.groupBy("elem").agg(F.min("doc_id").alias("_fd"))
+    newb = (
+        firsts.select(F.expr(f"_fd div {_VG_BATCH}").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_shingles"))
+    )
+    docs = (
+        d.select(F.expr(f"doc_id div {_VG_BATCH}").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    base = docs.join(newb, "batch_id", "left").fillna(0, subset=["new_shingles"])
+    prior = base.select(
+        F.col("batch_id").alias("_b2"), F.col("new_shingles").alias("_ns2")
+    )
+    return (
+        base.join(F.broadcast(prior), F.col("_b2") <= F.col("batch_id"))
+        .groupBy("batch_id", "n_docs", "new_shingles")
+        .agg(F.sum("_ns2").cast("long").alias("vocab_size"))
+        .select("batch_id", "n_docs", "new_shingles", "vocab_size")
+    )
+
+
+O_T_VOCAB_GROWTH = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+), firsts AS (
+  SELECT sh, min(doc_id) AS fd FROM sh GROUP BY 1
+), newb AS (
+  SELECT fd // {_VG_BATCH} AS batch_id, CAST(count(*) AS BIGINT) AS new_shingles
+  FROM firsts GROUP BY 1
+), docs AS (
+  SELECT doc_id // {_VG_BATCH} AS batch_id, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT CAST(d.batch_id AS BIGINT) AS batch_id, n_docs,
+       CAST(COALESCE(new_shingles, 0) AS BIGINT) AS new_shingles,
+       CAST(sum(COALESCE(new_shingles, 0)) OVER (ORDER BY d.batch_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM docs d LEFT JOIN newb USING (batch_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W29: last-touch attribution (most recent prior click within 7 days)
+# ---------------------------------------------------------------------------
+
+
+def q_w29_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """W29: last-touch marketing attribution — for every purchase, the
+    user's most recent PRIOR click, attributed only when it falls inside
+    a 7-day lookback.  One growing-frame window per user (last(...,
+    ignorenulls) over [unbounded preceding, -1] — incremental, never the
+    quadratic tail-rescan shape the w17 lesson flags), gap in exact
+    integer microseconds (engine-portable where SECOND truncation is
+    not).  The attribution staple behind marketing-spend dashboards."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lc = F.last(
+        F.when(F.col("event_type") == "click", F.struct("ts", "event_id")),
+        ignorenulls=True,
+    ).over(w)
+    horizon_us = 7 * 86400 * 1_000_000
+    out = (
+        ev.withColumn("_lc", lc)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "_gap_us", F.expr("timestampdiff(MICROSECOND, _lc.ts, ts)").cast("long")
+        )
+        .withColumn("_in", F.col("_gap_us") <= F.lit(horizon_us))
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(F.col("_in"), F.col("_lc.event_id")).alias("click_event_id"),
+        F.when(F.col("_in"), F.col("_gap_us")).alias("gap_us"),
+        F.coalesce(F.col("_in"), F.lit(False)).alias("attributed"),
+    )
+
+
+O_W29_ATTRIBUTION = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN struct_pack(cts := ts, ceid := event_id) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN date_diff('microsecond', lc.cts, ts) <= 604800000000
+            THEN lc.ceid END AS click_event_id,
+       CASE WHEN date_diff('microsecond', lc.cts, ts) <= 604800000000
+            THEN CAST(date_diff('microsecond', lc.cts, ts) AS BIGINT) END AS gap_us,
+       COALESCE(date_diff('microsecond', lc.cts, ts) <= 604800000000, FALSE) AS attributed
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# G6: local clustering coefficient (triangles / possible wedges per node)
+# ---------------------------------------------------------------------------
+
+
+def q_g6_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    """G6: local clustering coefficient over the urgent co-purchase
+    graph — coeff(v) = 2·T(v) / (d(v)·(d(v)−1)), the community-density
+    metric g2's raw triangle counts feed.  Same canonical-orientation
+    triangle enumeration as g2 (edges stored once as u<v, wedge join on
+    the middle node); degree from the symmetric edge list; the headline
+    is the EXACT integer ``coeff_e6 = (2T·10⁶) div (d(d−1))`` (the a22
+    int128→double lesson) with the display double derived from it.
+    Nodes with d < 2 report coefficient 0."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize(
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("part_id"))
+        .unionAll(edges.select(F.col("v").alias("part_id")))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = edges.select(F.col("u").alias("ta"), F.col("v").alias("tb"))
+    e2 = edges.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
+    tri = (
+        e1.join(e2, "tb")
+        .join(edges.select(F.col("u").alias("ta"), F.col("v").alias("tc")), ["ta", "tc"])
+        .select(F.explode(F.array("ta", "tb", "tc")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = deg.join(tri, "part_id", "left").fillna(0, subset=["n_triangles"])
+    coeff_e6 = F.expr(
+        "CASE WHEN degree < 2 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST((2 * n_triangles * 1000000) div (degree * (degree - 1)) AS BIGINT) END"
+    )
+    return out.select(
+        "part_id",
+        "degree",
+        "n_triangles",
+        coeff_e6.alias("coeff_e6"),
+    ).withColumn("clustering_coeff", F.col("coeff_e6").cast("double") / F.lit(1.0e6))
+
+
+O_G6_CLUSTERING = """
+WITH li AS MATERIALIZED (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT part_id, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS part_id FROM e UNION ALL SELECT v FROM e)
+  GROUP BY 1
+), tri AS (
+  SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT unnest([e1.u, e1.v, e2.v]) AS part_id
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+  )
+  GROUP BY 1
+)
+SELECT d.part_id, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree < 2 THEN 0
+                 ELSE (2 * COALESCE(t.n_triangles, 0) * 1000000)
+                      // (d.degree * (d.degree - 1)) END AS BIGINT) AS coeff_e6,
+       CAST(CASE WHEN d.degree < 2 THEN 0
+                 ELSE (2 * COALESCE(t.n_triangles, 0) * 1000000)
+                      // (d.degree * (d.degree - 1)) END AS DOUBLE) / 1e6
+         AS clustering_coeff
+FROM deg d LEFT JOIN tri t USING (part_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P-TS: temporal train/test split with cold-start labeling
+# ---------------------------------------------------------------------------
+
+
+def q_p_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    """P-TS: leakage-safe temporal train/test split — the ML-prep staple
+    the hash splits (p_hash_split) deliberately do NOT cover: the cutoff
+    is the 80% point of the observed time span (exact integer-µs
+    cross-multiplication, no float epochs), events strictly before it
+    are 'train', the rest 'test', and every user whose FIRST event lands in
+    the test period is flagged cold_start (the users a temporal model
+    has never seen).  One window shuffle on user_id for first-event;
+    bounds arrive by broadcast 1-row cross join."""
+    ev = load_table(spark, sf, "events")
+    bounds = ev.agg(F.min("ts").alias("_lo"), F.max("ts").alias("_hi"))
+    w = W.partitionBy("user_id")
+    lab = (
+        ev.withColumn("_first", F.min("ts").over(w))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("_off5", F.expr("timestampdiff(MICROSECOND, _lo, ts)") * 5)
+        .withColumn("_span4", F.expr("timestampdiff(MICROSECOND, _lo, _hi)") * 4)
+        .withColumn(
+            "_foff5", F.expr("timestampdiff(MICROSECOND, _lo, _first)") * 5
+        )
+    )
+    return lab.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("_off5") < F.col("_span4"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        (F.col("_foff5") >= F.col("_span4")).alias("cold_start"),
+    )
+
+
+O_P_TEMPORAL_SPLIT = """
+WITH b AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM events
+), u AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN date_diff('microsecond', b.lo, e.ts) * 5
+                 < date_diff('microsecond', b.lo, b.hi) * 4
+            THEN 'train' ELSE 'test' END AS split,
+       date_diff('microsecond', b.lo, u.first_ts) * 5
+         >= date_diff('microsecond', b.lo, b.hi) * 4 AS cold_start
+FROM events e, b
+JOIN u ON u.user_id = e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# J23: incremental join-view maintenance (delta-join identity)
+# ---------------------------------------------------------------------------
+
+
+def q_j23_incremental_join_view(spark: SparkSession, sf: str) -> DataFrame:
+    """J23: materialized JOIN-view maintenance — the delta-join identity
+    ΔV = ΔA ⋈ B (A8 covers the aggregate half; this is the join half).
+    The per-nation revenue view over orders ⋈ customer ⋈ nation is
+    maintained INCREMENTALLY: the pre-existing state (orders before
+    1997) is aggregated once, the 'newly arrived' batch (1997+) joins
+    the dims alone, and the view is the merged re-aggregation — never a
+    re-scan of the old fact.  The ORACLE recomputes the view from
+    scratch, so a hash match value-checks the maintenance identity
+    itself cross-engine.  Money in integer cents throughout."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    cut = F.lit("1997-01-01").cast("date")
+
+    def contribution(orders: DataFrame) -> DataFrame:
+        return (
+            orders.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum(_cents("o_totalprice")).cast("long").alias("revenue_cents"),
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+            )
+        )
+
+    old_state = contribution(o.filter(F.col("o_orderdate") < cut))
+    delta = contribution(o.filter(F.col("o_orderdate") >= cut))
+    return (
+        old_state.unionByName(delta)
+        .groupBy("n_name")
+        .agg(
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+
+
+O_J23_INC_VIEW = """
+SELECT n.n_name,
+       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -609,6 +1193,14 @@ EXT4_QUERIES = {
     "t_ngram_novelty": q_t_ngram_novelty,
     "p_reservoir_sample": q_p_reservoir_sample,
     "o8_skyline_2d": q_o8_skyline_2d,
+    "j19_fifo_allocation": q_j19_fifo_allocation,
+    "j21_grid_spatial_join": q_j21_grid_spatial_join,
+    "m_wav_energy": q_m_wav_energy,
+    "t_vocab_growth": q_t_vocab_growth,
+    "w29_last_touch_attribution": q_w29_last_touch_attribution,
+    "g6_clustering_coeff": q_g6_clustering_coeff,
+    "p_temporal_split": q_p_temporal_split,
+    "j23_incremental_join_view": q_j23_incremental_join_view,
 }
 
 EXT4_ORACLES = {
@@ -621,4 +1213,12 @@ EXT4_ORACLES = {
     "t_ngram_novelty": O_T_NOVELTY,
     "p_reservoir_sample": O_P_RESERVOIR,
     "o8_skyline_2d": O_O8_SKYLINE,
+    "j19_fifo_allocation": O_J19_FIFO,
+    "j21_grid_spatial_join": O_J21_SPATIAL,
+    "m_wav_energy": O_M_WAV,
+    "t_vocab_growth": O_T_VOCAB_GROWTH,
+    "w29_last_touch_attribution": O_W29_ATTRIBUTION,
+    "g6_clustering_coeff": O_G6_CLUSTERING,
+    "p_temporal_split": O_P_TEMPORAL_SPLIT,
+    "j23_incremental_join_view": O_J23_INC_VIEW,
 }

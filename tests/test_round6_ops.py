@@ -132,6 +132,46 @@ def test_tfidf_cosine_planted_variants(spark):
     pd.testing.assert_frame_equal(m, b, check_exact=True)
 
 
+def test_tfidf_cosine_grouped_contract_is_information_complete(spark):
+    """expand_members=False (the registered 100 TB contract) must be the
+    exact grouping of the expanded result: reps are min member ids,
+    sum(n_pairs) equals the expanded pair count, and a consumer-side
+    expansion of the grouped rows reproduces the expanded pair SET."""
+    rows = [
+        (1, "zephyr quartz marble alpha beta"),
+        (2, "zephyr quartz marble alpha beta"),  # dup of 1
+        (7, "zephyr quartz marble alpha beta"),  # dup of 1
+        (3, "zephyr quartz marble alpha delta"),
+        (9, "zephyr quartz marble alpha delta"),  # dup of 3
+        (4, "plain common words only here"),
+        (6, "delta beta filler goes here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    grouped = tfidf_cosine_pairs(
+        df, "doc_id", "text", 3, 5, expand_members=False
+    ).toPandas()
+    expanded = tfidf_cosine_pairs(df, "doc_id", "text", 3, 5).toPandas()
+    assert int(grouped["n_pairs"].sum()) == len(expanded)
+    # groups: {1,2,7} rep 1, {3,9} rep 3 -> cross row (1,3) n_pairs 6,
+    # self rows (1,1) n_pairs 3 and (3,3) n_pairs 1
+    by_pair = {(r.id_a, r.id_b): r for r in grouped.itertuples()}
+    assert by_pair[(1, 3)].n_pairs == 6 and by_pair[(1, 3)].n_a == 3
+    assert by_pair[(1, 1)].n_pairs == 3 and by_pair[(1, 1)].cosine == 1.0
+    assert by_pair[(3, 3)].n_pairs == 1
+    # consumer-side expansion reproduces the expanded pair set exactly
+    members = {1: [1, 2, 7], 3: [3, 9], 4: [4], 6: [6]}
+    regen = set()
+    for (ra, rb), r in by_pair.items():
+        if ra == rb:
+            ms = members[ra]
+            regen |= {(a, b) for i, a in enumerate(ms) for b in ms[i + 1:]}
+        else:
+            regen |= {
+                (min(a, b), max(a, b)) for a in members[ra] for b in members[rb]
+            }
+    assert regen == set(map(tuple, expanded[["id_a", "id_b"]].values))
+
+
 # ---------------------------------------------------------------------------
 # G5 WCC vs union-find
 # ---------------------------------------------------------------------------
@@ -311,3 +351,235 @@ def test_sqlite_rejects_suspicious_column_names(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], ["ok_col", 'bad"col'])
     with pytest.raises(ValueError, match="suspicious column"):
         write_relational(df, str(tmp_path / "t.db"), "t", key_cols=["ok_col"])
+
+
+# ---------------------------------------------------------------------------
+# Round-6b operators: FIFO allocation, spatial grid join, WAV energy,
+# vocabulary growth, last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def _sequential_fifo(demand, supply):
+    """Textbook sequential FIFO walk (the spec the distributed form must
+    equal): demand/supply are [(key..., qty)] lists already in order."""
+    out, di, si = [], 0, 0
+    d = [list(x) for x in demand]
+    s = [list(x) for x in supply]
+    while di < len(d) and si < len(s):
+        take = min(d[di][-1], s[si][-1])
+        if take > 0:
+            out.append((d[di][0], s[si][0], take))
+        d[di][-1] -= take
+        s[si][-1] -= take
+        if d[di][-1] == 0:
+            di += 1
+        if s[si][-1] == 0:
+            si += 1
+    return out
+
+
+def test_fifo_allocate_equals_sequential_walk(spark):
+    from factory_inspectors_db_etl_spark.operators.allocation import fifo_allocate
+
+    # quantities straddle the cell width (64) to force multi-cell
+    # intervals and boundary-spanning pairs
+    demand = [("k1", 1, 100), ("k1", 2, 7), ("k1", 3, 130), ("k2", 1, 5)]
+    supply = [("k1", 10, 60), ("k1", 11, 200), ("k2", 10, 9), ("k3", 1, 4)]
+    ddf = spark.createDataFrame(demand, ["key", "seq", "qty"])
+    sdf = spark.createDataFrame(supply, ["key", "seq", "qty"])
+    out = fifo_allocate(ddf, sdf, ["key"], ["seq"], "qty").toPandas()
+    got = {
+        (r.key, r.d_seq, r.s_seq): r.alloc_qty for r in out.itertuples()
+    }
+    expect = {}
+    for key in ("k1", "k2", "k3"):
+        dd = [(seq, q) for k, seq, q in demand if k == key]
+        ss = [(seq, q) for k, seq, q in supply if k == key]
+        for dseq, sseq, take in _sequential_fifo(dd, ss):
+            expect[(key, dseq, sseq)] = take
+    assert got == expect
+    # conservation: per key, allocated total = min(total demand, supply)
+    for key in ("k1", "k2"):
+        td = sum(q for k, _, q in demand if k == key)
+        ts = sum(q for k, _, q in supply if k == key)
+        assert sum(v for (k, _, _), v in got.items() if k == key) == min(td, ts)
+
+
+def test_j19_catalog_conservation(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_j19_fifo_allocation
+
+    out = q_j19_fifo_allocation(spark, sf_dir).toPandas()
+    assert (out["alloc_qty"] >= 1).all()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li = li[li["l_returnflag"].isin(["A", "R"])]
+    tot = li.groupby(["l_partkey", "l_returnflag"])["l_quantity"].sum().unstack(fill_value=0)
+    alloc = out.groupby("part_id")["alloc_qty"].sum()
+    for part, row in tot.iterrows():
+        expect = int(min(row.get("A", 0), row.get("R", 0)))
+        assert int(alloc.get(part, 0)) == expect
+
+
+def test_j21_spatial_matches_bruteforce(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import (
+        _SPATIAL_R,
+        q_j21_grid_spatial_join,
+    )
+
+    out = q_j21_grid_spatial_join(spark, sf_dir).toPandas()
+    # brute force from the same md5-derived coordinates
+    import hashlib
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").toPandas()
+
+    def coord(prefix, k):
+        return int(hashlib.md5(f"{prefix}{k}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    xs = {k: (coord("gx:", k), coord("gy:", k)) for k in cust["c_custkey"]}
+    keys = sorted(xs)
+    brute = set()
+    r2 = _SPATIAL_R * _SPATIAL_R
+    for i, a in enumerate(keys):
+        xa, ya = xs[a]
+        for b in keys[i + 1 :]:
+            xb, yb = xs[b]
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r2:
+                brute.add((a, b, d2))
+    got = set(zip(out["id_a"], out["id_b"], out["dist2"]))
+    assert got == brute
+
+
+def test_wav_roundtrip_and_frame_energy():
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav,
+        wav_frame_energies,
+    )
+
+    i = np.arange(256, dtype="int64")
+    s = ((i * 37 + 11) % 4096 - 2048).astype("int64")
+    payload = encode_wav(s.astype("<i2"), sample_rate=8000)
+    # the existing decoder accepts the new encoder's output
+    feats = decode_wav_pcm(payload)
+    assert feats[0] == 1.0 and feats[2] == 256.0
+    energies = wav_frame_energies(payload, frame=64)
+    expect = (s.reshape(4, 64) ** 2).sum(axis=1)
+    assert energies == [int(e) for e in expect]
+    with pytest.raises(ValueError):
+        wav_frame_energies(b"RIFFxxxxNOPE" + b"\x00" * 64)
+
+
+def test_vocab_growth_is_cumulative_and_total(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_t_vocab_growth
+
+    out = q_t_vocab_growth(spark, sf_dir).toPandas().sort_values("batch_id")
+    assert (out["vocab_size"].diff().dropna() >= 0).all()
+    assert out["vocab_size"].iloc[-1] == out["new_shingles"].sum()
+    assert out["n_docs"].sum() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_w29_attribution_matches_bruteforce(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import (
+        q_w29_last_touch_attribution,
+    )
+
+    out = q_w29_last_touch_attribution(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas().sort_values(["user_id", "ts", "event_id"])
+    horizon = pd.Timedelta(days=7)
+    expect = {}
+    for uid, grp in ev.groupby("user_id"):
+        last_click = None
+        for r in grp.itertuples():
+            if r.event_type == "purchase":
+                if last_click is not None and (r.ts - last_click[0]) <= horizon:
+                    expect[r.event_id] = (last_click[1], (r.ts - last_click[0]) // pd.Timedelta(microseconds=1))
+                else:
+                    expect[r.event_id] = (None, None)
+            if r.event_type == "click":
+                last_click = (r.ts, r.event_id)
+    got = {
+        r.event_id: (
+            None if pd.isna(r.click_event_id) else int(r.click_event_id),
+            None if pd.isna(r.gap_us) else int(r.gap_us),
+        )
+        for r in out.itertuples()
+    }
+    assert got == expect
+
+
+def test_g6_clustering_coeff_matches_set_bruteforce(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_g6_clustering_coeff
+
+    out = q_g6_clustering_coeff(spark, sf_dir).toPandas()
+    assert out["clustering_coeff"].between(0, 1).all()
+    # independent set-based recompute of degree/triangles per node
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").toPandas()
+    urgent = set(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    li = li[li["l_orderkey"].isin(urgent)]
+    adj = {}
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    for r in out.itertuples():
+        nbrs = adj.get(r.part_id, set())
+        assert r.degree == len(nbrs)
+        tri = sum(len(adj[x] & nbrs) for x in nbrs) // 2
+        assert r.n_triangles == tri
+        if r.degree >= 2:
+            assert r.coeff_e6 == (2 * tri * 1_000_000) // (r.degree * (r.degree - 1))
+
+
+def test_p_temporal_split_has_no_leakage(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_p_temporal_split
+
+    out = q_p_temporal_split(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts").toPandas()
+    j = out.merge(ev, on=["event_id", "user_id"])
+    lo, hi = ev["ts"].min(), ev["ts"].max()
+    cut_ok = (j["ts"] - lo) * 5 < (hi - lo) * 4
+    assert ((j["split"] == "train") == cut_ok).all()
+    # cold-start users have EVERY event in the test period (no leakage)
+    cold = set(j.loc[j["cold_start"], "user_id"])
+    assert (j.loc[j["user_id"].isin(cold), "split"] == "test").all()
+    # and every non-cold user has at least one train event
+    warm = j[~j["user_id"].isin(cold)]
+    assert (warm.groupby("user_id")["split"].apply(lambda s: (s == "train").any())).all()
+
+
+def test_j23_incremental_equals_full_recompute(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import (
+        q_j23_incremental_join_view,
+    )
+
+    inc = (
+        q_j23_incremental_join_view(spark, sf_dir)
+        .toPandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    full = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .toPandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inc, full, check_exact=True)
