@@ -1183,6 +1183,102 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# A24: percentile rank / empirical CDF per group
+# ---------------------------------------------------------------------------
+
+
+def q_a24_percentile_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """A24: each customer's spend percentile WITHIN their nation —
+    ``percent_rank`` ((rank−1)/(n−1)) and ``cume_dist`` (empirical CDF,
+    tie-aware) over exact integer cents.  The inverse lookup of w12's
+    quantiles (value → percentile instead of percentile → value).  Both
+    outputs are single exact-integer ratios, so the doubles are
+    bit-identical cross-engine; one shuffle to customer grain, one
+    window shuffle per nation, dims broadcast."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = W.partitionBy("n_name").orderBy("cents")
+    return cust.select(
+        F.col("c_custkey"),
+        "n_name",
+        "cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdf"),
+    )
+
+
+O_A24_PCT_RANK = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c.c_custkey, n.n_name, cust.cents
+  FROM cust
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT c_custkey, n_name, cents,
+       percent_rank() OVER (PARTITION BY n_name ORDER BY cents) AS pct_rank,
+       cume_dist() OVER (PARTITION BY n_name ORDER BY cents) AS cdf
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# P-BAL: balanced class downsampling (majority classes cut to minority size)
+# ---------------------------------------------------------------------------
+
+
+def q_p_balanced_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """P-BAL: class-balanced downsampling — every event_type reduced to
+    the MINORITY class's count, membership decided by the k smallest
+    salted content hashes per class (deterministic replay, the sampling
+    family convention; never rand()).  The imbalanced-classification
+    prep step p_group_sample's fixed-k form does not cover: k here is
+    data-dependent (the global min class count), delivered by one
+    broadcast 1-row join, so the plan is one class-partitioned window +
+    one broadcast filter at any scale."""
+    ev = load_table(spark, sf, "events")
+    rk = F.md5(F.concat(F.lit("bal6:"), F.col("event_id").cast("string")))
+    w = W.partitionBy("event_type").orderBy(rk, "event_id")
+    ranked = ev.select(
+        "event_id", "user_id", "event_type", F.row_number().over(w).alias("_rn")
+    )
+    min_n = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(F.min("_cnt").alias("_min_n"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .filter(F.col("_rn") <= F.col("_min_n"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+O_P_BALANCED = """
+WITH ranked AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5('bal6:' || CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+), m AS (
+  SELECT min(cnt) AS min_n FROM (SELECT count(*) AS cnt FROM events GROUP BY event_type)
+)
+SELECT event_id, user_id, event_type
+FROM ranked, m WHERE rn <= min_n
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -1201,6 +1297,8 @@ EXT4_QUERIES = {
     "g6_clustering_coeff": q_g6_clustering_coeff,
     "p_temporal_split": q_p_temporal_split,
     "j23_incremental_join_view": q_j23_incremental_join_view,
+    "a24_percentile_rank": q_a24_percentile_rank,
+    "p_balanced_downsample": q_p_balanced_downsample,
 }
 
 EXT4_ORACLES = {
@@ -1221,4 +1319,6 @@ EXT4_ORACLES = {
     "g6_clustering_coeff": O_G6_CLUSTERING,
     "p_temporal_split": O_P_TEMPORAL_SPLIT,
     "j23_incremental_join_view": O_J23_INC_VIEW,
+    "a24_percentile_rank": O_A24_PCT_RANK,
+    "p_balanced_downsample": O_P_BALANCED,
 }

@@ -43,7 +43,13 @@ import sqlite3
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _BATCH = 1_000
 _BUSY_MS = 30_000
@@ -260,6 +266,135 @@ class SqliteRelationDataSource(DataSource):
 
     def reader(self, schema) -> _SqliteRelationReader:
         return _SqliteRelationReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "_SqliteRelationWriter":
+        return _SqliteRelationWriter(self.options, schema, overwrite)
+
+
+class _Staged(WriterCommitMessage):
+    """One committed task attempt: its private staging table + row count."""
+
+    def __init__(self, staging: str, rows: int):
+        self.staging, self.rows = staging, rows
+
+
+class _SqliteRelationWriter(DataSourceWriter):
+    """The WRITE half of the Spark-4 Python Data Source — and the piece
+    that upgrades the relational sink from at-least-once to EXACTLY-ONCE:
+    the full staged-commit protocol.
+
+    * ``write`` (executor-side, once per task ATTEMPT) inserts its rows
+      into a private staging table named with a fresh uuid — a retried
+      or speculatively-duplicated attempt writes a DIFFERENT staging
+      table and never touches the target.
+    * ``commit`` (driver-side, exactly once, only with the commit
+      message of each task's ONE successful attempt) publishes all
+      staged rows into the target inside a single transaction —
+      overwrite's DELETE rides in the same transaction, so readers see
+      the old table or the new one, never a mix — then drops every
+      ``_stg_<table>_%`` leftover, including orphans from failed
+      attempts.
+    * ``abort`` best-effort-drops the staging tables of whatever
+      messages arrived.
+
+    This is the same write/commit/abort contract ``df.write.jdbc`` can
+    NOT give (plain JDBC inserts publish per-task); modeled here against
+    a live SQL engine so the protocol is actually testable.  Usage:
+    ``df.write.format("sqlite_relation").options(path=db, table=t)
+    .mode("append"|"overwrite").save()``.
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self._db = options.get("path")
+        self._table = options.get("table")
+        if not self._db or not self._table:
+            raise ValueError("sqlite_relation requires options path=<db file> and table=<name>")
+        if not self._table.replace("_", "").isalnum():
+            raise ValueError(f"suspicious table name {self._table!r}")
+        for f in schema.fields:
+            if not f.name.replace("_", "").isalnum():
+                raise ValueError(f"suspicious column name {f.name!r}")
+        self._names = [f.name for f in schema.fields]
+        self._overwrite = overwrite
+        col_defs = ", ".join(f'"{f.name}" {_sqlite_type(f.dataType)}' for f in schema.fields)
+        con = _connect(self._db)
+        try:
+            con.execute("PRAGMA journal_mode=WAL")  # concurrent task writers
+            con.execute(f'CREATE TABLE IF NOT EXISTS "{self._table}" ({col_defs})')
+            con.commit()
+        finally:
+            con.close()
+
+    def write(self, iterator) -> _Staged:
+        import uuid
+
+        staging = f"_stg_{self._table}_{uuid.uuid4().hex}"
+        cols = ", ".join(f'"{n}"' for n in self._names)
+        sql = (
+            f'INSERT INTO "{staging}" ({cols}) VALUES ('
+            + ", ".join("?" for _ in self._names)
+            + ")"
+        )
+        con = _connect(self._db)
+        n = 0
+        try:
+            con.execute(
+                f'CREATE TABLE "{staging}" AS SELECT {cols} FROM "{self._table}" WHERE 0'
+            )
+            buf = []
+            for row in iterator:
+                buf.append(tuple(_to_sql(row[c]) for c in self._names))
+                n += 1
+                if len(buf) >= _BATCH:
+                    con.executemany(sql, buf)
+                    buf.clear()
+            if buf:
+                con.executemany(sql, buf)
+            con.commit()  # the attempt's staging table becomes durable
+        finally:
+            con.close()
+        return _Staged(staging, n)
+
+    def commit(self, messages) -> None:
+        con = _connect(self._db)
+        cols = ", ".join(f'"{n}"' for n in self._names)
+        try:
+            cur = con.cursor()
+            cur.execute("BEGIN IMMEDIATE")  # one atomic publish
+            if self._overwrite:
+                cur.execute(f'DELETE FROM "{self._table}"')
+            winners = {m.staging for m in messages}
+            for staging in sorted(winners):
+                cur.execute(
+                    f'INSERT INTO "{self._table}" ({cols}) SELECT {cols} FROM "{staging}"'
+                )
+            con.commit()
+            # outside the publish transaction: drop winners AND any
+            # orphaned staging tables from failed/duplicate attempts
+            leftovers = [
+                r[0]
+                for r in con.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table' AND name LIKE ?",
+                    (f"_stg_{self._table}_%",),
+                )
+            ]
+            for t in leftovers:
+                con.execute(f'DROP TABLE IF EXISTS "{t}"')
+            con.commit()
+        finally:
+            con.close()
+
+    def abort(self, messages) -> None:
+        try:
+            con = _connect(self._db)
+            try:
+                for m in messages:
+                    con.execute(f'DROP TABLE IF EXISTS "{m.staging}"')
+                con.commit()
+            finally:
+                con.close()
+        except Exception:
+            pass  # abort is best-effort by contract
 
 
 _BATCH_LOG = "_spark_batch_log"

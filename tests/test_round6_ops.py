@@ -583,3 +583,37 @@ def test_j23_incremental_equals_full_recompute(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(inc, full, check_exact=True)
+
+
+def test_a24_percentile_rank_properties(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_a24_percentile_rank
+
+    out = q_a24_percentile_rank(spark, sf_dir).toPandas()
+    assert out["pct_rank"].between(0, 1).all() and out["cdf"].between(0, 1).all()
+    for _, grp in out.groupby("n_name"):
+        g = grp.sort_values(["cents", "c_custkey"]).reset_index(drop=True)
+        n = len(g)
+        # max spender has cdf exactly 1; percent_rank is (rank-1)/(n-1)
+        assert g["cdf"].iloc[-1] == 1.0
+        if n > 1:
+            import numpy as _np
+
+            ranks = g["cents"].rank(method="min").astype(int)
+            assert _np.allclose(g["pct_rank"], (ranks - 1) / (n - 1), atol=0)
+            cdf = g["cents"].rank(method="max").astype(int) / n
+            assert _np.allclose(g["cdf"], cdf, atol=0)
+
+
+def test_p_balanced_downsample_is_balanced_and_deterministic(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import (
+        q_p_balanced_downsample,
+    )
+
+    a = q_p_balanced_downsample(spark, sf_dir).toPandas()
+    b = q_p_balanced_downsample(spark, sf_dir).toPandas()
+    assert set(a["event_id"]) == set(b["event_id"])  # replayable
+    sizes = a.groupby("event_type").size()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    min_n = ev.groupby("event_type").size().min()
+    assert (sizes == min_n).all()
+    assert sizes.index.nunique() == ev["event_type"].nunique()

@@ -266,3 +266,82 @@ def test_stream_relational_sink_exactly_once(spark, db, sf_dir, tmp_path):
     assert hacked2 == 1 and ledgered == 1
     with pytest.raises(ValueError, match="append mode"):
         stream_relational_sink(st, db, "x", ["event_id"], ckpt, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 Python Data Source WRITER: staged-commit exactly-once protocol
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_writer_append_and_overwrite_roundtrip(spark, tmp_path):
+    _register_source(spark)
+    db = str(tmp_path / "w.db")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) / 4) for i in range(257)], ["id", "name", "score"]
+    ).repartition(8)
+    df.write.format("sqlite_relation").options(path=db, table="people").mode(
+        "append"
+    ).save()
+    con = sqlite3.connect(db)
+    (n,) = con.execute('SELECT count(*) FROM "people"').fetchone()
+    assert n == 257
+    # append accumulates
+    df.limit(10).write.format("sqlite_relation").options(path=db, table="people").mode(
+        "append"
+    ).save()
+    (n2,) = con.execute('SELECT count(*) FROM "people"').fetchone()
+    assert n2 == 267
+    # overwrite atomically replaces
+    df.limit(5).write.format("sqlite_relation").options(path=db, table="people").mode(
+        "overwrite"
+    ).save()
+    (n3,) = con.execute('SELECT count(*) FROM "people"').fetchone()
+    assert n3 == 5
+    # no staging tables survive a successful commit
+    stg = list(
+        con.execute("SELECT name FROM sqlite_master WHERE name LIKE '_stg_people_%'")
+    )
+    con.close()
+    assert stg == []
+    # round-trip through the READER half of the same data source
+    back = (
+        spark.read.format("sqlite_relation")
+        .options(path=db, table="people", partitions=3)
+        .load()
+    )
+    assert back.count() == 5
+    assert {r["id"] for r in back.collect()} <= set(range(257))
+
+
+def test_datasource_writer_commit_cleans_orphaned_attempts(spark, tmp_path):
+    """A staging table left behind by a failed/duplicate task attempt
+    must NOT be published, and commit() must sweep it away."""
+    _register_source(spark)
+    db = str(tmp_path / "o.db")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    df.write.format("sqlite_relation").options(path=db, table="t").mode("append").save()
+    # plant an orphan as if a zombie attempt had committed its staging
+    con = sqlite3.connect(db)
+    con.execute('CREATE TABLE "_stg_t_deadbeef" AS SELECT * FROM "t" WHERE 0')
+    con.execute('INSERT INTO "_stg_t_deadbeef" VALUES (99, "zombie")')
+    con.commit()
+    con.close()
+    df.write.format("sqlite_relation").options(path=db, table="t").mode("append").save()
+    con = sqlite3.connect(db)
+    (zombies,) = con.execute('SELECT count(*) FROM "t" WHERE id = 99').fetchone()
+    stg = list(con.execute("SELECT name FROM sqlite_master WHERE name LIKE '_stg_t_%'"))
+    (n,) = con.execute('SELECT count(*) FROM "t"').fetchone()
+    con.close()
+    assert zombies == 0  # orphan rows never published
+    assert stg == []  # and the orphan table was swept
+    assert n == 4
+
+
+def test_datasource_writer_rejects_suspicious_names(spark, tmp_path):
+    _register_source(spark)
+    db = str(tmp_path / "s.db")
+    df = spark.createDataFrame([(1,)], ["ok"])
+    with pytest.raises(Exception, match="suspicious table name"):
+        df.write.format("sqlite_relation").options(path=db, table='t"; DROP').mode(
+            "append"
+        ).save()
