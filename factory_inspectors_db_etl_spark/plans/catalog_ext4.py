@@ -1279,6 +1279,49 @@ FROM ranked, m WHERE rn <= min_n
 """
 
 
+# ---------------------------------------------------------------------------
+# M-MP4: real ISO-BMFF container demux, SQL-replayed metadata
+# ---------------------------------------------------------------------------
+
+
+def q_m_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """M-MP4: REAL video-container demux.  ``with_mp4_payload`` builds a
+    genuine ISO BMFF file per document (size-prefixed box tree: ftyp +
+    moov(mvhd + trak(tkhd)) + mdat) whose container FIELDS replay a
+    SQL-expressible rule; ``decode_and_featurize`` then really parses it
+    (``parse_mp4``: recursive box walk, size validation, version-0
+    full-box field extraction).  A hash match proves the demux path
+    end-to-end — the container level is what a data pipeline needs
+    (duration, geometry, payload size); codec frame decode stays the
+    declared fallback."""
+    d = load_table(spark, sf, "documents")
+    feats = MM.decode_and_featurize(MM.with_mp4_payload(d))
+    fx = lambda i: F.element_at("features", i)  # noqa: E731
+    return feats.select(
+        "doc_id",
+        fx(1).cast("long").alias("timescale"),
+        fx(2).cast("long").alias("duration"),
+        fx(3).alias("duration_s"),
+        fx(4).cast("int").alias("width"),
+        fx(5).cast("int").alias("height"),
+        fx(6).cast("int").alias("n_boxes"),
+        fx(7).cast("long").alias("mdat_bytes"),
+    )
+
+
+O_M_MP4 = """
+SELECT doc_id,
+       CAST(1000 AS BIGINT) AS timescale,
+       CAST((doc_id % 9 + 1) * 1000 + length(text) AS BIGINT) AS duration,
+       CAST((doc_id % 9 + 1) * 1000 + length(text) AS DOUBLE) / 1000 AS duration_s,
+       CAST((doc_id % 5 + 1) * 64 AS INTEGER) AS width,
+       CAST((doc_id % 3 + 1) * 48 AS INTEGER) AS height,
+       CAST(6 AS INTEGER) AS n_boxes,
+       CAST(least(length(text), 16) AS BIGINT) AS mdat_bytes
+FROM documents
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -1299,6 +1342,7 @@ EXT4_QUERIES = {
     "j23_incremental_join_view": q_j23_incremental_join_view,
     "a24_percentile_rank": q_a24_percentile_rank,
     "p_balanced_downsample": q_p_balanced_downsample,
+    "m_mp4_meta": q_m_mp4_meta,
 }
 
 EXT4_ORACLES = {
@@ -1321,4 +1365,5 @@ EXT4_ORACLES = {
     "j23_incremental_join_view": O_J23_INC_VIEW,
     "a24_percentile_rank": O_A24_PCT_RANK,
     "p_balanced_downsample": O_P_BALANCED,
+    "m_mp4_meta": O_M_MP4,
 }

@@ -617,3 +617,52 @@ def test_p_balanced_downsample_is_balanced_and_deterministic(spark, sf_dir):
     min_n = ev.groupby("event_type").size().min()
     assert (sizes == min_n).all()
     assert sizes.index.nunique() == ev["event_type"].nunique()
+
+
+def test_mp4_container_roundtrip_and_corruption():
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        decode_mp4,
+        encode_mp4_min,
+        parse_mp4,
+    )
+
+    pl = encode_mp4_min(1000, 7321, 640, 480, b"sample-bytes")
+    m = parse_mp4(pl)
+    assert m == {
+        "n_boxes": 6,
+        "timescale": 1000,
+        "duration": 7321,
+        "width": 640,
+        "height": 480,
+        "mdat_bytes": 12,
+    }
+    assert decode_mp4(pl)[:3] == [1000.0, 7321.0, 7.321]
+    # box-size overrun must be detected, not silently mis-parsed
+    bad = bytearray(pl)
+    bad[0] = 0xFF  # inflate ftyp's size field past the buffer
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_mp4(bytes(bad))
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free" + b"\x00" * 16)
+    # a moov without mvhd is rejected (no silent defaults)
+    ftyp_len = int.from_bytes(pl[:4], "big")
+    no_mvhd = (
+        bytes(pl[:ftyp_len])
+        + (8 + 8).to_bytes(4, "big")
+        + b"moov"
+        + (8).to_bytes(4, "big")
+        + b"free"
+    )
+    with pytest.raises(ValueError, match="mvhd"):
+        parse_mp4(no_mvhd)
+
+
+def test_m_mp4_meta_catalog_query(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_m_mp4_meta
+
+    out = q_m_mp4_meta(spark, sf_dir).toPandas()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    assert (out["n_boxes"] == 6).all() and (out["timescale"] == 1000).all()
+    # duration_s is the exact same division both engines perform
+    assert (out["duration_s"] == out["duration"] / 1000).all()
