@@ -1322,6 +1322,77 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# P-WIN: Tukey-fence winsorization (clip per-group outliers, exact bounds)
+# ---------------------------------------------------------------------------
+
+
+def q_p_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """P-WIN: per-nation winsorization of customer spend at the TUKEY
+    FENCES (Q1 − 1.5·IQR, Q3 + 1.5·IQR) — the standard outlier-clipping
+    prep step, and deliberately quartile-based: .25/.75 are DYADIC
+    fractions, so the integer-cent interpolation and the 1.5 (dyadic)
+    fence arithmetic are exact in both engines (the w12 lesson — a
+    p05/p95 winsorize would interpolate at non-dyadic fractions and sit
+    on a cross-engine ulp knife-edge).  One percentile aggregate with
+    the percentage ARRAY (w12's single-buffer discipline), bounds
+    broadcast back onto the customer rows."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name", "cents")
+    )
+    bounds = cust.groupBy("n_name").agg(
+        F.percentile(F.col("cents").cast("double"), F.array(F.lit(0.25), F.lit(0.75))).alias("_q")
+    ).select(
+        "n_name",
+        (F.element_at("_q", 1) - 1.5 * (F.element_at("_q", 2) - F.element_at("_q", 1))).alias("fence_lo"),
+        (F.element_at("_q", 2) + 1.5 * (F.element_at("_q", 2) - F.element_at("_q", 1))).alias("fence_hi"),
+    )
+    j = cust.join(F.broadcast(bounds), "n_name")
+    cd = F.col("cents").cast("double")
+    return j.select(
+        "c_custkey",
+        "n_name",
+        "cents",
+        "fence_lo",
+        "fence_hi",
+        F.greatest(F.least(cd, F.col("fence_hi")), F.col("fence_lo")).alias("clipped"),
+        ((cd < F.col("fence_lo")) | (cd > F.col("fence_hi"))).alias("was_clipped"),
+    )
+
+
+O_P_WINSORIZE = """
+WITH cust AS (
+  SELECT c.c_custkey, n.n_name,
+         CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), b AS (
+  SELECT n_name,
+         quantile_cont(CAST(cents AS DOUBLE), 0.25)
+           - 1.5 * (quantile_cont(CAST(cents AS DOUBLE), 0.75)
+                    - quantile_cont(CAST(cents AS DOUBLE), 0.25)) AS fence_lo,
+         quantile_cont(CAST(cents AS DOUBLE), 0.75)
+           + 1.5 * (quantile_cont(CAST(cents AS DOUBLE), 0.75)
+                    - quantile_cont(CAST(cents AS DOUBLE), 0.25)) AS fence_hi
+  FROM cust GROUP BY 1
+)
+SELECT cust.c_custkey, cust.n_name, cust.cents, b.fence_lo, b.fence_hi,
+       greatest(least(CAST(cust.cents AS DOUBLE), b.fence_hi), b.fence_lo) AS clipped,
+       CAST(cust.cents AS DOUBLE) < b.fence_lo OR CAST(cust.cents AS DOUBLE) > b.fence_hi
+         AS was_clipped
+FROM cust JOIN b USING (n_name)
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -1343,6 +1414,7 @@ EXT4_QUERIES = {
     "a24_percentile_rank": q_a24_percentile_rank,
     "p_balanced_downsample": q_p_balanced_downsample,
     "m_mp4_meta": q_m_mp4_meta,
+    "p_winsorize": q_p_winsorize,
 }
 
 EXT4_ORACLES = {
@@ -1366,4 +1438,5 @@ EXT4_ORACLES = {
     "a24_percentile_rank": O_A24_PCT_RANK,
     "p_balanced_downsample": O_P_BALANCED,
     "m_mp4_meta": O_M_MP4,
+    "p_winsorize": O_P_WINSORIZE,
 }

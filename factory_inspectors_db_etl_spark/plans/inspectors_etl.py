@@ -26,7 +26,7 @@ Documented divergences from the reference (SURVEY.md §7):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.dictionaries import KNOWN_EDUCATIONS, KNOWN_PROFESSIONS, KNOWN_RANKS, ROLE_MAP_STD
@@ -37,6 +37,11 @@ from ..operators.fill import forward_fill_expr
 from ..sources.html_table import read_roster_rows
 
 UNKNOWN = "Неизвестно"
+
+# observe()-collected telemetry from the most recent build_warehouse run
+# (parsed_rows, rows_without_inspector, rows_without_city,
+# rows_with_start_date) — populated by the barrier's own job, no extra pass
+LAST_BUILD_METRICS: dict[str, int] = {}
 
 # profession keys that are also education keys are rejected from Professions
 # and rerouted to Educations (J5, populate_db_ru_v1.py:215-218,761-762)
@@ -405,7 +410,30 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
     (five dims + fact + rejects each re-analyze this subtree otherwise);
     see the barrier notes in ``parsed_assignment_rows``."""
     a, rejects = parsed_assignment_rows(spark, paths, return_rejects=True)
+    # Build telemetry via the observe() API: metrics ride the SAME job
+    # that materializes the barrier (zero extra scans or actions — the
+    # columnar aggregates accumulate task-side during localCheckpoint),
+    # which is how a production pipeline gets its row-count / null-rate
+    # gates without paying a second pass.  Collected into
+    # LAST_BUILD_METRICS after the action; pinned equal to a recomputed
+    # aggregate in tests/test_inspectors_etl.py.
+    obs = Observation("etl_quality")
+    a = a.observe(
+        obs,
+        F.count(F.lit(1)).alias("parsed_rows"),
+        F.sum(F.when(F.col("inspector_key").isNull(), 1).otherwise(0)).alias(
+            "rows_without_inspector"
+        ),
+        F.sum(F.when(F.col("city_key").isNull(), 1).otherwise(0)).alias(
+            "rows_without_city"
+        ),
+        F.sum(F.when(F.col("start_date_raw").isNotNull(), 1).otherwise(0)).alias(
+            "rows_with_start_date"
+        ),
+    )
     a = a.localCheckpoint()
+    LAST_BUILD_METRICS.clear()
+    LAST_BUILD_METRICS.update(obs.get)
 
     # bucket = first letter of the name: order-preserving (a string sorts
     # after every string with a smaller first char), so phase-1 windows

@@ -407,3 +407,26 @@ def test_refresh_year_partitions_dynamic_overwrite(spark, tmp_path):
     assert got.filter(F.col("year") != 1902).count() == 20
     for p, m in before_mtimes.items():
         assert _os.stat(p).st_mtime_ns == m, f"{p} was rewritten"
+
+
+def test_observe_build_metrics_match_recompute(spark):
+    """build_warehouse's observe() telemetry must equal a recomputed
+    aggregate over the same parsed rows — and must cost zero extra jobs
+    (it rides the localCheckpoint materialization)."""
+    from factory_inspectors_db_etl_spark.plans.inspectors_etl import (
+        LAST_BUILD_METRICS,
+        build_warehouse,
+        parsed_assignment_rows,
+    )
+
+    build_warehouse(spark, f"{CORPUS}/fabric1905.html")
+    m = dict(LAST_BUILD_METRICS)
+    a = parsed_assignment_rows(spark, f"{CORPUS}/fabric1905.html")
+    expect = a.selectExpr(
+        "count(*) AS parsed_rows",
+        "sum(CASE WHEN inspector_key IS NULL THEN 1 ELSE 0 END) AS rows_without_inspector",
+        "sum(CASE WHEN city_key IS NULL THEN 1 ELSE 0 END) AS rows_without_city",
+        "sum(CASE WHEN start_date_raw IS NOT NULL THEN 1 ELSE 0 END) AS rows_with_start_date",
+    ).collect()[0].asDict()
+    assert m == expect
+    assert m["parsed_rows"] > 0

@@ -91,3 +91,46 @@ def test_mint_ids_equal_global_row_number_random(spark, keys):
         for r in mint_surrogate_ids(df, ["k1", "k2"], "id").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FIFO allocation (round 6): distributed cumulative-interval form vs the
+# sequential two-pointer walk, over randomized demand/supply shapes
+# ---------------------------------------------------------------------------
+
+_streams = st.tuples(
+    st.lists(st.integers(1, 200), min_size=0, max_size=14),  # demand qtys
+    st.lists(st.integers(1, 200), min_size=0, max_size=14),  # supply qtys
+)
+
+
+def _fifo_reference(demand, supply):
+    out, di, si = {}, 0, 0
+    d, s = [[i, q] for i, q in enumerate(demand)], [[j, q] for j, q in enumerate(supply)]
+    while di < len(d) and si < len(s):
+        take = min(d[di][1], s[si][1])
+        out[(d[di][0], s[si][0])] = take
+        d[di][1] -= take
+        s[si][1] -= take
+        if d[di][1] == 0:
+            di += 1
+        if s[si][1] == 0:
+            si += 1
+    return out
+
+
+@_prop
+@given(_streams)
+def test_fifo_allocate_matches_sequential_walk_randomized(spark, streams):
+    from factory_inspectors_db_etl_spark.operators.allocation import fifo_allocate
+
+    demand, supply = streams
+    if not demand or not supply:
+        return  # empty side: nothing to allocate (schema inference needs rows)
+    ddf = spark.createDataFrame([("k", i, q) for i, q in enumerate(demand)], ["key", "seq", "qty"])
+    sdf = spark.createDataFrame([("k", j, q) for j, q in enumerate(supply)], ["key", "seq", "qty"])
+    # small cell width forces multi-cell intervals and boundary pairs
+    out = fifo_allocate(ddf, sdf, ["key"], ["seq"], "qty", cell_width=16).toPandas()
+    got = {(r.d_seq, r.s_seq): r.alloc_qty for r in out.itertuples()}
+    assert got == _fifo_reference(demand, supply)
+    assert sum(got.values()) == min(sum(demand), sum(supply))

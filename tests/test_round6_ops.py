@@ -666,3 +666,19 @@ def test_m_mp4_meta_catalog_query(spark, sf_dir):
     assert (out["n_boxes"] == 6).all() and (out["timescale"] == 1000).all()
     # duration_s is the exact same division both engines perform
     assert (out["duration_s"] == out["duration"] / 1000).all()
+
+
+def test_p_winsorize_tukey_fences(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_p_winsorize
+
+    out = q_p_winsorize(spark, sf_dir).toPandas()
+    # clipped values always inside the fences; unclipped rows unchanged
+    assert (out["clipped"] >= out["fence_lo"]).all()
+    assert (out["clipped"] <= out["fence_hi"]).all()
+    un = out[~out["was_clipped"]]
+    assert (un["clipped"] == un["cents"].astype(float)).all()
+    # fences recomputed with numpy's linear interpolation (same formula)
+    for name, grp in out.groupby("n_name"):
+        q1, q3 = np.percentile(grp["cents"].astype(float), [25, 75], method="linear")
+        assert grp["fence_lo"].iloc[0] == q1 - 1.5 * (q3 - q1)
+        assert grp["fence_hi"].iloc[0] == q3 + 1.5 * (q3 - q1)
