@@ -1393,6 +1393,76 @@ FROM cust JOIN b USING (n_name)
 """
 
 
+# ---------------------------------------------------------------------------
+# W30: clickstream path analysis (top per-session event-type sequences)
+# ---------------------------------------------------------------------------
+
+
+def q_w30_path_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """W30: path analysis — the top 50 session journeys, where a journey
+    is the ordered sequence of a session's first 8 event types (w13's
+    30-minute-gap sessions).  The clickstream staple behind "how do
+    users reach purchase" dashboards.  Ordering inside a path comes from
+    ``sort_array`` over (ts, event_id, type) structs — collect_list's
+    arrival order is NOT deterministic, the struct sort is — and the
+    8-event cap bounds per-session state at any scale.  Top-50 under a
+    TOTAL order (count desc, path asc) so the cut is deterministic;
+    TakeOrderedAndProject moves O(50) rows per partition."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")
+    new_s = F.when(gap_break | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_new", new_s)
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_evs")
+        )
+    )
+    path = F.concat_ws(
+        ">", F.transform(F.slice("_evs", 1, 8), lambda x: x["event_type"])
+    )
+    return (
+        sess.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(50)
+    )
+
+
+O_W30_PATHS = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+  FROM g
+), paths AS (
+  SELECT user_id, session_idx,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 50
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -1415,6 +1485,7 @@ EXT4_QUERIES = {
     "p_balanced_downsample": q_p_balanced_downsample,
     "m_mp4_meta": q_m_mp4_meta,
     "p_winsorize": q_p_winsorize,
+    "w30_path_analysis": q_w30_path_analysis,
 }
 
 EXT4_ORACLES = {
@@ -1439,4 +1510,5 @@ EXT4_ORACLES = {
     "p_balanced_downsample": O_P_BALANCED,
     "m_mp4_meta": O_M_MP4,
     "p_winsorize": O_P_WINSORIZE,
+    "w30_path_analysis": O_W30_PATHS,
 }

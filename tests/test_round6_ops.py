@@ -682,3 +682,30 @@ def test_p_winsorize_tukey_fences(spark, sf_dir):
         q1, q3 = np.percentile(grp["cents"].astype(float), [25, 75], method="linear")
         assert grp["fence_lo"].iloc[0] == q1 - 1.5 * (q3 - q1)
         assert grp["fence_hi"].iloc[0] == q3 + 1.5 * (q3 - q1)
+
+
+def test_w30_path_analysis_matches_pandas_recompute(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import q_w30_path_analysis
+
+    out = q_w30_path_analysis(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas().sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import Counter
+
+    paths = Counter()
+    for _, grp in ev.groupby("user_id"):
+        cur, last = [], None
+        sess = []
+        for r in grp.itertuples():
+            if last is not None and (r.ts - last) > pd.Timedelta(minutes=30):
+                sess.append(cur)
+                cur = []
+            cur.append(r.event_type)
+            last = r.ts
+        sess.append(cur)
+        for s in sess:
+            paths[">".join(s[:8])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = list(zip(out["path"], out["n_sessions"]))
+    assert got == expect
