@@ -1463,6 +1463,87 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# W31: interval coalescing (merge overlapping intervals -> coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_w31_interval_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """W31: merge overlapping/adjacent intervals per user — the coverage
+    union behind uptime, on-call, and billing-overlap reports, and the
+    other classic gaps-and-islands variant (w25 is the gap side; this is
+    the overlap side).  Each event opens an interval [ts, ts + dur) with
+    ``dur = (value·100 as int) mod 5400 + 60`` seconds (exact integer,
+    SQL-replayable).  A new island starts where the interval's start
+    exceeds the running max end of all PRIOR intervals (growing-frame
+    max — incremental, the w17 lesson); islands aggregate to one row per
+    merged busy block.  One shuffle on user_id serves both the window
+    and the aggregate; all arithmetic integer-µs/seconds."""
+    ev = load_table(spark, sf, "events")
+    dur_s = (F.col("value").cast("decimal(18,2)") * 100).cast("long") % 5400 + 60
+    base = ev.withColumn("_dur", dur_s).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, _dur)").alias("te"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prior_max_end = F.max("te").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "_new", F.when(prior_max_end.isNull() | (F.col("ts") > prior_max_end), 1).otherwise(0)
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    return (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.min("ts").alias("_s"),
+            F.max("te").alias("_e"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "island",
+            F.date_format("_s", "yyyy-MM-dd HH:mm:ss").alias("block_start"),
+            F.date_format("_e", "yyyy-MM-dd HH:mm:ss").alias("block_end"),
+            "n_events",
+            # MICROSECOND, not SECOND: Spark truncates the full difference
+            # while DuckDB counts second-boundary crossings — divergent on
+            # fractional-second endpoints; the µs diff is exact in both
+            F.expr("timestampdiff(MICROSECOND, _s, _e)").cast("long").alias("covered_us"),
+        )
+    )
+
+
+O_W31_COALESCE = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         ts + to_seconds(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 5400 + 60) AS te
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, te,
+         CASE WHEN max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR ts > max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_s
+  FROM base
+), isl AS (
+  SELECT user_id, ts, te,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS island
+  FROM flagged
+)
+SELECT user_id, island,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS block_start,
+       strftime(max(te), '%Y-%m-%d %H:%M:%S') AS block_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(te)) AS BIGINT) AS covered_us
+FROM isl GROUP BY 1, 2
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -1486,6 +1567,7 @@ EXT4_QUERIES = {
     "m_mp4_meta": q_m_mp4_meta,
     "p_winsorize": q_p_winsorize,
     "w30_path_analysis": q_w30_path_analysis,
+    "w31_interval_coalesce": q_w31_interval_coalesce,
 }
 
 EXT4_ORACLES = {
@@ -1511,4 +1593,5 @@ EXT4_ORACLES = {
     "m_mp4_meta": O_M_MP4,
     "p_winsorize": O_P_WINSORIZE,
     "w30_path_analysis": O_W30_PATHS,
+    "w31_interval_coalesce": O_W31_COALESCE,
 }

@@ -709,3 +709,41 @@ def test_w30_path_analysis_matches_pandas_recompute(spark, sf_dir):
     expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     got = list(zip(out["path"], out["n_sessions"]))
     assert got == expect
+
+
+def test_w31_interval_coalesce_properties(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import (
+        q_w31_interval_coalesce,
+    )
+
+    out = q_w31_interval_coalesce(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    assert out["n_events"].sum() == len(ev)  # every event in exactly one block
+    # blocks within a user are disjoint and ordered, and each block's
+    # coverage >= its longest single interval
+    out["bs"] = pd.to_datetime(out["block_start"])
+    out["be"] = pd.to_datetime(out["block_end"])
+    for _, grp in out.groupby("user_id"):
+        g = grp.sort_values("island")
+        assert (g["be"].values[:-1] <= g["bs"].values[1:]).all()
+        assert (g["covered_us"] >= 60_000_000).all()  # min duration 60s
+    # sequential recompute for a few users
+    ev["dur_s"] = (ev["value"] * 100).round().astype("int64") % 5400 + 60
+    ev["te"] = ev["ts"] + pd.to_timedelta(ev["dur_s"], unit="s")
+    for uid in sorted(ev["user_id"].unique())[:5]:
+        g = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+        blocks, cur_s, cur_e, n = [], None, None, 0
+        for r in g.itertuples():
+            if cur_e is None or r.ts > cur_e:
+                if cur_e is not None:
+                    blocks.append((cur_s, cur_e, n))
+                cur_s, cur_e, n = r.ts, r.te, 0
+            cur_e = max(cur_e, r.te)
+            n += 1
+        blocks.append((cur_s, cur_e, n))
+        got = out[out["user_id"] == uid].sort_values("island")
+        assert len(got) == len(blocks)
+        for (bs, be, bn), r in zip(blocks, got.itertuples()):
+            # block_start/end are second-precision display strings
+            assert r.bs == bs.floor("s") and r.be == be.floor("s")
+            assert r.n_events == bn
