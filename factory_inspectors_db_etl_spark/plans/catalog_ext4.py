@@ -1544,6 +1544,46 @@ FROM isl GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# S15: stream-stream LEFT SEMI join (completes the join-matrix: inner/
+# left outer/full outer/semi)
+# ---------------------------------------------------------------------------
+
+
+def q_s15_stream_stream_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """S15: batch twin of the watermarked stream-stream LEFT SEMI join —
+    purchases preceded by ANY same-user view within 30 minutes, each
+    emitted once with no view columns (the EXISTS form).  Completes the
+    s12/s13/s14 stream-stream join matrix; semi is the state-cheap arm:
+    a buffered purchase can be dropped at its FIRST match instead of
+    held for every later one, and output is bounded by the purchase
+    stream, never match multiplicity.  Same function body as the
+    streaming path (``streaming/ops.py::stream_stream_view_purchase_join``,
+    how='left_semi'); streaming-vs-batch equivalence pinned in
+    tests/test_streaming.py."""
+    from ..streaming.ops import stream_stream_view_purchase_join
+
+    ev = load_table(spark, sf, "events")
+    return stream_stream_view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_semi",
+    )
+
+
+O_S15_SEMI = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+  )
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -1568,6 +1608,7 @@ EXT4_QUERIES = {
     "p_winsorize": q_p_winsorize,
     "w30_path_analysis": q_w30_path_analysis,
     "w31_interval_coalesce": q_w31_interval_coalesce,
+    "s15_stream_stream_semi": q_s15_stream_stream_semi,
 }
 
 EXT4_ORACLES = {
@@ -1594,4 +1635,5 @@ EXT4_ORACLES = {
     "p_winsorize": O_P_WINSORIZE,
     "w30_path_analysis": O_W30_PATHS,
     "w31_interval_coalesce": O_W31_COALESCE,
+    "s15_stream_stream_semi": O_S15_SEMI,
 }

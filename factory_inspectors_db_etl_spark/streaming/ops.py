@@ -430,7 +430,14 @@ def stream_stream_view_purchase_join(
     ``how="full_outer"`` additionally keeps views that converted nothing
     (NULL purchase columns) — the abandonment side of the funnel; the
     output ``user_id`` coalesces across sides (identical to ``p_user``
-    in inner/left mode, where the purchase side is never null)."""
+    in inner/left mode, where the purchase side is never null).
+
+    ``how="left_semi"`` keeps each qualifying purchase ONCE with no view
+    columns (the EXISTS form — "purchases preceded by any view"), which
+    is cheaper state-wise than inner: the engine can drop a buffered
+    purchase the moment one match is seen instead of holding it for
+    every later match, and output volume is bounded by the purchase
+    stream, never the match multiplicity."""
     v = views.withWatermark("ts", watermark).select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
@@ -441,13 +448,20 @@ def stream_stream_view_purchase_join(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
     )
-    return p.join(
+    joined = p.join(
         v,
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
         how,
-    ).select(
+    )
+    if how == "left_semi":
+        return joined.select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        )
+    return joined.select(
         "purchase_id",
         F.coalesce("p_user", "v_user").alias("user_id"),
         "view_ts",

@@ -950,3 +950,38 @@ def test_html_roster_replay_skips_rewritten_file_without_duplicating():
         assert n2 > 0
         # and that batch IS replayable (signature still matches)
         assert len(rdr.readBetweenOffsets(end1, end2)) == n2
+
+
+def test_stream_stream_semi_join_matches_batch(spark, sf_dir, events_stream):
+    """Watermarked stream-stream LEFT SEMI join (s15: purchases preceded
+    by any same-user view within 30 min) equals the batch EXISTS form —
+    each qualifying purchase exactly once, no view columns."""
+    from factory_inspectors_db_etl_spark.streaming import stream_stream_view_purchase_join
+
+    views = events_stream.filter(F.col("event_type") == "view")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = run_available_now(
+        stream_stream_view_purchase_join(views, purchases, how="left_semi"),
+        "t_ss_semi_join",
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = bp.join(
+        bv,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+        "left_semi",
+    )
+    g = sorted((r["purchase_id"], r["user_id"]) for r in got.collect())
+    w = sorted((r["purchase_id"], r["p_user"]) for r in want.collect())
+    assert g == w and len(g) > 0
+    assert len(g) == len(set(g))  # semi: each purchase at most once
