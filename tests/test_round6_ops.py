@@ -1,9 +1,15 @@
-"""Round-6 operator tests: real PNG codec round-trip, TF-IDF cosine
-join vs brute force, catalog-level WCC vs union-find, skyline vs
-quadratic dominance scan, interval-alignment conservation, novelty
-bounds, HHI bounds, RFM tiling, reservoir determinism, and the two
-ADVICE hardening fixes (bloom scratch-name collisions, sqlite column
-validation)."""
+"""Round-6 operator tests: real PNG/WAV/MP4 codec round-trips (plus a
+corruption-grid fuzz that every parser rejects malformed bytes with
+ValueError only), TF-IDF cosine join vs brute force (expanded AND
+grouped contracts), catalog-level WCC vs union-find, skyline vs
+quadratic dominance scan, FIFO allocation vs the sequential walk,
+spatial grid join vs brute force, interval alignment/coalescing
+conservation, vocab growth, attribution / path analysis vs sequential
+recomputes, clustering coefficient vs adjacency sets, temporal-split
+leakage, incremental join view vs full recompute, percentile rank,
+balanced downsample, Tukey winsorization, novelty/HHI bounds, RFM
+tiling, reservoir determinism, and the ADVICE hardening fixes (bloom
+scratch-name collisions, sqlite column validation)."""
 
 from __future__ import annotations
 
@@ -747,3 +753,45 @@ def test_w31_interval_coalesce_properties(spark, sf_dir):
             # block_start/end are second-precision display strings
             assert r.bs == bs.floor("s") and r.be == be.floor("s")
             assert r.n_events == bn
+
+
+def test_codec_parsers_never_crash_on_arbitrary_bytes():
+    """Every real codec parser must reject malformed input with
+    ValueError (the declared fallback signal) — never IndexError /
+    struct.error / infinite loop — including truncations and bit-flips
+    of VALID payloads, the adversarial middle ground."""
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        decode_mp4,
+        decode_png,
+        decode_ppm,
+        decode_wav_pcm,
+        encode_mp4_min,
+        encode_png,
+        encode_wav,
+        wav_frame_energies,
+    )
+
+    i = np.arange(128, dtype="int64")
+    valid = [
+        encode_png(((i[:60] * 7) % 256).astype("u1").reshape(4, 5, 3)),
+        encode_wav(((i * 13) % 4096 - 2048).astype("<i2")),
+        encode_mp4_min(1000, 1234, 64, 48, b"x" * 10),
+        b"P6\n5 4\n255\n" + bytes(range(60)),
+    ]
+    decoders = [decode_png, decode_wav_pcm, decode_mp4, decode_ppm, wav_frame_energies]
+    # deterministic corruption grid: truncations + single-byte flips
+    for payload in valid:
+        for cut in (0, 1, 7, 11, len(payload) // 2, len(payload) - 1):
+            for dec in decoders:
+                try:
+                    dec(payload[:cut])
+                except ValueError:
+                    pass  # the contract
+        for pos in range(0, len(payload), max(1, len(payload) // 17)):
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0xFF
+            for dec in decoders:
+                try:
+                    dec(bytes(mutated))
+                except ValueError:
+                    pass
