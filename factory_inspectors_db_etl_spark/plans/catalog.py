@@ -3338,6 +3338,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w30_path_analysis": _EXT4_QUERIES["w30_path_analysis"],
     "w31_interval_coalesce": _EXT4_QUERIES["w31_interval_coalesce"],
     "s15_stream_stream_semi": _EXT4_QUERIES["s15_stream_stream_semi"],
+    "p_chi2_independence": _EXT4_QUERIES["p_chi2_independence"],
+    "e4_relational_division": _EXT4_QUERIES["e4_relational_division"],
     # --- (c) similarity entries deferred from the r5 changed-code family ---
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
@@ -3352,12 +3354,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
-    "f11_typed_date": q_f11_typed_date,
-    "a1_pricing_summary": q_a1_pricing_summary,
-    # ------- 50-slot window boundary (a1_pricing_summary is position 50) -------
+    # ------- 50-slot window boundary (f10_dict_canonicalize is position 50) -------
     # The r3-green entries below did NOT fit the round-6 window and hold
     # the repo's oldest driver evidence — rotate them forward FIRST in
-    # round 7: a2_skew_safe_distinct, a3_rollup, a3b_cube, a3c_grouping_sets, a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim,
+    # round 7: f11_typed_date, a1_pricing_summary, a2_skew_safe_distinct, a3_rollup, a3b_cube, a3c_grouping_sets, a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim,
     # j3_nullsafe_join, a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
     # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize,
     # w14_scd2_intervals, t_repetition_stats, p_profile_columns,
@@ -3368,6 +3368,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # m_frame_sample.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "f11_typed_date": q_f11_typed_date,
+    "a1_pricing_summary": q_a1_pricing_summary,
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
     "a3_rollup": q_a3_rollup,
     "a3b_cube": q_a3b_cube,

@@ -1584,6 +1584,111 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# ---------------------------------------------------------------------------
+# P-CHI: chi-square independence audit (exact-integer contributions)
+# ---------------------------------------------------------------------------
+
+
+def q_p_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """P-CHI: chi-square test of independence between event_type and
+    day-of-week — the data-QA screen for "is this categorical pair
+    associated" (a dependence between event mix and weekday signals
+    sampling or instrumentation drift).  Per contingency cell the
+    contribution (O−E)²/E is computed via the a22 div trick as the
+    EXACT integer ``((N·O − R·C)²·10⁶) div (N·R·C)`` in
+    DECIMAL(38,0)/HUGEINT — N·O products overflow 2^53 at scale, and a
+    direct int128→double cast is the documented engine-divergent
+    landmine.  Plan: one contingency aggregation; margins re-aggregate
+    the TINY cell table (≤ 5·7 rows) and join back broadcast."""
+    ev = load_table(spark, sf, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    rows = cells.groupBy("event_type").agg(F.sum("observed").cast("long").alias("_r"))
+    cols = cells.groupBy("dow").agg(F.sum("observed").cast("long").alias("_c"))
+    total = cells.agg(F.sum("observed").cast("long").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(total))
+    )
+    return j.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.expr("CAST((_r * _c * 1000000) div _n AS BIGINT)").alias("expected_e6"),
+        F.expr(
+            "CAST(((CAST(_n AS DECIMAL(38,0)) * observed - CAST(_r AS DECIMAL(38,0)) * _c)"
+            " * (CAST(_n AS DECIMAL(38,0)) * observed - CAST(_r AS DECIMAL(38,0)) * _c)"
+            " * 1000000) div (CAST(_n AS DECIMAL(38,0)) * _r * _c) AS BIGINT)"
+        ).alias("contrib_e6"),
+    ).withColumn("contribution", F.col("contrib_e6").cast("double") / F.lit(1.0e6))
+
+
+O_P_CHI2 = """
+WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, CAST(sum(observed) AS BIGINT) AS rt FROM cells GROUP BY 1
+), c AS (
+  SELECT dow, CAST(sum(observed) AS BIGINT) AS ct FROM cells GROUP BY 1
+), n AS (
+  SELECT CAST(sum(observed) AS BIGINT) AS nt FROM cells
+)
+SELECT cells.event_type, cells.dow, cells.observed,
+       CAST((rt * ct * 1000000) // nt AS BIGINT) AS expected_e6,
+       CAST(((CAST(nt AS HUGEINT) * observed - CAST(rt AS HUGEINT) * ct)
+             * (CAST(nt AS HUGEINT) * observed - CAST(rt AS HUGEINT) * ct)
+             * 1000000) // (CAST(nt AS HUGEINT) * rt * ct) AS BIGINT) AS contrib_e6,
+       CAST(CAST(((CAST(nt AS HUGEINT) * observed - CAST(rt AS HUGEINT) * ct)
+             * (CAST(nt AS HUGEINT) * observed - CAST(rt AS HUGEINT) * ct)
+             * 1000000) // (CAST(nt AS HUGEINT) * rt * ct) AS BIGINT) AS DOUBLE) / 1e6
+         AS contribution
+FROM cells JOIN r USING (event_type) JOIN c USING (dow), n
+"""
+
+
+# ---------------------------------------------------------------------------
+# E4: relational division (the FOR-ALL operator)
+# ---------------------------------------------------------------------------
+
+
+def q_e4_relational_division(spark: SparkSession, sf: str) -> DataFrame:
+    """E4: relational DIVISION — customers who placed orders in EVERY
+    order-priority class, the textbook FOR-ALL operator (Codd's ÷) that
+    no single join expresses.  Scalable form: distinct (customer,
+    priority) pairs, count per customer, keep counts equal to the
+    divisor's cardinality (a broadcast 1-row join — never the
+    double-NOT-EXISTS nested correlate).  Output includes order counts
+    so the row is analytics-ready."""
+    o = load_table(spark, sf, "orders")
+    divisor_n = o.select("o_orderpriority").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("_np"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(divisor_n))
+        .filter(F.col("_np") == F.col("_k"))
+        .select(F.col("o_custkey").alias("c_custkey"), "n_orders")
+    )
+
+
+O_E4_DIVISION = """
+WITH k AS (
+  SELECT count(DISTINCT o_orderpriority) AS kk FROM orders
+)
+SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders, k
+GROUP BY o_custkey, kk
+HAVING count(DISTINCT o_orderpriority) = kk
+"""
+
+
 EXT4_QUERIES = {
     "j16_tfidf_cosine_join": q_j16_tfidf_cosine_join,
     "g5_wcc": q_g5_wcc,
@@ -1609,6 +1714,8 @@ EXT4_QUERIES = {
     "w30_path_analysis": q_w30_path_analysis,
     "w31_interval_coalesce": q_w31_interval_coalesce,
     "s15_stream_stream_semi": q_s15_stream_stream_semi,
+    "p_chi2_independence": q_p_chi2_independence,
+    "e4_relational_division": q_e4_relational_division,
 }
 
 EXT4_ORACLES = {
@@ -1636,4 +1743,6 @@ EXT4_ORACLES = {
     "w30_path_analysis": O_W30_PATHS,
     "w31_interval_coalesce": O_W31_COALESCE,
     "s15_stream_stream_semi": O_S15_SEMI,
+    "p_chi2_independence": O_P_CHI2,
+    "e4_relational_division": O_E4_DIVISION,
 }

@@ -795,3 +795,39 @@ def test_codec_parsers_never_crash_on_arbitrary_bytes():
                     dec(bytes(mutated))
                 except ValueError:
                     pass
+
+
+def test_p_chi2_contributions_match_scipy_free_recompute(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import (
+        q_p_chi2_independence,
+    )
+
+    out = q_p_chi2_independence(spark, sf_dir).toPandas()
+    n = out["observed"].sum()
+    # exact integer recompute of each cell's contribution
+    r = out.groupby("event_type")["observed"].sum().to_dict()
+    c = out.groupby("dow")["observed"].sum().to_dict()
+    for row in out.itertuples():
+        rt, ct = r[row.event_type], c[row.dow]
+        diff = n * row.observed - rt * ct
+        assert row.expected_e6 == (rt * ct * 1_000_000) // n
+        assert row.contrib_e6 == (diff * diff * 1_000_000) // (n * rt * ct)
+    # marginal identity: sum of observed == sum of expected (within the
+    # floor-division slack of one millionth per cell)
+    assert abs(out["expected_e6"].sum() / 1e6 - n) < len(out) * 1e-6 + 1e-6
+
+
+def test_e4_relational_division_matches_set_recompute(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext4 import (
+        q_e4_relational_division,
+    )
+
+    out = q_e4_relational_division(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority").toPandas()
+    all_p = set(o["o_orderpriority"])
+    per = o.groupby("o_custkey")["o_orderpriority"].agg(set)
+    expect = {k for k, v in per.items() if v == all_p}
+    assert set(out["c_custkey"]) == expect
+    counts = o.groupby("o_custkey").size()
+    for r in out.itertuples():
+        assert r.n_orders == counts[r.c_custkey]
