@@ -427,13 +427,18 @@ def parse_mp4(payload: bytes) -> dict:
     container boxes, and extracts mvhd timescale/duration and tkhd
     track geometry.  Raises ValueError on anything that is not BMFF —
     the featurizer falls back to byte features, same contract as the
-    WAV/PPM/PNG decoders."""
+    WAV/PPM/PNG decoders.  Nesting is capped at 32 container levels
+    (real files use ~5): deeper trees raise ValueError, never
+    RecursionError — adversarial nested-'moov' bytes must take the
+    byte-fallback path like every other malformed payload."""
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF payload (no leading ftyp)")
     containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
     out: dict = {"n_boxes": 0}
 
     def walk(buf: bytes, depth: int = 0) -> None:
+        if depth > 32:
+            raise ValueError("box nesting too deep (>32 levels)")
         pos = 0
         while pos < len(buf):
             if pos + 8 > len(buf):
@@ -491,7 +496,9 @@ def with_mp4_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
         timescale = 1000,  duration = (doc_id % 9 + 1) * 1000 + len(text)
         width = (doc_id % 5 + 1) * 64,  height = (doc_id % 3 + 1) * 48
-        mdat = first 16 utf-8 bytes of the text
+        mdat = first 16 characters of the text as codepoint%256 bytes
+        (len(text) counted in CHARACTERS — the oracle replays per
+        character, so the rule must be codepoint-indexed, not utf-8)
 
     — same verification design as the PNG/WAV generators: genuine BMFF
     bytes, SQL-replayable content, so a hash-matched ``parse_mp4``
@@ -509,7 +516,11 @@ def with_mp4_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 did = int(doc_id)
-                codes = (text or "").encode("utf-8")
+                # CODEPOINT-based rule (ord(c) % 256), not utf-8 bytes:
+                # the DuckDB oracle replays it per CHARACTER
+                # (length(text), ascii(substr(..))) — byte-based content
+                # would silently diverge on any non-ASCII text
+                codes = bytes(ord(c) % 256 for c in (text or ""))
                 w, h = (did % 5 + 1) * 64, (did % 3 + 1) * 48
                 dur = (did % 9 + 1) * 1000 + len(codes)
                 rows.append(
@@ -708,7 +719,11 @@ def with_png_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     simple deterministic rule over the document —
 
         w = doc_id % 5 + 3,  h = doc_id % 4 + 2,
-        byte[i] = ascii(text[i mod len(text)])  (0 when text is empty)
+        byte[i] = ord(text[i mod len(text)]) % 256  (0 when text is empty)
+
+    The rule is CODEPOINT-indexed (one value per character, not per
+    utf-8 byte) so the DuckDB oracle's per-character replay
+    (ascii(substr(text, i, 1)) % 256) is exact for any Unicode text.
 
     — then encoded through ``encode_png`` (zlib, rotating filter types).
     Because the PIXELS are SQL-expressible while the PAYLOAD is genuine
@@ -730,7 +745,7 @@ def with_png_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 did = int(doc_id)
                 w, h = did % 5 + 3, did % 4 + 2
-                codes = (text or "").encode("utf-8")
+                codes = bytes(ord(c) % 256 for c in (text or ""))
                 n = w * h * 3
                 if codes:
                     reps = -(-n // len(codes))  # ceil
@@ -814,7 +829,10 @@ def with_wav_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     SQL-expressible rule over the document text —
 
         n = (doc_id % 5 + 2) * 64    (128..384 samples)
-        s[i] = (byte[i mod L] * ((i mod 7) + 1)) % 4096 - 2048   (0 if L=0)
+        s[i] = (code[i mod L] * ((i mod 7) + 1)) % 4096 - 2048   (0 if L=0)
+        with code[j] = ord(text[j]) % 256, L = len(text) in CHARACTERS
+        (codepoint-indexed so the oracle's per-character replay is
+        exact for any Unicode text, not just ASCII)
 
     — then encoded through ``encode_wav``.  Same verification design as
     ``with_png_payload``: the payload is genuine RIFF bytes, the content
@@ -836,7 +854,7 @@ def with_wav_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 did = int(doc_id)
                 n = (did % 5 + 2) * 64
-                codes = np.frombuffer((text or "").encode("utf-8"), dtype="u1")
+                codes = np.array([ord(c) % 256 for c in (text or "")], dtype="u1")
                 i = np.arange(n, dtype="int64")
                 if len(codes):
                     s = (codes[i % len(codes)].astype("int64") * (i % 7 + 1)) % 4096 - 2048

@@ -239,7 +239,7 @@ WITH m AS (
          CAST(doc_id % 5 + 3 AS BIGINT) AS w,
          CAST(doc_id % 4 + 2 AS BIGINT) AS h,
          length(text) AS L,
-         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) % 256) AS codes
   FROM documents
 ), s AS (
   SELECT doc_id, w, h,
@@ -830,7 +830,7 @@ WITH m AS (
   SELECT doc_id,
          (CAST(doc_id % 5 AS BIGINT) + 2) * 64 AS n,
          length(text) AS L,
-         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS codes
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) % 256) AS codes
   FROM documents
 ), smp AS (
   SELECT doc_id, n,

@@ -39,6 +39,7 @@ relational sink is a data bug, not a convenience.
 
 from __future__ import annotations
 
+import re
 import sqlite3
 from collections.abc import Iterator, Sequence
 
@@ -292,8 +293,9 @@ class _SqliteRelationWriter(DataSourceWriter):
       staged rows into the target inside a single transaction —
       overwrite's DELETE rides in the same transaction, so readers see
       the old table or the new one, never a mix — then drops every
-      ``_stg_<table>_%`` leftover, including orphans from failed
-      attempts.
+      ``_stg_<table>_<uuid>`` leftover (exact-regex matched, so other
+      targets' staging tables are never touched), including orphans
+      from failed attempts.
     * ``abort`` best-effort-drops the staging tables of whatever
       messages arrived.
 
@@ -370,13 +372,23 @@ class _SqliteRelationWriter(DataSourceWriter):
                 )
             con.commit()
             # outside the publish transaction: drop winners AND any
-            # orphaned staging tables from failed/duplicate attempts
+            # orphaned staging tables from failed/duplicate attempts.
+            # Match in Python with an exact regex, NOT with LIKE: in
+            # SQLite LIKE, '_' is a single-char wildcard, so
+            # '_stg_a_%' also matches '_stg_ab_<uuid>' — committing
+            # table 'a' would destroy a concurrent in-flight write to
+            # table 'ab' before its commit.  The anchored pure-hex
+            # suffix (staging suffixes are uuid4().hex) also keeps
+            # table names that are prefixes of one another ('a' vs
+            # 'a_b') from cross-matching: the residue 'b_<hex>'
+            # contains '_', which hex rejects.
+            pat = re.compile(rf"^_stg_{re.escape(self._table)}_[0-9a-f]+$")
             leftovers = [
                 r[0]
                 for r in con.execute(
-                    "SELECT name FROM sqlite_master WHERE type='table' AND name LIKE ?",
-                    (f"_stg_{self._table}_%",),
+                    "SELECT name FROM sqlite_master WHERE type='table'"
                 )
+                if pat.match(r[0])
             ]
             for t in leftovers:
                 con.execute(f'DROP TABLE IF EXISTS "{t}"')

@@ -196,3 +196,49 @@ def test_resize_images_dataframe_passthrough_and_meta(spark):
     assert bytes(out[2]["payload"]) == b"not an image"
     assert out[2]["meta"]["width"] == 0
     assert out[3]["resized"] is False
+
+
+def test_payload_rules_are_codepoint_based_unicode_exact(spark):
+    """ADVICE r6: the PNG/WAV/MP4 payload rules used utf-8 BYTES while
+    their DuckDB oracles replay per CHARACTER (length(text),
+    ascii(substr)) — they agreed only because the driver corpus is
+    ASCII.  Pin the fix: for non-ASCII text the generated payloads
+    decode to exactly the per-character codepoint%256 rule, so the
+    char-based oracles are Unicode-correct, not ASCII-lucky."""
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        decode_png,
+        parse_mp4,
+        wav_frame_energies,
+        with_mp4_payload,
+        with_png_payload,
+        with_wav_payload,
+    )
+
+    text = "héllo→мир😀"  # 1/2/3/4-byte utf-8 chars
+    docs = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    codes = [ord(c) % 256 for c in text]
+    L = len(text)  # 10 CHARACTERS (utf-8 would be 19 bytes)
+
+    # PNG: pixel[j-th byte] = codes[j % L]
+    png = with_png_payload(docs).collect()[0]
+    w, h = 7 % 5 + 3, 7 % 4 + 2
+    feats = decode_png(bytes(png["payload"]))
+    n = w * h * 3
+    want_mean_all = sum(codes[j % L] for j in range(n)) / (n * 255)
+    assert feats[0] == float(w) and feats[1] == float(h)
+    assert abs(feats[6] - want_mean_all) < 1e-12
+
+    # WAV: s[i] = (codes[i % L] * ((i % 7) + 1)) % 4096 - 2048
+    wav = with_wav_payload(docs).collect()[0]
+    nsamp = (7 % 5 + 2) * 64
+    s = [(codes[i % L] * ((i % 7) + 1)) % 4096 - 2048 for i in range(nsamp)]
+    want_energies = [
+        sum(v * v for v in s[f * 64 : (f + 1) * 64]) for f in range(nsamp // 64)
+    ]
+    assert wav_frame_energies(bytes(wav["payload"]), 64) == want_energies
+
+    # MP4: duration counts CHARACTERS; mdat is first-16-chars codepoint bytes
+    mp4 = with_mp4_payload(docs).collect()[0]
+    m = parse_mp4(bytes(mp4["payload"]))
+    assert m["duration"] == (7 % 9 + 1) * 1000 + L
+    assert m["mdat_bytes"] == min(L, 16)

@@ -831,3 +831,29 @@ def test_e4_relational_division_matches_set_recompute(spark, sf_dir):
     counts = o.groupby("o_custkey").size()
     for r in out.itertuples():
         assert r.n_orders == counts[r.c_custkey]
+
+
+def test_mp4_nesting_depth_raises_valueerror_not_recursionerror():
+    """ADVICE r6: ~8KB of nested 'moov' headers blew the Python
+    recursion limit — a RecursionError escapes decode_and_featurize's
+    (NotImplementedError, ValueError) net and crashes the Spark task
+    instead of taking the byte fallback.  Pin the depth cap: a
+    1000-deep container tree raises ValueError ('nesting'), and a
+    realistic 5-deep tree still parses."""
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        encode_mp4_min,
+        parse_mp4,
+    )
+
+    # innermost: a valid mvhd so only the depth is at issue
+    mvhd_body = bytes(12) + (1000).to_bytes(4, "big") + (42).to_bytes(4, "big")
+    inner = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    deep = inner
+    for _ in range(1000):
+        deep = (8 + len(deep)).to_bytes(4, "big") + b"moov" + deep
+    payload = b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00" + deep
+    with pytest.raises(ValueError, match="nesting"):
+        parse_mp4(payload)
+    # genuine shallow file still parses (encode_mp4_min nests 2 levels)
+    m = parse_mp4(encode_mp4_min(1000, 5000, 64, 48, b"x" * 4))
+    assert m["timescale"] == 1000 and m["duration"] == 5000

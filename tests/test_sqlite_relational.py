@@ -345,3 +345,42 @@ def test_datasource_writer_rejects_suspicious_names(spark, tmp_path):
         df.write.format("sqlite_relation").options(path=db, table='t"; DROP').mode(
             "append"
         ).save()
+
+
+def test_datasource_commit_never_sweeps_other_targets_staging(spark, tmp_path):
+    """ADVICE r6: the orphan sweep used ``name LIKE '_stg_<table>_%'``,
+    and in SQLite LIKE '_' is a single-char WILDCARD — committing table
+    'a' matched (and DROPped) '_stg_ab_<uuid>', destroying a concurrent
+    in-flight write to table 'ab' before its commit.  Pin the fix: a
+    staged-but-uncommitted table of ANOTHER target (including the
+    prefix-collision names 'ab' and 'a_b') survives table 'a's commit
+    sweep verbatim."""
+    _register_source(spark)
+    db = str(tmp_path / "c.db")
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    # targets whose staging names LIKE-collide or prefix-collide with 'a'
+    for other in ("ab", "a_b"):
+        df.write.format("sqlite_relation").options(path=db, table=other).mode(
+            "append"
+        ).save()
+    con = sqlite3.connect(db)
+    uuid_hex = "0123456789abcdef0123456789abcdef"
+    for other in ("ab", "a_b"):
+        con.execute(f'CREATE TABLE "_stg_{other}_{uuid_hex}" (id, v)')
+        con.execute(f'INSERT INTO "_stg_{other}_{uuid_hex}" VALUES (7, "inflight")')
+    con.commit()
+    con.close()
+    # commit target 'a' — its sweep must not touch the other stagings
+    df.write.format("sqlite_relation").options(path=db, table="a").mode("append").save()
+    con = sqlite3.connect(db)
+    names = {r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+    for other in ("ab", "a_b"):
+        assert f"_stg_{other}_{uuid_hex}" in names, (
+            f"commit of 'a' swept another target's in-flight staging table "
+            f"(_stg_{other}_...): the LIKE-wildcard regression is back"
+        )
+        (rows,) = con.execute(f'SELECT count(*) FROM "_stg_{other}_{uuid_hex}"').fetchone()
+        assert rows == 1
+    # and 'a's own staging is gone
+    assert not [n for n in names if n.startswith("_stg_a_") and not n.startswith("_stg_a_b")]
+    con.close()
