@@ -88,6 +88,15 @@ def fifo_allocate(
     pairs = (
         d.join(s, [*key_cols, "_cell"])
         .filter((F.col("d_lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("d_hi")))
+        # canonical-cell discipline (J21's rule — each pair meets on
+        # exactly ONE key): a pair spanning a cell boundary co-occurs in
+        # every shared cell, but its overlap START max(d_lo, s_lo) lies
+        # in exactly one — keep the pair only there.  This replaces the
+        # former `.distinct()`, which re-shuffled the operator's largest
+        # intermediate (the full pair output) just to drop the echoes.
+        .filter(
+            F.col("_cell") == F.expr(f"greatest(d_lo, s_lo) div {cell_width}")
+        )
         .select(
             *key_cols,
             *[f"d_{c}" for c in order_cols],
@@ -96,9 +105,5 @@ def fifo_allocate(
                 F.least("d_hi", "s_hi") - F.greatest("d_lo", "s_lo")
             ).cast("long").alias("alloc_qty"),
         )
-        # a pair spanning a cell boundary appears once per shared cell,
-        # as identical rows — distinct, not dropDuplicates: every column
-        # is a pure function of the pair, so the row set IS the pair set
-        .distinct()
     )
     return pairs

@@ -279,7 +279,7 @@ def containment_pairs(
     k: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
     collapse_exact: bool = True,
 ) -> DataFrame:
     """Directed containment C(src→dst) = |src∩dst|/|src| >= num/den over
@@ -293,12 +293,13 @@ def containment_pairs(
     up to two DIRECTED rows, each thresholded against its own source
     size with cross-multiplied integers.
 
-    EXACTNESS: lossless only when ``max_df=None``.  A finite cap
-    excludes any shingle whose document frequency exceeds it from the
-    intersection count, so pairs held together by hot shingles can be
-    undercounted or dropped.  Use the cap as an operational guard on
-    boilerplate-heavy corpora; use ``None`` when the output must equal
-    the brute-force all-pairs answer.
+    EXACTNESS: the default ``max_df=None`` is lossless — the output
+    equals the brute-force all-pairs answer, matching the "exact"
+    family contract (and the registered query).  Passing a finite cap
+    is an explicit OPT-IN operational guard for boilerplate-heavy
+    corpora: it excludes any shingle whose document frequency exceeds
+    the cap from the intersection count, so pairs held together by hot
+    shingles can be undercounted or dropped.
 
     ``collapse_exact`` (default on): pairs once per distinct text,
     member expansion afterward (``_collapse_exact``) — measured 254s →
