@@ -10,9 +10,11 @@ PPM (``decode_ppm``), PNG (``encode_png``/``decode_png``: zlib, CRC, all
 five scanline filters), and MP4/ISO-BMFF container demux
 (``encode_mp4_min``/``parse_mp4``: box-tree walk, mvhd/tkhd extraction;
 codec FRAME decode is the declared fallback — H.264 et al. genuinely
-need external libraries) — and falls back to a deterministic byte-level
-featurizer for codec-compressed formats (jpeg) or payloads whose bytes
-don't match their claimed mime.
+need external libraries), plus baseline JPEG (``operators.jpeg``:
+Huffman + dequant + IDCT + chroma upsample + YCbCr->RGB) — and falls
+back to a deterministic byte-level featurizer for the remaining
+codec-compressed formats (H.264 frames, progressive JPEG) or payloads
+whose bytes don't match their claimed mime.
 
 * ``with_payload`` manufactures a deterministic binary payload + metadata
   struct from the ``documents`` table (so every test table works at any
@@ -39,6 +41,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .jpeg import decode_jpeg, encode_jpeg
 
 META_TYPE = T.StructType(
     [
@@ -548,21 +552,26 @@ _CODECS = {
     # track geometry, mdat size; codec FRAME decode is the declared
     # fallback (H.264 et al. genuinely need external libraries)
     "video/mp4": decode_mp4,
+    # real baseline-JPEG decoder (round 7): Huffman + dequant + IDCT +
+    # chroma upsample + YCbCr->RGB, pure numpy/stdlib (operators/jpeg.py);
+    # progressive/arithmetic profiles raise ValueError -> byte fallback
+    "image/jpeg": decode_jpeg,
+    "image/jpg": decode_jpeg,
 }
 
 
 def _decode_real(payload: bytes, mime: str, n_features: int = 8) -> list[float]:
-    """Real decode dispatch: PCM WAV, P6 PPM, PNG, and MP4 containers
-    are decoded natively (pure stdlib/numpy — tested with genuine
-    payloads); any other mime (e.g. jpeg) raises NotImplementedError so
+    """Real decode dispatch: PCM WAV, P6 PPM, PNG, baseline JPEG, and
+    MP4 containers are decoded natively (pure stdlib/numpy — tested
+    with genuine payloads); any other mime raises NotImplementedError so
     the featurizer falls back to byte-level features.  A payload whose
     bytes do not match its claimed mime raises ValueError — also a
     fallback, never a crash."""
     codec = _CODECS.get(mime)
     if codec is None:
         raise NotImplementedError(
-            f"no native decoder for {mime!r}; codec-compressed formats "
-            "(jpeg/h264 frames) need external libraries absent from this container"
+            f"no native decoder for {mime!r}; remaining codec-compressed "
+            "formats (h264 frames) need external libraries absent from this container"
         )
     return codec(payload, n_features)
 
@@ -758,6 +767,65 @@ def with_png_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
                         "doc_id": did,
                         "payload": encode_png(px),
                         "meta": {"mime": "image/png", "width": w, "height": h, "n_frames": 1},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def with_jpeg_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach a REAL baseline-JPEG payload per document (Arrow-batched
+    ``mapInPandas``) whose pixels replay a SQL-expressible rule —
+
+        wb = doc_id % 4 + 2 blocks,  hb = doc_id % 3 + 2 blocks
+        (image is wb*8 x hb*8 px), 8x8 block b (row-major) is the
+        CONSTANT value ord(text[b mod len(text)]) % 256  (0 if empty);
+        even doc_ids are 3-component YCbCr 4:4:4 with Cb=Cr=128 (so
+        RGB == luma exactly), odd doc_ids grayscale; restart markers
+        every doc_id%3 MCUs when nonzero.
+
+    Constant blocks + all-ones quant tables make the lossy format
+    round-trip BIT-EXACTLY (one integer DC coefficient, 64 exact-zero
+    ACs), so a downstream ``decode_jpeg`` whose channel means hash-match
+    the SQL replay proves the real marker walk, Huffman decode,
+    dequantize, IDCT, color conversion and restart handling end to end —
+    the same verification design as ``with_png_payload``."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_TYPE),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(doc_id)
+                wb, hb = did % 4 + 2, did % 3 + 2
+                codes = [ord(c) % 256 for c in (text or "")]
+                n = wb * hb
+                vals = [codes[b % len(codes)] if codes else 0 for b in range(n)]
+                grid = np.array(vals, dtype="u1").reshape(hb, wb)
+                y = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                rst = did % 3
+                if did % 2 == 0:
+                    flat = np.full_like(y, 128)
+                    payload = encode_jpeg(y, flat, flat, restart_interval=rst)
+                else:
+                    payload = encode_jpeg(y, restart_interval=rst)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": payload,
+                        "meta": {
+                            "mime": "image/jpeg",
+                            "width": wb * 8,
+                            "height": hb * 8,
+                            "n_frames": 1,
+                        },
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])

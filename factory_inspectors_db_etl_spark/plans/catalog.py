@@ -52,6 +52,7 @@ from .catalog_ext import EXT_ORACLES as _EXT_ORACLES, EXT_QUERIES as _EXT_QUERIE
 from .catalog_ext2 import EXT2_ORACLES as _EXT2_ORACLES, EXT2_QUERIES as _EXT2_QUERIES
 from .catalog_ext3 import EXT3_ORACLES as _EXT3_ORACLES, EXT3_QUERIES as _EXT3_QUERIES
 from .catalog_ext4 import EXT4_ORACLES as _EXT4_ORACLES, EXT4_QUERIES as _EXT4_QUERIES
+from .catalog_ext5 import EXT5_ORACLES as _EXT5_ORACLES, EXT5_QUERIES as _EXT5_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3281,93 +3282,32 @@ JOIN c ON q.doc_id = c.doc_id
 # Ordering contract: the external driver verifies the FIRST 50 keys of this
 # dict per round.  Rotation history: r2 = the 50 §2-core keys; r3 = 29
 # never-checked + 21 core; r4 = changed/new/r2-parked; r5 = r2-stale
-# refreshes + the 47 round-5 additions + r5-changed code (all 50 green,
-# CORRECTNESS_r05.json).
+# refreshes + the 47 round-5 additions; r6 = the 9 never-checked late-r5d
+# additions + 26 new round-6 queries + r6-changed code + 8 oldest-r3 core
+# (all 50 green, CORRECTNESS_r06.json).
 #
-# Round 6 leads with (a) the NINE queries that have never had a driver row
-# (the late-r5d additions that missed the packed r5 window — the r5
-# verdict's #1), (b) queries whose CODE changed in round 6
-# (d_containment: max_df=None to close the ADVICE oracle-divergence;
-# j13_bloom_filtered_join: collision-proof scratch names), plus new
-# round-6 queries as they land, (c) the four similarity entries deferred
-# from r5, then (d) the OLDEST-evidence r3-green core.  The r3-green
-# entries that do not fit rotate forward FIRST in round 7 — the
-# AUTHORITATIVE list is the window-boundary comment below.  Union across
-# rounds stays total and every rotated-out query is re-verified locally by
-# tests/test_catalog_vs_duckdb.py each round.  tests/test_plan_shapes.py
-# pins the rotation rule itself: no never-driver-checked query may sit
-# outside the first-50 window.
+# Round 7 leads with (a) queries NEW in round 7 or whose code/oracle
+# CHANGED in round 7, (b) the 35 rows whose newest driver evidence is r3
+# — the oldest in the repo (VERDICT r6 item #1) — and (c) oldest-r4
+# backfill to fill the window.  Union across rounds stays total and every
+# rotated-out query is re-verified locally by tests/test_catalog_vs_duckdb.py
+# each round.  tests/test_plan_shapes.py pins the rotation rule itself two
+# ways: no never-driver-checked query may sit outside the first-50 window,
+# and no query outside the window may be more than 3 rounds stale at the
+# upcoming driver run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) NEVER driver-checked (late-r5d additions) — lead the window ---
-    "w25_streaks": _EXT3_QUERIES["w25_streaks"],
-    "p_benford": _EXT3_QUERIES["p_benford"],
-    "p_kanon": _EXT3_QUERIES["p_kanon"],
-    "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
-    "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
-    "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
-    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
-    "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
-    "j6c_asof_tolerance": q_j6c_asof_tolerance,
-    # --- (b) code changed in round 6 — re-verify ---
-    "d_containment": _EXT2_QUERIES["d_containment"],
-    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
-    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
-    # (new round-6 queries are registered here as they land, displacing
-    # r3-core entries past the window boundary below)
-    "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
-    "g5_wcc": _EXT4_QUERIES["g5_wcc"],
+    # --- (a) NEW in round 7 / code-or-oracle CHANGED in round 7 ---
+    # m_jpeg_decode: new (real baseline-JPEG decoder, operators/jpeg.py)
+    # m_png/m_wav/m_mp4: payload rules went codepoint-based + oracles
+    # gained % 256 (ADVICE r6); m_mp4 also got the nesting-depth cap
+    # j19: fifo_allocate dropped its pair-output distinct (one fewer shuffle)
+    "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
     "m_png_decode": _EXT4_QUERIES["m_png_decode"],
-    "a22_hhi_concentration": _EXT4_QUERIES["a22_hhi_concentration"],
-    "w28_rfm_segmentation": _EXT4_QUERIES["w28_rfm_segmentation"],
-    "j18_interval_align": _EXT4_QUERIES["j18_interval_align"],
-    "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
-    "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
-    "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
-    "j19_fifo_allocation": _EXT4_QUERIES["j19_fifo_allocation"],
-    "j21_grid_spatial_join": _EXT4_QUERIES["j21_grid_spatial_join"],
     "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
-    "t_vocab_growth": _EXT4_QUERIES["t_vocab_growth"],
-    "w29_last_touch_attribution": _EXT4_QUERIES["w29_last_touch_attribution"],
-    "g6_clustering_coeff": _EXT4_QUERIES["g6_clustering_coeff"],
-    "p_temporal_split": _EXT4_QUERIES["p_temporal_split"],
-    "j23_incremental_join_view": _EXT4_QUERIES["j23_incremental_join_view"],
-    "a24_percentile_rank": _EXT4_QUERIES["a24_percentile_rank"],
-    "p_balanced_downsample": _EXT4_QUERIES["p_balanced_downsample"],
     "m_mp4_meta": _EXT4_QUERIES["m_mp4_meta"],
-    "p_winsorize": _EXT4_QUERIES["p_winsorize"],
-    "w30_path_analysis": _EXT4_QUERIES["w30_path_analysis"],
-    "w31_interval_coalesce": _EXT4_QUERIES["w31_interval_coalesce"],
-    "s15_stream_stream_semi": _EXT4_QUERIES["s15_stream_stream_semi"],
-    "p_chi2_independence": _EXT4_QUERIES["p_chi2_independence"],
-    "e4_relational_division": _EXT4_QUERIES["e4_relational_division"],
-    # --- (c) similarity entries deferred from the r5 changed-code family ---
-    "sim_cosine_topk": q_sim_cosine_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "d_embedding_neardup": q_d_embedding_neardup,
-    "sim_pq_topk": q_sim_pq_topk,
-    # --- (d) r3-green core, oldest driver evidence — refresh to r6 ---
-    "flagship_q5_revenue": flagship,
-    "s1_filter_project": q_s1_filter_project,
-    "f1_standardize": q_f1_standardize,
-    "f2_clean_number": q_f2_clean_number,
-    "f5_regex_extract": q_f5_regex_extract,
-    "f8_token_sort_canon": q_f8_token_sort_canon,
-    "f9_case_ladder": q_f9_case_ladder,
-    "f10_dict_canonicalize": q_f10_dict_canonicalize,
-    # ------- 50-slot window boundary (f10_dict_canonicalize is position 50) -------
-    # The r3-green entries below did NOT fit the round-6 window and hold
-    # the repo's oldest driver evidence — rotate them forward FIRST in
-    # round 7: f11_typed_date, a1_pricing_summary, a2_skew_safe_distinct, a3_rollup, a3b_cube, a3c_grouping_sets, a4_distinct_counts, j1_broadcast_dim_join, j2_surrogate_dim,
-    # j3_nullsafe_join, a6_pivot, a6b_unpivot, a7_collect_set, s2b_json_extract,
-    # u3_grouped_agg_udaf, w12_exact_percentiles, w13_sessionize,
-    # w14_scd2_intervals, t_repetition_stats, p_profile_columns,
-    # p_curate_corpus, d_contamination, t_pii_redact, p_hash_split,
-    # p_stratified_sample, p_group_sample, p_pack_bins, t_text_stats,
-    # t_language_guess, t_quality_score, t_token_count_bpe,
-    # t_char_fingerprint, m_multimodal_meta, m_multimodal_decode,
-    # m_frame_sample.
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
+    "j19_fifo_allocation": _EXT4_QUERIES["j19_fifo_allocation"],
+    # --- (b) the 35 r3-stale rows (oldest driver evidence, VERDICT r6
+    # item #1) — refresh every one to r7 ---
     "f11_typed_date": q_f11_typed_date,
     "a1_pricing_summary": q_a1_pricing_summary,
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
@@ -3403,7 +3343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_multimodal_meta": q_m_multimodal_meta,
     "m_multimodal_decode": q_m_multimodal_decode,
     "m_frame_sample": q_m_frame_sample,
-    # --- r4-green ---
+    # --- (c) oldest-r4 backfill (registry-order head of the r4 block) ---
     "d_ngram_jaccard": q_d_ngram_jaccard,
     "d_dedup_clusters": q_d_dedup_clusters,
     "d_minhash_lsh": q_d_minhash_lsh,
@@ -3414,6 +3354,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s11_stream_dedup": q_s11_stream_dedup,
     "p_mixture_sample": q_p_mixture_sample,
     "j9_merge_upsert": q_j9_merge_upsert,
+    # ------- 50-slot window boundary (j9_merge_upsert is position 50) -------
+    # After round 7 the oldest driver evidence anywhere is r4 (34 rows),
+    # which round 8 must lead with — tests/test_plan_shapes.py now pins
+    # max staleness, not just never-checked coverage.
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
+    "w25_streaks": _EXT3_QUERIES["w25_streaks"],
+    "p_benford": _EXT3_QUERIES["p_benford"],
+    "p_kanon": _EXT3_QUERIES["p_kanon"],
+    "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
+    "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
+    "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
+    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
+    "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
+    "j6c_asof_tolerance": q_j6c_asof_tolerance,
+    "d_containment": _EXT2_QUERIES["d_containment"],
+    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
+    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
+    "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
+    "g5_wcc": _EXT4_QUERIES["g5_wcc"],
+    "a22_hhi_concentration": _EXT4_QUERIES["a22_hhi_concentration"],
+    "w28_rfm_segmentation": _EXT4_QUERIES["w28_rfm_segmentation"],
+    "j18_interval_align": _EXT4_QUERIES["j18_interval_align"],
+    "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
+    "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
+    "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
+    "j21_grid_spatial_join": _EXT4_QUERIES["j21_grid_spatial_join"],
+    "t_vocab_growth": _EXT4_QUERIES["t_vocab_growth"],
+    "w29_last_touch_attribution": _EXT4_QUERIES["w29_last_touch_attribution"],
+    "g6_clustering_coeff": _EXT4_QUERIES["g6_clustering_coeff"],
+    "p_temporal_split": _EXT4_QUERIES["p_temporal_split"],
+    "j23_incremental_join_view": _EXT4_QUERIES["j23_incremental_join_view"],
+    "a24_percentile_rank": _EXT4_QUERIES["a24_percentile_rank"],
+    "p_balanced_downsample": _EXT4_QUERIES["p_balanced_downsample"],
+    "p_winsorize": _EXT4_QUERIES["p_winsorize"],
+    "w30_path_analysis": _EXT4_QUERIES["w30_path_analysis"],
+    "w31_interval_coalesce": _EXT4_QUERIES["w31_interval_coalesce"],
+    "s15_stream_stream_semi": _EXT4_QUERIES["s15_stream_stream_semi"],
+    "p_chi2_independence": _EXT4_QUERIES["p_chi2_independence"],
+    "e4_relational_division": _EXT4_QUERIES["e4_relational_division"],
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "d_embedding_neardup": q_d_embedding_neardup,
+    "sim_pq_topk": q_sim_pq_topk,
+    "flagship_q5_revenue": flagship,
+    "s1_filter_project": q_s1_filter_project,
+    "f1_standardize": q_f1_standardize,
+    "f2_clean_number": q_f2_clean_number,
+    "f5_regex_extract": q_f5_regex_extract,
+    "f8_token_sort_canon": q_f8_token_sort_canon,
+    "f9_case_ladder": q_f9_case_ladder,
+    "f10_dict_canonicalize": q_f10_dict_canonicalize,
     "p_zorder_layout": q_p_zorder_layout,
     "a8_reaggregate": q_a8_reaggregate,
     "a9_sketch_rollup": q_a9_sketch_rollup,
@@ -3448,7 +3440,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o5_topk": q_o5_topk,
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
-    # --- r5-green (CORRECTNESS_r05.json, all 50 pass — freshest evidence) ---
     "e3_intersect": q_e3_intersect,
     "s9_tumbling_window": q_s9_tumbling_window,
     "s9b_sliding_window": q_s9b_sliding_window,
@@ -3599,6 +3590,7 @@ ORACLES: dict[str, str] = {
     **_EXT2_ORACLES,
     **_EXT3_ORACLES,
     **_EXT4_ORACLES,
+    **_EXT5_ORACLES,
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error

@@ -273,6 +273,44 @@ def test_no_never_driver_checked_query_outside_window():
     )
 
 
+def test_no_query_outside_window_is_more_than_three_rounds_stale():
+    """Max-staleness pin (VERDICT r6 item #9, extending the rotation
+    rule): with a 50-slot window over a ~180-query registry the revisit
+    period is 4 rounds, so at the UPCOMING driver run (newest recorded
+    round + 1) every query must either sit inside the first-50 window
+    (it gets refreshed) or have driver evidence at most 3 rounds older
+    than the upcoming round.  This fails the registry ordering — not a
+    query — whenever rotation stops walking."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if isinstance(rec, dict) and rec.get("rows_match") and rec.get("err") is None:
+                newest[name] = max(newest.get(name, 0), rnd)
+    upcoming = max(rounds) + 1
+    keys = list(QUERIES)
+    too_stale = [
+        f"{k} (newest r{newest[k]})"
+        for k in keys[50:]
+        if k in newest and newest[k] <= upcoming - 4
+    ]
+    assert not too_stale, (
+        f"queries outside the first-50 window whose driver evidence would be "
+        f">=4 rounds old after round {upcoming}: {too_stale}; lead the window "
+        "with them (registry ordering-contract comment)"
+    )
+
+
 @pytest.mark.slow
 def test_whole_catalog_no_cartesian_no_unpartitioned_window(spark, sf_dir):
     """The two catalog-wide invariants scripts/plan_audit.py reports as

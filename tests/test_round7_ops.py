@@ -1,0 +1,155 @@
+"""Round-7 operator tests: the real baseline-JPEG codec
+(operators/jpeg.py) — bit-exact constant-block round-trips across
+grayscale / YCbCr 4:4:4 / 4:2:0 / restart-marker paths, lossy-close
+behavior on arbitrary content, declared-fallback rejections
+(progressive, arithmetic, 12-bit), and the corruption-grid contract
+(malformed bytes raise ValueError only, never IndexError/crash)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from factory_inspectors_db_etl_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    parse_jpeg,
+)
+from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+
+def _const_blocks(seed: int, hb: int, wb: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    grid = rng.randint(0, 256, size=(hb, wb)).astype("u1")
+    return np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+
+
+def test_jpeg_grayscale_constant_blocks_roundtrip_bit_exact():
+    y = _const_blocks(1, 3, 5)
+    w, h, nc, planes = parse_jpeg(encode_jpeg(y))
+    assert (w, h, nc) == (40, 24, 1)
+    assert np.array_equal(planes[0], y)
+
+
+def test_jpeg_color_444_neutral_chroma_is_exactly_luma():
+    # Cb = Cr = 128 makes the JFIF conversion an identity: R=G=B=Y
+    y = _const_blocks(2, 2, 4)
+    flat = np.full_like(y, 128)
+    w, h, nc, planes = parse_jpeg(encode_jpeg(y, flat, flat))
+    assert nc == 3
+    assert np.array_equal(planes[0], y)
+    assert np.array_equal(planes[1], flat) and np.array_equal(planes[2], flat)
+    feats = decode_jpeg(encode_jpeg(y, flat, flat))
+    # all three RGB channel means equal the luma mean, exactly
+    assert feats[3] == feats[4] == feats[5] == int(y.sum()) / (y.size * 255)
+
+
+def test_jpeg_420_subsampled_roundtrip_and_upsample():
+    # 4:2:0 needs multiple-of-16 luma dims: 16x32 of constant 16x16 tiles
+    y = np.repeat(np.repeat(_const_blocks(3, 1, 2), 2, axis=0), 2, axis=1)
+    cb = np.full((8, 16), 90, dtype="u1")
+    cr = np.full((8, 16), 170, dtype="u1")
+    w, h, nc, planes = parse_jpeg(encode_jpeg(y, cb, cr, subsample=True))
+    assert (w, h, nc) == (32, 16, 3)
+    assert np.array_equal(planes[0], y)
+    # chroma replicated 2x2 back to full resolution
+    assert np.array_equal(planes[1], np.repeat(np.repeat(cb, 2, 0), 2, 1))
+    assert np.array_equal(planes[2], np.repeat(np.repeat(cr, 2, 0), 2, 1))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    y = _const_blocks(4, 4, 5)
+    for ri in (1, 2, 3, 7):
+        _, _, _, planes = parse_jpeg(encode_jpeg(y, restart_interval=ri))
+        assert np.array_equal(planes[0], y), f"restart_interval={ri}"
+
+
+def test_jpeg_nonconstant_content_is_lossy_close():
+    # arbitrary content: DCT rounding error stays within ±2 per pixel
+    # with all-ones quant tables (sanity that the general path is a real
+    # decoder, not a constant-block special case)
+    y = ((np.arange(24 * 32).reshape(24, 32) * 7 + 13) % 256).astype("u1")
+    _, _, _, planes = parse_jpeg(encode_jpeg(y))
+    assert int(np.abs(planes[0].astype(int) - y.astype(int)).max()) <= 2
+
+
+def test_jpeg_rejects_progressive_and_friends():
+    y = _const_blocks(5, 2, 2)
+    pl = bytearray(encode_jpeg(y))
+    sof = pl.index(b"\xff\xc0")
+    for marker, what in ((0xC2, "progressive"), (0xC9, "arithmetic"), (0xCA, "prog-arith")):
+        mutated = bytearray(pl)
+        mutated[sof + 1] = marker
+        with pytest.raises(ValueError, match="baseline"):
+            parse_jpeg(bytes(mutated))
+    # 12-bit precision
+    mutated = bytearray(pl)
+    mutated[sof + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        parse_jpeg(bytes(mutated))
+
+
+def test_jpeg_corruption_grid_valueerror_only():
+    """Same contract as the PNG/WAV/MP4 corruption grids: truncations
+    and byte-flips of a valid payload either decode (a flip inside
+    entropy data can still be decodable) or raise ValueError — never
+    IndexError / KeyError / struct.error / RecursionError."""
+    y = _const_blocks(6, 3, 4)
+    flat = np.full_like(y, 128)
+    payloads = [
+        encode_jpeg(y, restart_interval=2),
+        encode_jpeg(y, flat, flat),
+    ]
+    for payload in payloads:
+        for cut in (0, 1, 2, 7, 19, len(payload) // 2, len(payload) - 1):
+            try:
+                decode_jpeg(payload[:cut])
+            except ValueError:
+                pass
+        for pos in range(0, len(payload), max(1, len(payload) // 41)):
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0xFF
+            try:
+                decode_jpeg(bytes(mutated))
+            except ValueError:
+                pass
+
+
+def test_jpeg_rejects_undefined_tables_and_bad_scan():
+    y = _const_blocks(7, 2, 2)
+    pl = encode_jpeg(y)
+    # strip the DHT segments: scan then references undefined tables
+    dht = pl.index(b"\xff\xc4")
+    out = bytearray(pl[:dht])
+    pos = dht
+    while pl[pos : pos + 2] == b"\xff\xc4":
+        pos += 2 + int.from_bytes(pl[pos + 2 : pos + 4], "big")
+    out += pl[pos:]
+    with pytest.raises(ValueError, match="Huffman table"):
+        parse_jpeg(bytes(out))
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+def test_m_jpeg_decode_catalog_query(spark, sf_dir):
+    """The registered query decodes REAL JPEG payloads for every doc and
+    reproduces the SQL pixel rule bit-exactly (the oracle hash-match runs
+    in test_catalog_vs_duckdb; here pin the Python-side replay and that
+    both the grayscale and color arms exercise the real decoder)."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import q_m_jpeg_decode
+
+    out = q_m_jpeg_decode(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = load_table(spark, sf_dir, "documents").toPandas().set_index("doc_id")
+    assert len(out) == len(docs)
+    for did, row in out.iterrows():
+        text = docs.loc[did, "text"] or ""
+        wb, hb = did % 4 + 2, did % 3 + 2
+        codes = [ord(c) % 256 for c in text]
+        n = wb * hb
+        s = sum(codes[b % len(codes)] if codes else 0 for b in range(n))
+        assert row["width"] == wb * 8 and row["height"] == hb * 8
+        assert row["n_components"] == (3 if did % 2 == 0 else 1)
+        assert row["mean_gray"] == s / (n * 255)
+        assert row["mean_all"] == row["mean_gray"]
