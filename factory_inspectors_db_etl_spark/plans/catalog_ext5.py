@@ -14,10 +14,11 @@ surface (multimodal columns, SURVEY.md §2 M6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as MM
+from ..operators.materialize import materialize
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -78,10 +79,222 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# W32: sweep-line interval concurrency (peak in-transit shipments)
+# ---------------------------------------------------------------------------
+
+
+def q_w32_interval_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """W32: peak concurrent intervals per key by SWEEP LINE — the
+    classic "max simultaneous sessions/shipments/meetings" operator.
+    Each lineitem is in transit for [shipdate, shipdate + transit_days]
+    inclusive, transit_days = int(quantity) % 20 + 3 (deterministic,
+    SQL-replayable — the synthetic table has no receipt date).  The
+    sequential statement ("walk a timeline, track a counter") becomes
+    distributed via +1/−1 boundary events: net delta per (supplier,
+    day), one cumulative-sum window = concurrency at every change
+    point; the peak and its first date fall out of the same partitioning.
+
+    Plan: ONE shuffle on l_suppkey serves the per-day aggregate, the
+    ordered cumsum window, the unordered max window, and the final
+    group-by — the explicit ``repartition("suppkey")`` hash-partitions
+    on the SUBSET key, which satisfies the (suppkey, d) clustered
+    distribution of the aggregate AND the window's requirement, so
+    Spark inserts no second exchange (pinned: plan has exactly 1).
+    Exact integers end to end.  100 TB: the sweep line never
+    materializes the timeline — only change points (2 rows per
+    interval, combinable map-side)."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        F.to_date("l_shipdate").alias("start"),
+        (F.col("l_quantity").cast("int") % 20 + 3).alias("transit"),
+    )
+    deltas = li.select(
+        "suppkey", F.col("start").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        li.select(
+            "suppkey",
+            F.date_add(F.col("start"), F.col("transit") + F.lit(1)).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    per_day = (
+        deltas.repartition("suppkey")
+        .groupBy("suppkey", "d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = W.partitionBy("suppkey").orderBy("d")
+    wall = W.partitionBy("suppkey")
+    conc = per_day.withColumn(
+        "conc",
+        F.sum("net").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).withColumn("peak", F.max("conc").over(wall))
+    return (
+        conc.filter(F.col("conc") == F.col("peak"))
+        .groupBy("suppkey")
+        .agg(
+            F.max("peak").cast("long").alias("peak_in_transit"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_peak_date"),
+        )
+    )
+
+
+O_W32_CONCURRENCY = """
+WITH li AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(l_shipdate AS DATE) AS start,
+         CAST(l_quantity AS INTEGER) % 20 + 3 AS transit
+  FROM lineitem
+), deltas AS (
+  SELECT suppkey, start AS d, 1 AS delta FROM li
+  UNION ALL
+  SELECT suppkey, start + transit + 1, -1 FROM li
+), per_day AS (
+  SELECT suppkey, d, CAST(sum(delta) AS BIGINT) AS net
+  FROM deltas GROUP BY 1, 2
+), running AS (
+  SELECT suppkey, d,
+         CAST(sum(net) OVER (PARTITION BY suppkey ORDER BY d) AS BIGINT) AS conc
+  FROM per_day
+), peaks AS (
+  SELECT suppkey, max(conc) AS peak FROM running GROUP BY 1
+)
+SELECT r.suppkey,
+       CAST(p.peak AS BIGINT) AS peak_in_transit,
+       strftime(min(r.d), '%Y-%m-%d') AS first_peak_date
+FROM running r
+JOIN peaks p ON p.suppkey = r.suppkey AND r.conc = p.peak
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# T-COLL: collocation mining with integer-exact lift (PMI without the log)
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_DF = 5
+_COLL_MIN_CO = 5
+_COLL_TOPK = 100
+
+
+def q_t_collocation_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """T-COLL: corpus collocation mining — word pairs that co-occur in
+    documents far more than independence predicts.  The statistic is
+    LIFT rather than PMI: lift(x,y) = P(x,y)/(P(x)P(y)) =
+    N·n_xy/(n_x·n_y), kept as the EXACT integer
+    ``lift_e6 = (n_xy·N·10⁶) div (n_x·n_y)`` (monotone in PMI, so the
+    ranking is identical — and exact integers dodge the engine-divergent
+    log/double entirely, the a22/p_chi2 design rule).
+
+    Plan: distinct words per doc (columnar explode), doc-frequency
+    filter (min_df bounds the vocabulary, broadcast back), then pair
+    expansion happens COLUMNAR per document — the kept words collapse
+    to a sorted per-doc array (one shuffle on doc_id) and (w1 < w2)
+    pairs are generated in place by nested higher-order transforms, so
+    there is NO self-join and the pair table shuffles exactly once (the
+    (w1, w2) aggregate, map-side combinable).  Doc frequencies join
+    back broadcast; top-k is TakeOrderedAndProject under the total
+    order (lift desc, w1, w2).  100 TB: min_df and min_co keep the pair
+    table sparse; pairs per doc ≤ C(kept_words, 2) locally, and no
+    all-pairs vocabulary join ever happens."""
+    d = load_table(spark, sf, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(
+                        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " "
+                    )
+                )
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    n_docs = d.select(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_docs")
+    df_counts = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # the filtered vocabulary is reused three times (kept-filter + the
+    # two frequency join-backs); its projections differ, so without a
+    # barrier Spark re-runs the groupBy(w) shuffle once per use (plan
+    # showed 3 copies) — materialize it once, it is min_df-bounded small
+    vocab = materialize(df_counts.filter(F.col("df") >= _COLL_MIN_DF))
+    kept = words.join(F.broadcast(vocab.select("w")), "w")
+    per_doc = kept.groupBy("doc_id").agg(F.sort_array(F.collect_set("w")).alias("ws"))
+    # columnar (w1 < w2) pair expansion: for the i-th word, pair it with
+    # every later word of the SORTED array — no self-join, no shuffle
+    pair_expr = F.flatten(
+        F.transform(
+            "ws",
+            lambda x, i: F.transform(
+                F.slice(F.col("ws"), i + 2, F.greatest(F.size("ws") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        )
+    )
+    pairs = (
+        per_doc.select(F.explode(pair_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= _COLL_MIN_CO)
+        .join(F.broadcast(vocab.select(F.col("w").alias("w1"), F.col("df").alias("n_x"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("w").alias("w2"), F.col("df").alias("n_y"))), "w2")
+    )
+    out = pairs.crossJoin(F.broadcast(n_docs)).withColumn(
+        "lift_e6",
+        F.expr(
+            "CAST((CAST(n_xy AS DECIMAL(38,0)) * n_docs * 1000000) div "
+            "(CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)"
+        ),
+    )
+    return (
+        out.select("w1", "w2", "n_xy", "n_x", "n_y", "lift_e6")
+        .orderBy(F.desc("lift_e6"), "w1", "w2")
+        .limit(_COLL_TOPK)
+    )
+
+
+O_T_COLLOCATION = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+), dfc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM words GROUP BY 1
+  HAVING count(*) >= {_COLL_MIN_DF}
+), kept AS (
+  SELECT words.doc_id, words.w, dfc.df FROM words JOIN dfc USING (w)
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2,
+         CAST(count(*) AS BIGINT) AS n_xy,
+         CAST(any_value(a.df) AS BIGINT) AS n_x,
+         CAST(any_value(b.df) AS BIGINT) AS n_y
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+  HAVING count(*) >= {_COLL_MIN_CO}
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT w1, w2, n_xy, n_x, n_y,
+       CAST((CAST(n_xy AS HUGEINT) * n_docs * 1000000) // (CAST(n_x AS HUGEINT) * n_y) AS BIGINT) AS lift_e6
+FROM pairs, n
+ORDER BY lift_e6 DESC, w1, w2
+LIMIT {_COLL_TOPK}
+"""
+
+
 EXT5_QUERIES = {
     "m_jpeg_decode": q_m_jpeg_decode,
+    "w32_interval_concurrency": q_w32_interval_concurrency,
+    "t_collocation_lift": q_t_collocation_lift,
 }
 
 EXT5_ORACLES = {
     "m_jpeg_decode": O_M_JPEG,
+    "w32_interval_concurrency": O_W32_CONCURRENCY,
+    "t_collocation_lift": O_T_COLLOCATION,
 }

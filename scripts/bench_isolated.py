@@ -1,0 +1,189 @@
+"""Isolated-profile bench: the regression gate bench.py cannot be.
+
+One shared-session bench (bench.py) measures everything cheaply, but
+its per-query numbers ride the JVM session lottery — measured ±2-4x on
+identical code across sessions (VERDICT r6), which hides real 1.5x
+regressions.  This script profiles the HEAVIEST queries each in a
+FRESH JVM (subprocess): fixed warm-up (once at the smallest sibling SF,
+once at the bench SF), then 3 timed runs, reporting the min — the
+steady-state cost with no cross-query interference, no shared-session
+GC/JIT noise.
+
+Usage:
+    python scripts/bench_isolated.py                 # top-20 + pipelines
+    python scripts/bench_isolated.py --top 5         # quicker sweep
+    python scripts/bench_isolated.py --only g5_wcc   # one family
+    python scripts/bench_isolated.py --one <name> <sf_dir>   # internal
+
+Writes BENCH_ISOLATED.json at the repo root and compares against the
+previous committed copy: any family slower than REGRESSION_FACTOR x its
+previous isolated min is reported loudly and the exit code is 1.  Run
+once per round; the committed file is the round-over-round baseline.
+
+Selection: the top ``--top`` entries of bench_detail.json (the full
+shared-session sweep) plus the two end-to-end pipeline builds — the
+families where a regression matters and where session noise is largest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REGRESSION_FACTOR = 1.5
+PIPELINES = ("etl_warehouse_build", "corpus_pipeline_build")
+
+
+def _run_one(name: str, sf_dir: str) -> None:
+    """Child-process entry: fresh JVM, warm, 3 timed runs, one JSON line."""
+    from factory_inspectors_db_etl_spark.session import get_spark
+
+    spark = get_spark(f"bench-iso-{name}")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+
+    if name == "etl_warehouse_build":
+        import shutil
+        import tempfile
+
+        from factory_inspectors_db_etl_spark.plans.inspectors_etl import (
+            build_warehouse,
+            write_warehouse,
+        )
+
+        # single-file warm (UDF worker spin-up), then one untimed
+        # full-corpus build (whole-plan codegen), then 3 timed runs
+        build_warehouse(spark, "/root/reference/diplom/fabric1901.html")[
+            "assignments"
+        ].write.mode("overwrite").format("noop").save()
+        runs = []
+        for i in range(4):
+            out = tempfile.mkdtemp(prefix="bench_iso_wh_")
+            try:
+                t0 = time.time()
+                write_warehouse(
+                    build_warehouse(spark, "/root/reference/diplom/fabric*.html"), out
+                )
+                if i > 0:
+                    runs.append(time.time() - t0)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+    elif name == "corpus_pipeline_build":
+        from factory_inspectors_db_etl_spark.plans.corpus_pipeline import (
+            build_training_set,
+        )
+
+        build_training_set(spark, warm_dir)["packed_train"].write.mode(
+            "overwrite"
+        ).format("noop").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            for part in build_training_set(spark, sf_dir).values():
+                part.write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+    else:
+        from factory_inspectors_db_etl_spark.plans.catalog import QUERIES
+
+        fn = QUERIES[name]
+        fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # full-SF warm
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+    print(
+        "BENCH_ISO "
+        + json.dumps({"name": name, "runs": [round(r, 3) for r in runs], "min": round(min(runs), 3)})
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", nargs=2, metavar=("NAME", "SF_DIR"))
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--only", help="comma-separated family names")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    if args.one:
+        _run_one(args.one[0], args.one[1])
+        return 0
+
+    detail_path = os.path.join(REPO, "bench_detail.json")
+    with open(detail_path) as f:
+        shared = json.load(f)["queries"]
+    if args.only:
+        names = args.only.split(",")
+    else:
+        ranked = sorted(shared, key=lambda n: -shared[n])
+        names = [n for n in ranked if n not in PIPELINES][: args.top]
+        names += list(PIPELINES)
+
+    out_path = os.path.join(REPO, "BENCH_ISOLATED.json")
+    previous = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            previous = json.load(f).get("families", {})
+
+    families: dict[str, dict] = {}
+    for name in names:
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", name, args.sf_dir]
+        print(f"== {name} (fresh JVM)", flush=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
+        rec = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_ISO "):
+                rec = json.loads(line[len("BENCH_ISO "):])
+        if rec is None:
+            print(f"   FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}", flush=True)
+            families[name] = {"error": f"rc={proc.returncode}"}
+            continue
+        families[name] = {"runs": rec["runs"], "min": rec["min"]}
+        prev = previous.get(name, {}).get("min")
+        note = ""
+        if prev:
+            ratio = rec["min"] / prev if prev else float("nan")
+            families[name]["prev_min"] = prev
+            families[name]["ratio_vs_prev"] = round(ratio, 3)
+            note = f"  (prev {prev}s, x{ratio:.2f})"
+        print(f"   min {rec['min']}s  runs {rec['runs']}{note}", flush=True)
+
+    regressions = {
+        n: f
+        for n, f in families.items()
+        if f.get("ratio_vs_prev", 0) > REGRESSION_FACTOR
+    }
+    result = {
+        "sf_dir": args.sf_dir,
+        "timing": "fresh JVM per family; warm sf0.001 + warm full-SF; min of 3 timed runs",
+        "regression_factor": REGRESSION_FACTOR,
+        "families": families,
+        "regressions": sorted(regressions),
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"isolated_families": len(families), "regressions": sorted(regressions)}))
+    if regressions:
+        for n, f in regressions.items():
+            print(
+                f"REGRESSION: {n} isolated min {f['min']}s is "
+                f"x{f['ratio_vs_prev']} vs previous {f['prev_min']}s",
+                file=sys.stderr,
+            )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

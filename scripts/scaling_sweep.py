@@ -1,0 +1,129 @@
+"""Scaling-exponent sweep (VERDICT r6 item #7): measure sf0.1 -> sf1
+wall-clock ratios for the heaviest query families and compare each
+against its declared complexity.
+
+A 10x data scale-up should cost ~10x for linear operators (ratio <= ~12
+with constant factors), ~10x·log for sort/graph-round families, and
+anything beyond its declared exponent is a round-8 work item.  Each
+(family, sf) pair runs in a FRESH JVM (no shared-session JIT/GC
+interference), warmed once at sf0.001, min of 2 timed runs.  sf1 runs
+get a 24g driver heap (the 0.75g/core production proxy pinned in the
+verify notes — a 1g-heap OOM at sf1 is an environment artifact).
+
+Usage:
+    python scripts/scaling_sweep.py                  # default 8 families
+    python scripts/scaling_sweep.py --only g5_wcc
+    python scripts/scaling_sweep.py --one <name> <sf_dir>   # internal
+
+Writes SCALING_SWEEP.json at the repo root.  `etl_warehouse_build` is
+deliberately NOT here: its corpus (13 yearly rosters) is fixed and does
+not scale with sf — `corpus_pipeline_build` is the sf-dependent
+end-to-end entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# family -> declared complexity note (what the ratio is judged against)
+FAMILIES = {
+    "g5_wcc": "O(E log^2 n) — rounds x 2 hash shuffles; ratio may exceed 10x by the extra log factor",
+    "g1b_pagerank_shuffle": "O(E * iters), fixed 5 iterations — expect ~linear",
+    "j19_fifo_allocation": "O(n + matches) cell equi-join — expect ~linear",
+    "sim_ivf_topk_kmeans": "O(n*k*iters) training + bucketed probe — expect ~linear in n",
+    "d_semantic_dedup_multiprobe": "O(n^2 * n_probe / k) within-cell pairs — replicated sf1 raises dup density; watch the pair term",
+    "d_setsim_prefix_join": "posting-list candidates + exact-dup collapse — expect ~linear after collapse",
+    "g4_khop_bfs": "O(E * hops), 3 hops — expect ~linear in E",
+    "corpus_pipeline_build": "composition of linear stages — expect ~linear",
+}
+
+
+def _run_one(name: str, sf_dir: str) -> None:
+    from factory_inspectors_db_etl_spark.session import get_spark
+
+    spark = get_spark(f"scale-{name}")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+
+    if name == "corpus_pipeline_build":
+        from factory_inspectors_db_etl_spark.plans.corpus_pipeline import (
+            build_training_set,
+        )
+
+        def run(d):
+            for part in build_training_set(spark, d).values():
+                part.write.mode("overwrite").format("noop").save()
+    else:
+        from factory_inspectors_db_etl_spark.plans.catalog import QUERIES
+
+        def run(d):
+            QUERIES[name](spark, d).write.mode("overwrite").format("noop").save()
+
+    run(warm_dir)
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        run(sf_dir)
+        runs.append(time.time() - t0)
+    print("SCALE_ONE " + json.dumps({"name": name, "runs": [round(r, 3) for r in runs]}))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", nargs=2, metavar=("NAME", "SF_DIR"))
+    ap.add_argument("--only", help="comma-separated family names")
+    ap.add_argument("--sf-small", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf-big", default=os.path.join(REPO, ".scratch", "sf1"))
+    args = ap.parse_args()
+
+    if args.one:
+        _run_one(args.one[0], args.one[1])
+        return 0
+
+    names = args.only.split(",") if args.only else list(FAMILIES)
+    out_path = os.path.join(REPO, "SCALING_SWEEP.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("families", {})
+
+    for name in names:
+        rec = {"complexity": FAMILIES.get(name, "?")}
+        for key, sf_dir, heap in (("sf0.1", args.sf_small, "16g"), ("sf1", args.sf_big, "24g")):
+            env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
+            cmd = [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir]
+            print(f"== {name} @ {key} (fresh JVM, {heap})", flush=True)
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=3600
+            )
+            got = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("SCALE_ONE "):
+                    got = json.loads(line[len("SCALE_ONE "):])
+            if got is None:
+                print(f"   FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}", flush=True)
+                rec[key] = {"error": f"rc={proc.returncode}"}
+                continue
+            rec[key] = {"runs": got["runs"], "min": min(got["runs"])}
+            print(f"   min {min(got['runs'])}s  runs {got['runs']}", flush=True)
+        if "min" in rec.get("sf0.1", {}) and "min" in rec.get("sf1", {}):
+            rec["ratio_10x"] = round(rec["sf1"]["min"] / rec["sf0.1"]["min"], 2)
+            print(f"   RATIO sf1/sf0.1 = {rec['ratio_10x']}x", flush=True)
+        results[name] = rec
+
+    with open(out_path, "w") as f:
+        json.dump({"note": "10x data; fresh JVM per (family, sf); min of 2", "families": results}, f, indent=1)
+    print(json.dumps({n: results[n].get("ratio_10x") for n in results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -153,3 +153,121 @@ def test_m_jpeg_decode_catalog_query(spark, sf_dir):
         assert row["n_components"] == (3 if did % 2 == 0 else 1)
         assert row["mean_gray"] == s / (n * 255)
         assert row["mean_all"] == row["mean_gray"]
+
+
+def test_w32_interval_concurrency_matches_sequential_sweep(spark, sf_dir):
+    """Per-supplier peak concurrency equals a brute-force day-by-day
+    count of covering intervals (the sequential statement the sweep
+    line replaces)."""
+    import datetime as dt
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        q_w32_interval_concurrency,
+    )
+
+    out = q_w32_interval_concurrency(spark, sf_dir).toPandas().set_index("suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "cast(l_suppkey as long) s",
+            "to_date(l_shipdate) d0",
+            "cast(l_quantity as int) % 20 + 3 tr",
+        )
+        .toPandas()
+    )
+    for s, grp in li.groupby("s"):
+        counts: dict[dt.date, int] = {}
+        for _, r in grp.iterrows():
+            for k in range(int(r["tr"]) + 1):
+                day = r["d0"] + dt.timedelta(days=k)
+                counts[day] = counts.get(day, 0) + 1
+        peak = max(counts.values())
+        first = min(d for d, c in counts.items() if c == peak)
+        assert out.loc[s, "peak_in_transit"] == peak
+        assert out.loc[s, "first_peak_date"] == first.strftime("%Y-%m-%d")
+
+
+def test_w32_single_shuffle_plan(spark, sf_dir):
+    """The sweep line's whole chain (per-day aggregate, ordered cumsum
+    window, max window, final group-by) must ride ONE hash exchange —
+    the subset-key repartition trick; a second exchange means the
+    aggregate stopped reusing the supplier partitioning."""
+    import re
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        q_w32_interval_concurrency,
+    )
+
+    plan = (
+        q_w32_interval_concurrency(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_t_collocation_lift_matches_brute_force(spark, sf_dir):
+    """Top-k collocations equal a pandas brute-force recompute: distinct
+    words per doc, df >= 5 vocab, co-occurrence counts, exact integer
+    lift, same total order."""
+    import itertools
+    import re as _re
+    from collections import Counter
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        _COLL_MIN_CO,
+        _COLL_MIN_DF,
+        _COLL_TOPK,
+        q_t_collocation_lift,
+    )
+
+    out = q_t_collocation_lift(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()["text"]
+    N = len(docs)
+    doc_words = [
+        sorted(
+            {
+                w
+                for w in _re.sub(r"\s+", " ", (t or "").strip().lower()).split(" ")
+                if w
+            }
+        )
+        for t in docs
+    ]
+    df = Counter(w for ws in doc_words for w in ws)
+    vocab = {w for w, c in df.items() if c >= _COLL_MIN_DF}
+    co = Counter()
+    for ws in doc_words:
+        kept = [w for w in ws if w in vocab]
+        co.update(itertools.combinations(kept, 2))
+    rows = [
+        (w1, w2, c, df[w1], df[w2], (c * N * 10**6) // (df[w1] * df[w2]))
+        for (w1, w2), c in co.items()
+        if c >= _COLL_MIN_CO
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = rows[:_COLL_TOPK]
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == want
+
+
+def test_t_collocation_pair_expansion_is_columnar_no_self_join(spark, sf_dir):
+    """Pair generation must be the in-place higher-order transform, not
+    a doc_id self-join: exactly 2 data shuffles (per-doc collapse + the
+    (w1, w2) aggregate) besides the one-time vocab barrier, and no
+    SortMergeJoin anywhere."""
+    import re
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        q_t_collocation_lift,
+    )
+
+    plan = (
+        q_t_collocation_lift(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
