@@ -531,6 +531,12 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
+    # memory-bomb guard: a malformed-but-parseable SOF can claim
+    # 65535x65535 and make the plane allocation below reserve gigabytes
+    # BEFORE the entropy decode fails.  16M px (4096x4096) covers real
+    # crawl images; larger claims take the declared byte-level fallback.
+    if (mcux * hmax * 8) * (mcuy * vmax * 8) > 1 << 24:
+        raise ValueError("jpeg: declared dimensions exceed the 16M-pixel cap")
 
     planes = []
     meta = []

@@ -47,9 +47,34 @@ def build_training_set(
     """Returns {'kept', 'splits', 'packed_train'} DataFrames."""
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1-2: cluster near-dups, keep the best doc per cluster
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
-    comp = assign_components(docs, pairs, "doc_id").select("doc_id", "component_id")
+    # 1-2: cluster near-dups, keep the best doc per cluster.
+    #
+    # EXACT-DUP COLLAPSE before any pair enumeration (the r5 LSH/setsim
+    # guard, applied to the clustering stage): identical texts have
+    # identical shingle sets, hence identical neighbors, hence the same
+    # component — so clustering only the distinct-text REPRESENTATIVES
+    # and mapping members onto their representative's component is
+    # bit-identical (reps are min-id per text, so the component id stays
+    # the min doc_id over ALL members).  Without it, pair volume grows
+    # as duplicates² on duplicate-dense corpora: the round-7 sf0.1→sf1
+    # scaling sweep measured the whole build at 80× for 10× data on the
+    # 10×-replicated stress corpus (6.8s → 544s); with the collapse the
+    # pair computation scales with distinct texts.
+    rep_map = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(W.partitionBy(F.md5(F.col("text"))))
+        .alias("_rep_id"),
+    )
+    rep_docs = docs.join(
+        rep_map.filter(F.col("doc_id") == F.col("_rep_id")).select("doc_id"),
+        "doc_id",
+    )
+    pairs = ngram_jaccard_pairs(rep_docs, "doc_id", "text", k=3, threshold=0.5)
+    comp_rep = assign_components(rep_docs, pairs, "doc_id").select(
+        F.col("doc_id").alias("_rep_id"), "component_id"
+    )
+    comp = rep_map.join(comp_rep, "_rep_id").select("doc_id", "component_id")
     scored = docs.join(comp, "doc_id").withColumn(
         "quality", TA.quality_score(F.col("text"))
     )

@@ -271,3 +271,49 @@ def test_t_collocation_pair_expansion_is_columnar_no_self_join(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_semantic_dedup_auto_cell_count_scales_with_corpus(spark, sf_dir):
+    """n_clusters='auto' sizes the cell count from the corpus
+    (k = max(16, n // target_cell_size)) so the O(n²·n_probe/k) pair
+    term stays linear as data grows — and where auto resolves to the
+    same k as the literal, the output is identical row for row."""
+    from factory_inspectors_db_etl_spark.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    target = max(1, n // 16)  # forces auto-k == 16 on this corpus
+    auto = semantic_dedup(
+        e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=target
+    )
+    fixed = semantic_dedup(e, n_clusters=16, threshold=0.40, n_probe=2)
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, fixed.collect()))
+    assert a == b and len(a) == n
+    # and a larger corpus under the same target gets MORE cells: pin the
+    # arithmetic (k doubles when n doubles)
+    base = e.select("vec_id", "embedding")
+    doubled = base.unionAll(base.selectExpr(f"vec_id + {n} as vec_id", "embedding"))
+    out = semantic_dedup(
+        doubled, n_clusters="auto", threshold=0.40, target_cell_size=target
+    )
+    # auto-k = 2n // target = 32 cells -> cluster ids span beyond the
+    # first 16 vec_ids (first_n centroids are vec_id < k)
+    assert out.agg({"cluster_id": "max"}).first()[0] >= 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto"):
+        semantic_dedup(e, n_clusters="16")
+
+
+def test_jpeg_dimension_bomb_rejected_before_allocation():
+    """A malformed SOF claiming 65535x65535 must raise ValueError at the
+    header (16M-pixel cap), not allocate multi-GB planes and then fail
+    in the entropy decode."""
+    y = _const_blocks(8, 2, 2)
+    pl = bytearray(encode_jpeg(y))
+    sof = pl.index(b"\xff\xc0")
+    pl[sof + 5 : sof + 7] = (65535).to_bytes(2, "big")  # height
+    pl[sof + 7 : sof + 9] = (65535).to_bytes(2, "big")  # width
+    with pytest.raises(ValueError, match="16M-pixel cap"):
+        parse_jpeg(bytes(pl))
