@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .gif import decode_gif, encode_gif
 from .jpeg import decode_jpeg, encode_jpeg
 
 META_TYPE = T.StructType(
@@ -557,6 +558,9 @@ _CODECS = {
     # progressive/arithmetic profiles raise ValueError -> byte fallback
     "image/jpeg": decode_jpeg,
     "image/jpg": decode_jpeg,
+    # real GIF87a/89a decoder (round 7): variable-width LZW with
+    # dictionary growth/reset, interlace de-scrambling (operators/gif.py)
+    "image/gif": decode_gif,
 }
 
 
@@ -826,6 +830,51 @@ def with_jpeg_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
                             "height": hb * 8,
                             "n_frames": 1,
                         },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def with_gif_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach a REAL GIF payload per document (Arrow-batched
+    ``mapInPandas``) whose pixels replay a SQL-expressible rule —
+
+        w = doc_id % 7 + 4,  h = doc_id % 5 + 3,
+        index[p] = ord(text[p mod len(text)]) % 256  (0 if empty),
+        identity grayscale palette (palette[i] = (i, i, i)),
+        odd doc_ids interlaced (GIF's 8/8/4/2 four-pass row order)
+
+    GIF is lossless, so the decode is bit-exact by construction; the
+    identity palette makes decoded RGB means equal index means, so the
+    DuckDB oracle replays the rule directly — a hash match proves the
+    LZW decompressor (dictionary growth, width escalation, CLEAR
+    resets), sub-block framing, palette lookup and interlace
+    de-scrambling end to end."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_TYPE),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(doc_id)
+                w, h = did % 7 + 4, did % 5 + 3
+                codes = [ord(c) % 256 for c in (text or "")]
+                n = w * h
+                vals = [codes[p % len(codes)] if codes else 0 for p in range(n)]
+                idx = np.array(vals, dtype="u1").reshape(h, w)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": encode_gif(idx, interlace=bool(did % 2)),
+                        "meta": {"mime": "image/gif", "width": w, "height": h, "n_frames": 1},
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])

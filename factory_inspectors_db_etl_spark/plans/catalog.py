@@ -3309,6 +3309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # w32/t_coll: new round-7 queries (sweep-line concurrency, collocation lift)
     "w32_interval_concurrency": _EXT5_QUERIES["w32_interval_concurrency"],
     "t_collocation_lift": _EXT5_QUERIES["t_collocation_lift"],
+    "m_gif_decode": _EXT5_QUERIES["m_gif_decode"],
     # --- (b) the 35 r3-stale rows (oldest driver evidence, VERDICT r6
     # item #1) — refresh every one to r7 ---
     "f11_typed_date": q_f11_typed_date,
@@ -3354,15 +3355,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_tfidf_topk": q_t_tfidf_topk,
     "d_simhash_neardup": q_d_simhash_neardup,
     "a5_approx_sketches": q_a5_approx_sketches,
-    "s11_stream_dedup": q_s11_stream_dedup,
-    # ------- 50-slot window boundary (s11_stream_dedup is position 50) -------
-    # After round 7 the oldest driver evidence anywhere is r4 (36 rows,
-    # incl. p_mixture_sample/j9_merge_upsert displaced by the two new
-    # round-7 queries), which round 8 must lead with —
+    # ------- 50-slot window boundary (a5_approx_sketches is position 50) -------
+    # After round 7 the oldest driver evidence anywhere is r4 (37 rows,
+    # incl. s11_stream_dedup/p_mixture_sample/j9_merge_upsert displaced
+    # by the three new round-7 queries), which round 8 must lead with —
     # tests/test_plan_shapes.py now pins max staleness, not just
     # never-checked coverage.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "s11_stream_dedup": q_s11_stream_dedup,
     "p_mixture_sample": q_p_mixture_sample,
     "j9_merge_upsert": q_j9_merge_upsert,
     "w25_streaks": _EXT3_QUERIES["w25_streaks"],

@@ -287,14 +287,66 @@ LIMIT {_COLL_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# M-GIF: real GIF (LZW) encode -> decode round-trip, SQL-replayed
+# ---------------------------------------------------------------------------
+
+
+def q_m_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """M-GIF: REAL GIF decode.  ``with_gif_payload`` builds a genuine
+    GIF87a per document (real dictionary-building LZW, identity
+    grayscale palette, odd doc_ids interlaced) whose pixel indices
+    replay a SQL rule; ``decode_and_featurize`` then really decodes it
+    (``operators.gif.decode_gif``: sub-block reassembly, variable-width
+    LZW with dictionary growth/CLEAR resets, palette lookup, interlace
+    de-scrambling).  GIF is lossless, so the oracle's replay of the
+    rule pins the whole codec bit-exactly — the LZW sibling of the
+    PNG (zlib) and JPEG (Huffman/DCT) round-trip proofs."""
+    d = load_table(spark, sf, "documents")
+    feats = MM.decode_and_featurize(MM.with_gif_payload(d))
+    fx = lambda i: F.element_at("features", i)  # noqa: E731
+    return feats.select(
+        "doc_id",
+        fx(1).cast("int").alias("width"),
+        fx(2).cast("int").alias("height"),
+        fx(4).alias("mean_gray"),
+        fx(7).alias("mean_all"),
+    )
+
+
+O_M_GIF = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 5 + 3 AS BIGINT) AS h,
+         length(text) AS L,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) % 256) AS codes
+  FROM documents
+), s AS (
+  SELECT doc_id, w, h,
+         list_sum(list_transform(range(0, w * h), p ->
+            CASE WHEN L = 0 THEN 0 ELSE codes[(p % L) + 1] END)) AS sum_g
+  FROM m
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum_g AS DOUBLE) / (w * h * 255) AS mean_gray,
+       CAST(sum_g AS DOUBLE) / (w * h * 255) AS mean_all
+FROM s
+"""
+
+
 EXT5_QUERIES = {
     "m_jpeg_decode": q_m_jpeg_decode,
     "w32_interval_concurrency": q_w32_interval_concurrency,
     "t_collocation_lift": q_t_collocation_lift,
+    "m_gif_decode": q_m_gif_decode,
 }
 
 EXT5_ORACLES = {
     "m_jpeg_decode": O_M_JPEG,
     "w32_interval_concurrency": O_W32_CONCURRENCY,
     "t_collocation_lift": O_T_COLLOCATION,
+    "m_gif_decode": O_M_GIF,
 }

@@ -317,3 +317,80 @@ def test_jpeg_dimension_bomb_rejected_before_allocation():
     pl[sof + 7 : sof + 9] = (65535).to_bytes(2, "big")  # width
     with pytest.raises(ValueError, match="16M-pixel cap"):
         parse_jpeg(bytes(pl))
+
+
+def test_gif_roundtrips_dictionary_growth_interlace_and_palette():
+    """GIF is lossless: every path round-trips bit-exactly — plain,
+    interlaced (the 8/8/4/2 four-pass order), a raster long enough to
+    grow the LZW dictionary past width escalations and the 4096-entry
+    CLEAR reset, and a non-identity palette."""
+    from factory_inspectors_db_etl_spark.operators.gif import encode_gif, parse_gif
+
+    rng = np.random.RandomState(11)
+    idx = rng.randint(0, 256, size=(23, 37)).astype("u1")
+    for interlace in (False, True):
+        w, h, rgb = parse_gif(encode_gif(idx, interlace=interlace))
+        assert (w, h) == (37, 23)
+        for c in range(3):  # identity grayscale palette: RGB == index
+            assert np.array_equal(rgb[:, :, c], idx)
+    big = np.tile(np.arange(64, dtype="u1"), 4096).reshape(256, 1024)
+    _, _, rgb = parse_gif(encode_gif(big))
+    assert np.array_equal(rgb[:, :, 0], big)
+    pal = np.zeros((256, 3), dtype="u1")
+    pal[:, 0] = np.arange(256)
+    pal[:, 2] = 255 - np.arange(256)
+    _, _, rgb = parse_gif(encode_gif(idx, palette=pal))
+    assert np.array_equal(rgb[:, :, 0], idx)
+    assert np.array_equal(rgb[:, :, 2], 255 - idx)
+
+
+def test_gif_corruption_grid_and_rejections():
+    """Corruption-grid contract (truncations + byte flips -> ValueError
+    or a clean decode, never a crash), 89a extension skipping, and the
+    dimension-bomb cap."""
+    from factory_inspectors_db_etl_spark.operators.gif import decode_gif, encode_gif, parse_gif
+
+    idx = (np.arange(15 * 11).reshape(15, 11) % 256).astype("u1")
+    payload = encode_gif(idx, interlace=True)
+    for cut in (0, 5, 12, 13 + 700, len(payload) // 2, len(payload) - 1):
+        try:
+            decode_gif(payload[:cut])
+        except ValueError:
+            pass
+    for pos in range(0, len(payload), max(1, len(payload) // 41)):
+        mutated = bytearray(payload)
+        mutated[pos] ^= 0xFF
+        try:
+            decode_gif(bytes(mutated))
+        except ValueError:
+            pass
+    # 89a with a graphic-control extension before the image: still decodes
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = b"GIF89a" + payload[6 : 13 + 768] + ext + payload[13 + 768 :]
+    _, _, rgb = parse_gif(with_ext)
+    assert np.array_equal(rgb[:, :, 0], idx)
+    # dimension bomb rejected at the descriptor, not at allocation
+    bomb = bytearray(payload)
+    bomb[13 + 768 + 5 : 13 + 768 + 7] = (65535).to_bytes(2, "little")
+    bomb[13 + 768 + 7 : 13 + 768 + 9] = (65535).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="16M-pixel cap"):
+        parse_gif(bytes(bomb))
+    with pytest.raises(ValueError, match="signature"):
+        parse_gif(b"NOTAGIF")
+
+
+def test_m_gif_decode_catalog_query(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import q_m_gif_decode
+
+    out = q_m_gif_decode(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = load_table(spark, sf_dir, "documents").toPandas().set_index("doc_id")
+    assert len(out) == len(docs)
+    for did, row in out.iterrows():
+        text = docs.loc[did, "text"] or ""
+        w, h = did % 7 + 4, did % 5 + 3
+        codes = [ord(c) % 256 for c in text]
+        n = w * h
+        s = sum(codes[p % len(codes)] if codes else 0 for p in range(n))
+        assert row["width"] == w and row["height"] == h
+        assert row["mean_gray"] == s / (n * 255)
+        assert row["mean_all"] == row["mean_gray"]
