@@ -3310,6 +3310,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w32_interval_concurrency": _EXT5_QUERIES["w32_interval_concurrency"],
     "t_collocation_lift": _EXT5_QUERIES["t_collocation_lift"],
     "m_gif_decode": _EXT5_QUERIES["m_gif_decode"],
+    "w33_position_attribution": _EXT5_QUERIES["w33_position_attribution"],
+    "p_ldiversity": _EXT5_QUERIES["p_ldiversity"],
     # --- (b) the 35 r3-stale rows (oldest driver evidence, VERDICT r6
     # item #1) — refresh every one to r7 ---
     "f11_typed_date": q_f11_typed_date,
@@ -3353,16 +3355,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
     "t_tfidf_topk": q_t_tfidf_topk,
-    "d_simhash_neardup": q_d_simhash_neardup,
-    "a5_approx_sketches": q_a5_approx_sketches,
-    # ------- 50-slot window boundary (a5_approx_sketches is position 50) -------
-    # After round 7 the oldest driver evidence anywhere is r4 (37 rows,
-    # incl. s11_stream_dedup/p_mixture_sample/j9_merge_upsert displaced
-    # by the three new round-7 queries), which round 8 must lead with —
+    # ------- 50-slot window boundary (t_tfidf_topk is position 50) -------
+    # After round 7 the oldest driver evidence anywhere is r4 (39 rows,
+    # incl. the d_simhash_neardup/a5/s11/p_mixture/j9 backfill displaced
+    # by the five new round-7 queries), which round 8 must lead with —
     # tests/test_plan_shapes.py now pins max staleness, not just
     # never-checked coverage.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "d_simhash_neardup": q_d_simhash_neardup,
+    "a5_approx_sketches": q_a5_approx_sketches,
     "s11_stream_dedup": q_s11_stream_dedup,
     "p_mixture_sample": q_p_mixture_sample,
     "j9_merge_upsert": q_j9_merge_upsert,

@@ -337,11 +337,174 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# W33: position-based (U-shaped) attribution with exact integer credits
+# ---------------------------------------------------------------------------
+
+_W33_LOOKBACK_US = 7 * 86400 * 1_000_000
+# events.ts is TIMESTAMP_NTZ (load_table's nanos rebuild); unix_micros
+# takes only TIMESTAMP, so microseconds come from an NTZ-epoch diff
+_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def q_w33_position_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """W33: position-based ("U-shaped") marketing attribution — every
+    purchase distributes 1,000,000 exact credit units over the user's
+    clicks in a 7-day lookback: 40% to the first touch, 40% to the
+    last, the middle 20% split evenly with the integer remainder going
+    to the last touch (documented, deterministic) — so per-purchase
+    credits sum to exactly 10⁶ (conservation law, test-pinned).  The
+    multi-touch sibling of w29's last-touch.
+
+    Scale shape: the click-to-purchase assignment is the J8b bucketed
+    range join, not a per-user all-pairs — clicks emit to the (at most
+    2) week cells their 7-day forward window touches, purchases key by
+    their own cell, and each (click, purchase) pair meets on exactly ONE
+    key (the purchase's cell), so no post-join dedup exists.  Credits
+    are pure integers; one window on the purchase id orders the touches.
+    """
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.expr(_US).alias("c_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.expr(_US).alias("p_us"),
+        F.expr(f"({_US}) div {_W33_LOOKBACK_US}").alias("cell"),
+    )
+    # a click influences purchases in [click_ts, click_ts + 7d): that
+    # window spans at most two lookback-width cells
+    c2 = clicks.withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                F.expr(f"c_us div {_W33_LOOKBACK_US}"),
+                F.expr(f"c_us div {_W33_LOOKBACK_US} + 1"),
+            )
+        ),
+    )
+    touched = (
+        c2.join(purchases, ["user_id", "cell"])
+        .filter(
+            (F.col("c_us") < F.col("p_us"))
+            & (F.col("c_us") >= F.col("p_us") - F.lit(_W33_LOOKBACK_US))
+        )
+    )
+    wp = W.partitionBy("purchase_event_id").orderBy("click_ts", "click_event_id")
+    out = (
+        touched.withColumn("position", F.row_number().over(wp).cast("int"))
+        .withColumn(
+            "n_touches", F.count(F.lit(1)).over(W.partitionBy("purchase_event_id")).cast("int")
+        )
+        .withColumn(
+            "credit_e6",
+            F.expr(
+                """CAST(CASE
+                     WHEN n_touches = 1 THEN 1000000
+                     WHEN n_touches = 2 THEN 500000
+                     WHEN position = 1 THEN 400000
+                     WHEN position = n_touches
+                       THEN 400000 + 200000 % (n_touches - 2)
+                     ELSE 200000 div (n_touches - 2)
+                   END AS BIGINT)"""
+            ),
+        )
+    )
+    return out.select(
+        "purchase_event_id", "click_event_id", "position", "n_touches", "credit_e6"
+    )
+
+
+O_W33_ATTRIBUTION = f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_event_id, ts AS click_ts,
+         epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), touched AS (
+  SELECT p.purchase_event_id, c.click_event_id, c.click_ts,
+         row_number() OVER (PARTITION BY p.purchase_event_id
+                            ORDER BY c.click_ts, c.click_event_id) AS position,
+         count(*) OVER (PARTITION BY p.purchase_event_id) AS n
+  FROM clicks c JOIN purchases p
+    ON c.user_id = p.user_id
+   AND c.c_us < p.p_us AND c.c_us >= p.p_us - {_W33_LOOKBACK_US}
+)
+SELECT purchase_event_id, click_event_id,
+       CAST(position AS INTEGER) AS position,
+       CAST(n AS INTEGER) AS n_touches,
+       CAST(CASE
+              WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN position = 1 THEN 400000
+              WHEN position = n THEN 400000 + 200000 % (n - 2)
+              ELSE 200000 // (n - 2)
+            END AS BIGINT) AS credit_e6
+FROM touched
+"""
+
+
+# ---------------------------------------------------------------------------
+# P-LDIV: distinct-l-diversity audit (the k-anonymity sibling)
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+def q_p_ldiversity(spark: SparkSession, sf: str) -> DataFrame:
+    """P-LDIV: distinct l-diversity audit (Machanavajjhala et al. '07)
+    — k-anonymity's necessary complement: an equivalence class can be
+    large (k-anonymous) yet still leak if every member shares the same
+    SENSITIVE value.  Group orders by the same quasi-identifier tuple
+    as p_kanon (priority, status, order year) and flag classes with
+    fewer than l=3 distinct customer market segments.
+
+    Plan shape: one equi-join to the customer dim for the sensitive
+    attribute, then a single exact count-distinct aggregation on the
+    QI tuple — bounded by QI-domain cardinality."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderpriority", "o_orderstatus", "order_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+        )
+        .withColumn("leaky", F.col("l_distinct") < _LDIV_L)
+    )
+
+
+O_P_LDIVERSITY = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+       count(DISTINCT c_mktsegment) < {_LDIV_L} AS leaky
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1, 2, 3
+"""
+
+
 EXT5_QUERIES = {
     "m_jpeg_decode": q_m_jpeg_decode,
     "w32_interval_concurrency": q_w32_interval_concurrency,
     "t_collocation_lift": q_t_collocation_lift,
     "m_gif_decode": q_m_gif_decode,
+    "w33_position_attribution": q_w33_position_attribution,
+    "p_ldiversity": q_p_ldiversity,
 }
 
 EXT5_ORACLES = {
@@ -349,4 +512,6 @@ EXT5_ORACLES = {
     "w32_interval_concurrency": O_W32_CONCURRENCY,
     "t_collocation_lift": O_T_COLLOCATION,
     "m_gif_decode": O_M_GIF,
+    "w33_position_attribution": O_W33_ATTRIBUTION,
+    "p_ldiversity": O_P_LDIVERSITY,
 }

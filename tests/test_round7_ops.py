@@ -394,3 +394,72 @@ def test_m_gif_decode_catalog_query(spark, sf_dir):
         assert row["width"] == w and row["height"] == h
         assert row["mean_gray"] == s / (n * 255)
         assert row["mean_all"] == row["mean_gray"]
+
+
+def test_w33_position_attribution_conservation_and_brute_force(spark, sf_dir):
+    """Every purchase with >=1 touch distributes EXACTLY 1,000,000
+    credit units (conservation), and the per-touch credits equal a
+    brute-force per-user recompute of the U-shaped rule."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        _W33_LOOKBACK_US,
+        q_w33_position_attribution,
+    )
+
+    out = q_w33_position_attribution(spark, sf_dir).toPandas()
+    sums = out.groupby("purchase_event_id")["credit_e6"].sum()
+    assert (sums == 1_000_000).all()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) us",
+        )
+        .toPandas()
+    )
+    got = {
+        (r.purchase_event_id, r.click_event_id): (r.position, r.n_touches, r.credit_e6)
+        for r in out.itertuples()
+    }
+    want = {}
+    for _, grp in ev.groupby("user_id"):
+        clicks = grp[grp["event_type"] == "click"].sort_values(["us", "event_id"])
+        for p in grp[grp["event_type"] == "purchase"].itertuples():
+            touch = clicks[(clicks["us"] < p.us) & (clicks["us"] >= p.us - _W33_LOOKBACK_US)]
+            n = len(touch)
+            for pos, c in enumerate(touch.itertuples(), start=1):
+                if n == 1:
+                    credit = 1_000_000
+                elif n == 2:
+                    credit = 500_000
+                elif pos == 1:
+                    credit = 400_000
+                elif pos == n:
+                    credit = 400_000 + 200_000 % (n - 2)
+                else:
+                    credit = 200_000 // (n - 2)
+                want[(p.event_id, c.event_id)] = (pos, n, credit)
+    assert got == want and len(got) > 0
+
+
+def test_p_ldiversity_matches_pandas_recompute(spark, sf_dir):
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        _LDIV_L,
+        q_p_ldiversity,
+    )
+
+    out = q_p_ldiversity(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "o_orderpriority", "o_orderstatus", "cast(year(o_orderdate) as int) order_year"
+    ).toPandas()
+    c = load_table(spark, sf_dir, "customer").selectExpr("c_custkey", "c_mktsegment").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    g = j.groupby(["o_orderpriority", "o_orderstatus", "order_year"]).agg(
+        class_size=("c_mktsegment", "size"), l_distinct=("c_mktsegment", "nunique")
+    )
+    assert len(out) == len(g)
+    for r in out.itertuples():
+        w = g.loc[(r.o_orderpriority, r.o_orderstatus, r.order_year)]
+        assert r.class_size == w["class_size"] and r.l_distinct == w["l_distinct"]
+        assert r.leaky == (w["l_distinct"] < _LDIV_L)
