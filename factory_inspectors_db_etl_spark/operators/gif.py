@@ -78,6 +78,15 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         prefix = bytes([b])
     if prefix:
         emit(table[prefix], width)
+        # terminal width sync: a spec-conformant DECODER appends a table
+        # entry for this final code and escalates its code width when the
+        # table reaches 2^width — so when that lands exactly on the
+        # boundary, EOI must be written at the escalated width or a
+        # strict decoder reads it one bit short (mid-stream emits are in
+        # sync because each adds an encoder entry too; the flush emit is
+        # the one code that does not)
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -144,6 +153,17 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
             width += 1
     if len(out) < n_expected:
         raise ValueError("gif: LZW output short of the raster size")
+    # strict trailer: the code following the last pixel must be EOI, read
+    # at the post-escalation width — this is what catches an encoder
+    # whose final code landed on the 2^width table boundary but wrote
+    # EOI one bit short.  An exhausted stream (writers that omit EOI and
+    # rely on the sub-block terminator) stays acceptable.
+    try:
+        trailing = read(width)
+    except ValueError:
+        trailing = eoi
+    if trailing != eoi:
+        raise ValueError("gif: expected EOI code after the raster")
     return bytes(out[:n_expected])
 
 

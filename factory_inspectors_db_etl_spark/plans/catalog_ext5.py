@@ -373,7 +373,6 @@ def q_w33_position_attribution(spark: SparkSession, sf: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_event_id"),
-        F.col("ts").alias("purchase_ts"),
         F.expr(_US).alias("p_us"),
         F.expr(f"({_US}) div {_W33_LOOKBACK_US}").alias("cell"),
     )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import text_analysis as TA
-from ..operators.dedup import assign_components, ngram_jaccard_pairs
+from ..operators.dedup import assign_components, exact_dedup, ngram_jaccard_pairs
 from ..operators.materialize import materialize
 from ..operators.sampling import hash_split, pack_token_bins
 from ..sources.tables import load_table
@@ -60,15 +60,16 @@ def build_training_set(
     # scaling sweep measured the whole build at 80× for 10× data on the
     # 10×-replicated stress corpus (6.8s → 544s); with the collapse the
     # pair computation scales with distinct texts.
-    rep_map = docs.select(
-        "doc_id",
-        F.min("doc_id")
-        .over(W.partitionBy(F.md5(F.col("text"))))
-        .alias("_rep_id"),
-    )
+    reps = exact_dedup(docs, "text", "doc_id")
+    rep_map = docs.select("doc_id", F.md5(F.col("text")).alias("_fp")).join(
+        reps.select(
+            F.col("fingerprint").alias("_fp"),
+            F.col("representative_id").alias("_rep_id"),
+        ),
+        "_fp",
+    ).select("doc_id", "_rep_id")
     rep_docs = docs.join(
-        rep_map.filter(F.col("doc_id") == F.col("_rep_id")).select("doc_id"),
-        "doc_id",
+        reps.select(F.col("representative_id").alias("doc_id")), "doc_id"
     )
     pairs = ngram_jaccard_pairs(rep_docs, "doc_id", "text", k=3, threshold=0.5)
     comp_rep = assign_components(rep_docs, pairs, "doc_id").select(

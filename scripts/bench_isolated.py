@@ -137,10 +137,41 @@ def main() -> int:
             previous = json.load(f).get("families", {})
 
     families: dict[str, dict] = {}
+
+    def _flush() -> None:
+        # incremental write: a crash or timeout mid-sweep must not lose
+        # the families already measured
+        regressions = {
+            n: f
+            for n, f in families.items()
+            if f.get("ratio_vs_prev", 0) > REGRESSION_FACTOR
+        }
+        failures = sorted(n for n, f in families.items() if "error" in f)
+        result = {
+            "sf_dir": args.sf_dir,
+            "timing": "fresh JVM per family; warm sf0.001 + warm full-SF; min of 3 timed runs",
+            "regression_factor": REGRESSION_FACTOR,
+            "families": families,
+            "regressions": sorted(regressions),
+            "failures": failures,
+        }
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+
     for name in names:
         cmd = [sys.executable, os.path.abspath(__file__), "--one", name, args.sf_dir]
         print(f"== {name} (fresh JVM)", flush=True)
-        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
+            )
+        except subprocess.TimeoutExpired:
+            # a hung family is exactly what this gate exists to catch —
+            # record it and keep sweeping
+            print("   TIMEOUT after 1800s", flush=True)
+            families[name] = {"error": "timeout 1800s"}
+            _flush()
+            continue
         rec = None
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_ISO "):
@@ -148,6 +179,7 @@ def main() -> int:
         if rec is None:
             print(f"   FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}", flush=True)
             families[name] = {"error": f"rc={proc.returncode}"}
+            _flush()
             continue
         families[name] = {"runs": rec["runs"], "min": rec["min"]}
         prev = previous.get(name, {}).get("min")
@@ -158,31 +190,36 @@ def main() -> int:
             families[name]["ratio_vs_prev"] = round(ratio, 3)
             note = f"  (prev {prev}s, x{ratio:.2f})"
         print(f"   min {rec['min']}s  runs {rec['runs']}{note}", flush=True)
+        _flush()
 
+    _flush()
     regressions = {
         n: f
         for n, f in families.items()
         if f.get("ratio_vs_prev", 0) > REGRESSION_FACTOR
     }
-    result = {
-        "sf_dir": args.sf_dir,
-        "timing": "fresh JVM per family; warm sf0.001 + warm full-SF; min of 3 timed runs",
-        "regression_factor": REGRESSION_FACTOR,
-        "families": families,
-        "regressions": sorted(regressions),
-    }
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps({"isolated_families": len(families), "regressions": sorted(regressions)}))
-    if regressions:
-        for n, f in regressions.items():
-            print(
-                f"REGRESSION: {n} isolated min {f['min']}s is "
-                f"x{f['ratio_vs_prev']} vs previous {f['prev_min']}s",
-                file=sys.stderr,
-            )
-        return 1
-    return 0
+    failures = sorted(n for n, f in families.items() if "error" in f)
+    print(
+        json.dumps(
+            {
+                "isolated_families": len(families),
+                "regressions": sorted(regressions),
+                "failures": failures,
+            }
+        )
+    )
+    for n, f in regressions.items():
+        print(
+            f"REGRESSION: {n} isolated min {f['min']}s is "
+            f"x{f['ratio_vs_prev']} vs previous {f['prev_min']}s",
+            file=sys.stderr,
+        )
+    for n in failures:
+        # a family that cannot even run is a worse regression than a slow
+        # one — it must fail the gate, not silently drop out of the file
+        print(f"FAILURE: {n} did not produce a measurement "
+              f"({families[n]['error']})", file=sys.stderr)
+    return 1 if (regressions or failures) else 0
 
 
 if __name__ == "__main__":

@@ -101,9 +101,16 @@ def main() -> int:
             env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
             cmd = [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir]
             print(f"== {name} @ {key} (fresh JVM, {heap})", flush=True)
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=3600
-            )
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, cwd=REPO, env=env, timeout=3600
+                )
+            except subprocess.TimeoutExpired:
+                # a family that cannot finish at this SF is the sweep's
+                # loudest possible finding — record it, keep sweeping
+                print("   TIMEOUT after 3600s", flush=True)
+                rec[key] = {"error": "timeout 3600s"}
+                continue
             got = None
             for line in proc.stdout.splitlines():
                 if line.startswith("SCALE_ONE "):
@@ -118,6 +125,14 @@ def main() -> int:
             rec["ratio_10x"] = round(rec["sf1"]["min"] / rec["sf0.1"]["min"], 2)
             print(f"   RATIO sf1/sf0.1 = {rec['ratio_10x']}x", flush=True)
         results[name] = rec
+        # incremental write: a crash/timeout later in the sweep must not
+        # lose the families already measured
+        with open(out_path, "w") as f:
+            json.dump(
+                {"note": "10x data; fresh JVM per (family, sf); min of 2", "families": results},
+                f,
+                indent=1,
+            )
 
     with open(out_path, "w") as f:
         json.dump({"note": "10x data; fresh JVM per (family, sf); min of 2", "families": results}, f, indent=1)
