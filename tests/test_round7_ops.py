@@ -463,3 +463,52 @@ def test_p_ldiversity_matches_pandas_recompute(spark, sf_dir):
         w = g.loc[(r.o_orderpriority, r.o_orderstatus, r.order_year)]
         assert r.class_size == w["class_size"] and r.l_distinct == w["l_distinct"]
         assert r.leaky == (w["l_distinct"] < _LDIV_L)
+
+
+def test_jpeg_gif_generators_handle_empty_and_unicode_text(spark):
+    """Generator edge cases the corpus never exercises: empty text
+    (all-zero pixels) and non-ASCII text (codepoint rule) both produce
+    REAL decodable payloads whose means replay the rule."""
+    from factory_inspectors_db_etl_spark.operators.gif import decode_gif
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        decode_and_featurize,
+        with_gif_payload,
+        with_jpeg_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (7, "héllo→мир"), (12, "x")], ["doc_id", "text"]
+    )
+    for gen in (with_jpeg_payload, with_gif_payload):
+        out = decode_and_featurize(gen(docs)).toPandas().set_index("doc_id")
+        assert len(out) == 4
+        # empty/null text -> all-zero pixels -> mean 0; and the real
+        # decoder ran (features[0] is a real width, not a byte histogram)
+        for did in (0, 1):
+            assert out.loc[did, "features"][3] == 0.0
+            assert out.loc[did, "features"][0] > 0
+    # unicode: per-character codepoint rule, exact
+    g = decode_and_featurize(with_gif_payload(docs)).toPandas().set_index("doc_id")
+    codes = [ord(c) % 256 for c in "héllo→мир"]
+    w, h = 7 % 7 + 4, 7 % 5 + 3
+    n = w * h
+    want = sum(codes[p % len(codes)] for p in range(n)) / (n * 255)
+    assert g.loc[7, "features"][3] == want
+
+
+def test_w33_plan_has_no_dedup_and_no_cartesian(spark, sf_dir):
+    """The canonical-cell discipline means each (click, purchase) pair
+    meets on exactly one key: no Deduplicate/distinct anywhere in the
+    plan, and the range predicate rides an equi-join, not a cartesian."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        q_w33_position_attribution,
+    )
+
+    plan = (
+        q_w33_position_attribution(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Deduplicate" not in plan and "HashAggregate(keys=[purchase_event_id" not in plan.split("Window")[0]
