@@ -136,17 +136,29 @@ def main() -> int:
         with open(out_path) as f:
             previous = json.load(f).get("families", {})
 
-    families: dict[str, dict] = {}
+    # MERGE semantics: families not measured in this invocation keep
+    # their previous entry verbatim — a targeted `--only X` rerun must
+    # refresh X without clobbering the other 21 baselines (a round-7
+    # `--only corpus_pipeline_build` rerun silently reduced the
+    # committed baseline file to one family before this fix)
+    families: dict[str, dict] = {
+        k: dict(v) for k, v in previous.items() if isinstance(v, dict)
+    }
+    measured: set[str] = set()
 
     def _flush() -> None:
         # incremental write: a crash or timeout mid-sweep must not lose
-        # the families already measured
+        # the families already measured.  Regressions/failures are judged
+        # over THIS run's measurements only — carried-over baselines keep
+        # their historical ratio fields but must not re-trip the gate.
         regressions = {
             n: f
             for n, f in families.items()
-            if f.get("ratio_vs_prev", 0) > REGRESSION_FACTOR
+            if n in measured and f.get("ratio_vs_prev", 0) > REGRESSION_FACTOR
         }
-        failures = sorted(n for n, f in families.items() if "error" in f)
+        failures = sorted(
+            n for n, f in families.items() if n in measured and "error" in f
+        )
         result = {
             "sf_dir": args.sf_dir,
             "timing": "fresh JVM per family; warm sf0.001 + warm full-SF; min of 3 timed runs",
@@ -170,6 +182,7 @@ def main() -> int:
             # record it and keep sweeping
             print("   TIMEOUT after 1800s", flush=True)
             families[name] = {"error": "timeout 1800s"}
+            measured.add(name)
             _flush()
             continue
         rec = None
@@ -179,9 +192,11 @@ def main() -> int:
         if rec is None:
             print(f"   FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}", flush=True)
             families[name] = {"error": f"rc={proc.returncode}"}
+            measured.add(name)
             _flush()
             continue
         families[name] = {"runs": rec["runs"], "min": rec["min"]}
+        measured.add(name)
         prev = previous.get(name, {}).get("min")
         note = ""
         if prev:
@@ -196,9 +211,9 @@ def main() -> int:
     regressions = {
         n: f
         for n, f in families.items()
-        if f.get("ratio_vs_prev", 0) > REGRESSION_FACTOR
+        if n in measured and f.get("ratio_vs_prev", 0) > REGRESSION_FACTOR
     }
-    failures = sorted(n for n, f in families.items() if "error" in f)
+    failures = sorted(n for n, f in families.items() if n in measured and "error" in f)
     print(
         json.dumps(
             {
