@@ -17,10 +17,15 @@ filter):
   see (a short document quoted whole inside a long one has tiny
   Jaccard but containment ~1).  The inverted-index shape of
   ``dedup.ngram_jaccard_pairs``, with per-direction thresholds.
-  Exact ONLY with ``max_df=None``: the default stop-shingle cap
-  (``max_df=1000``) drops hot shingles from the intersection count,
-  which can undercount or miss true pairs on boilerplate-heavy
-  corpora — an operational speed/recall trade, not a lossless filter.
+  Exact ONLY with ``max_df=None`` — the DEFAULT since round 7 (it was
+  ``max_df=1000``; flipped so the zero-arg call matches the exact
+  family contract and the registered oracle).  Callers that relied on
+  the old cap for runtime on boilerplate-heavy corpora must now opt in
+  with an explicit ``max_df``: a finite cap drops hot shingles from
+  the intersection count, which can undercount or miss true pairs —
+  an operational speed/recall trade, not a lossless filter.  (No
+  in-repo pipeline depended on the old default; the one call site,
+  ``catalog_ext2.q_d_containment``, passes ``max_df`` explicitly.)
 
 Thresholds are integer rationals (``threshold_num/threshold_den``),
 never floats: ceil(t*n) on a float threshold hits the 0.6*5 == 3.0000…4

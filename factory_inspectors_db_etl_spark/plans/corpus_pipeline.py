@@ -60,14 +60,23 @@ def build_training_set(
     # scaling sweep measured the whole build at 80× for 10× data on the
     # 10×-replicated stress corpus (6.8s → 544s); with the collapse the
     # pair computation scales with distinct texts.
+    # NULL-text safety (ADVICE r7): md5(NULL) is NULL, and groupBy keeps
+    # the NULL-fingerprint group, so `reps` DOES contain a representative
+    # for NULL-text docs — but a plain equi-join on _fp would drop them
+    # (NULL never equi-joins).  eqNullSafe (`<=>`) keeps the mapping total:
+    # every doc, NULL text included, lands on exactly one representative,
+    # matching the pre-collapse assign_components behavior (PERMISSIVE
+    # JSONL readers can legitimately produce NULL text).
     reps = exact_dedup(docs, "text", "doc_id")
-    rep_map = docs.select("doc_id", F.md5(F.col("text")).alias("_fp")).join(
-        reps.select(
-            F.col("fingerprint").alias("_fp"),
-            F.col("representative_id").alias("_rep_id"),
-        ),
-        "_fp",
-    ).select("doc_id", "_rep_id")
+    rep_side = reps.select(
+        F.col("fingerprint").alias("_rfp"),
+        F.col("representative_id").alias("_rep_id"),
+    )
+    rep_map = (
+        docs.select("doc_id", F.md5(F.col("text")).alias("_fp"))
+        .join(rep_side, F.col("_fp").eqNullSafe(F.col("_rfp")))
+        .select("doc_id", "_rep_id")
+    )
     rep_docs = docs.join(
         reps.select(F.col("representative_id").alias("doc_id")), "doc_id"
     )
@@ -76,6 +85,8 @@ def build_training_set(
         F.col("doc_id").alias("_rep_id"), "component_id"
     )
     comp = rep_map.join(comp_rep, "_rep_id").select("doc_id", "component_id")
+    # `comp` is TOTAL over docs (one row per input doc_id) — pinned by
+    # tests/test_corpus_pipeline.py::test_null_text_docs_not_silently_dropped.
     scored = docs.join(comp, "doc_id").withColumn(
         "quality", TA.quality_score(F.col("text"))
     )
@@ -120,4 +131,9 @@ def build_training_set(
         # the (hash, text) pack order, so the unique id closes the order
         tiebreak_col="doc_id",
     )
-    return {"kept": kept, "splits": splits, "packed_train": packed_train}
+    return {
+        "kept": kept,
+        "splits": splits,
+        "packed_train": packed_train,
+        "components": comp,
+    }

@@ -27,6 +27,8 @@ over a projected scan).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,6 +70,9 @@ def read_roster_rows_udtf(spark: SparkSession, paths: str | list[str]) -> DataFr
         spark.read.text(paths, wholetext=True)
         .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
     )
-    view = f"_roster_files_{abs(hash(str(paths))) % 10**8}"
+    # Deterministic digest, not builtin hash() (salted per process via
+    # PYTHONHASHSEED, and collidable mod 1e8): stable view names across
+    # runs, and distinct path args never replace each other's view.
+    view = f"_roster_files_{hashlib.md5(str(paths).encode('utf-8')).hexdigest()[:16]}"
     raw.createOrReplaceTempView(view)
     return spark.sql(f"SELECT r.* FROM {view} f, LATERAL {name}(f.path, f.content) r")

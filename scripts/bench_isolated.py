@@ -38,6 +38,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 REGRESSION_FACTOR = 1.5
+
+
+def _carryover(previous: dict, name: str) -> dict:
+    """Baseline fields (min/runs) from the previous round's entry, kept
+    alive through an errored round so the regression gate retains its
+    reference point.  Gate fields (ratio_vs_prev) are deliberately NOT
+    carried — a stale ratio must not re-trip this round's gate."""
+    return {k: v for k, v in previous.get(name, {}).items() if k in ("min", "runs")}
 PIPELINES = ("etl_warehouse_build", "corpus_pipeline_build")
 
 
@@ -181,7 +189,10 @@ def main() -> int:
             # a hung family is exactly what this gate exists to catch —
             # record it and keep sweeping
             print("   TIMEOUT after 1800s", flush=True)
-            families[name] = {"error": "timeout 1800s"}
+            # ADVICE r7: carry the previous baseline (min/runs) through a
+            # failed round — otherwise one flaky failure erases the
+            # baseline and a real regression passes silently next round.
+            families[name] = {**_carryover(previous, name), "error": "timeout 1800s"}
             measured.add(name)
             _flush()
             continue
@@ -191,7 +202,10 @@ def main() -> int:
                 rec = json.loads(line[len("BENCH_ISO "):])
         if rec is None:
             print(f"   FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}", flush=True)
-            families[name] = {"error": f"rc={proc.returncode}"}
+            families[name] = {
+                **_carryover(previous, name),
+                "error": f"rc={proc.returncode}",
+            }
             measured.add(name)
             _flush()
             continue

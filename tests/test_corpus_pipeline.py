@@ -10,6 +10,34 @@ from factory_inspectors_db_etl_spark.plans.corpus_pipeline import build_training
 from factory_inspectors_db_etl_spark.sources.tables import load_table
 
 
+def test_null_text_docs_not_silently_dropped(spark, tmp_path):
+    # ADVICE r7: md5(NULL) is NULL and NULL never equi-joins, so the
+    # exact-dup rep_map used to silently drop NULL-text docs from the
+    # component mapping (a PERMISSIVE JSONL read can produce NULL text).
+    # Pin totality: every input doc_id — NULL text included — appears in
+    # `components` exactly once, and NULL-text docs map to one shared
+    # representative (identical NULL fingerprints collapse together).
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away", "en"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away", "en"),
+        (3, None, "en"),
+        (4, None, "en"),
+        (5, "a completely different document about spark and petabytes of data", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs = docs.withColumn("source", F.lit("test")).withColumn(
+        "n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long")
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    comp = build_training_set(spark, str(tmp_path))["components"]
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5], "component mapping must be total"
+    # exact dups share a component; the two NULL-text docs collapse together
+    assert got[1] == got[2]
+    assert got[3] == got[4]
+
+
 def test_training_set_build_invariants(spark, sf_dir):
     out = build_training_set(spark, sf_dir)
     kept = out["kept"]
