@@ -224,6 +224,17 @@ def parse_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     RGB).  First image only (animation frames beyond the first are a
     declared non-goal for a featurizer).  Raises ValueError on any
     malformed structure."""
+    iw, ih, idx, ct = parse_gif_indexed(payload)
+    return iw, ih, ct[idx]
+
+
+def parse_gif_indexed(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
+    """Decode to PALETTE space: (width, height, (h, w) uint8 index
+    raster — de-interlaced, and the active (n, 3) color table).  The
+    index raster is the lossless editing surface: transforms that
+    operate per-pixel (crop, nearest-neighbor resize) act on indices and
+    re-encode with the SAME palette, so the round trip stays bit-exact
+    in color space (``resize_gif``)."""
     d = payload
     if len(d) < 13 or d[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: missing GIF87a/89a signature")
@@ -309,7 +320,37 @@ def parse_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
         de = np.empty_like(idx)
         de[order, :] = idx
         idx = de
-    return iw, ih, ct[idx]
+    return iw, ih, idx, ct
+
+
+def resize_gif(payload: bytes, max_side: int) -> bytes:
+    """REAL nearest-neighbor GIF resize: decode to the index raster
+    (``parse_gif_indexed``), NN-resample in INDEX space (``i*src//dst``,
+    the ``resize_ppm`` mapping — integer-exact, idempotent at fixed
+    max_side), re-encode with the SAME palette.  Because indices are
+    resampled (never RGB), every output pixel's color is bit-identical
+    to its source pixel — GIF is lossless end to end.  Output is
+    canonical-form like resize_ppm's canonical header: non-interlaced,
+    256-entry GCT (the palette zero-padded if the source table was
+    smaller — pad entries are unreferenced, so decoded RGB is
+    unchanged).  Images already within bounds return byte-identical.
+    Raises ValueError for non-GIF payloads — callers fall back to
+    passthrough, as with decode."""
+    if max_side <= 0:
+        raise ValueError("max_side must be positive")
+    w, h, idx, ct = parse_gif_indexed(payload)
+    if max(w, h) <= max_side:
+        return bytes(payload)
+    if w >= h:
+        nw, nh = max_side, max(h * max_side // w, 1)
+    else:
+        nh, nw = max_side, max(w * max_side // h, 1)
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    out = idx[np.ix_(ys, xs)]
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(ct)] = ct[:256]
+    return encode_gif(out, palette=palette)
 
 
 def decode_gif(payload: bytes, n_features: int = 8) -> list[float]:

@@ -34,6 +34,7 @@ pruning drops the heavy binary column from the scan when unreferenced).
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -42,8 +43,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .gif import decode_gif, encode_gif
-from .jpeg import decode_jpeg, encode_jpeg
+from .gif import decode_gif, encode_gif, resize_gif
+from .jpeg import decode_jpeg, encode_jpeg, resize_jpeg
 
 META_TYPE = T.StructType(
     [
@@ -680,6 +681,87 @@ def resize_ppm(payload: bytes, max_side: int) -> bytes:
     return b"P6\n%d %d\n%d\n" % (nw, nh, maxval) + out.tobytes()
 
 
+def resize_png(payload: bytes, max_side: int) -> bytes:
+    """REAL nearest-neighbor PNG resize: full decode (``_parse_png``:
+    CRC walk, inflate, all five un-filters), NN-resample the RGB raster
+    (``i*src//dst``, the ``resize_ppm`` mapping — integer-exact,
+    idempotent at fixed max_side), re-encode through ``encode_png``.
+    PNG is lossless, so every output pixel is bit-identical to its
+    source pixel.  Images already within bounds return byte-identical.
+    Raises ValueError for non-PNG payloads — callers fall back to
+    passthrough, as with decode."""
+    if max_side <= 0:
+        raise ValueError("max_side must be positive")
+    w, h, px = _parse_png(payload)
+    if max(w, h) <= max_side:
+        return bytes(payload)
+    if w >= h:
+        nw, nh = max_side, max(h * max_side // w, 1)
+    else:
+        nh, nw = max_side, max(w * max_side // h, 1)
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    return encode_png(px[np.ix_(ys, xs)])
+
+
+def image_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the image HEADER only — no raster decode.
+    Supports the four resize formats: PPM P6 (text header), PNG (IHDR
+    at fixed offset), GIF (logical screen descriptor), JPEG (marker walk
+    to SOF0/SOF1).  Exists so ``resize_images`` can rewrite the meta
+    struct without decoding its own output a second time (metadata is
+    O(header), not O(pixels) — the thing that matters when the payload
+    column is terabytes).  Raises ValueError on anything else."""
+    d = bytes(payload)
+    if d.startswith(b"P6"):
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", d[:64])
+        if not m:
+            raise ValueError("ppm: unparseable P6 header")
+        return int(m.group(1)), int(m.group(2))
+    if d.startswith(_PNG_SIG):
+        if len(d) < 24 or d[12:16] != b"IHDR":
+            raise ValueError("png: missing IHDR")
+        return int.from_bytes(d[16:20], "big"), int.from_bytes(d[20:24], "big")
+    if d[:6] in (b"GIF87a", b"GIF89a"):
+        if len(d) < 10:
+            raise ValueError("gif: truncated screen descriptor")
+        return int.from_bytes(d[6:8], "little"), int.from_bytes(d[8:10], "little")
+    if d[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(d):
+            if d[pos] != 0xFF:
+                raise ValueError("jpeg: expected marker in header walk")
+            marker = d[pos + 1]
+            if marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline profiles)
+                if pos + 9 > len(d):
+                    raise ValueError("jpeg: truncated SOF")
+                hh = int.from_bytes(d[pos + 5 : pos + 7], "big")
+                ww = int.from_bytes(d[pos + 7 : pos + 9], "big")
+                return ww, hh
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            size = int.from_bytes(d[pos + 2 : pos + 4], "big")
+            pos += 2 + size
+        raise ValueError("jpeg: no SOF before end of data")
+    raise ValueError("unrecognized image payload")
+
+
+def _resize_any(data: bytes, max_side: int) -> bytes:
+    """Magic-byte dispatch over the four REAL resizers.  ValueError for
+    any other payload (mp4 containers, corrupt rasters) — the caller's
+    passthrough contract."""
+    if data.startswith(b"P6"):
+        return resize_ppm(data, max_side)
+    if data.startswith(_PNG_SIG):
+        return resize_png(data, max_side)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return resize_gif(data, max_side)
+    if data[:2] == b"\xff\xd8":
+        return resize_jpeg(data, max_side)
+    raise ValueError("unrecognized image payload")
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -693,11 +775,16 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
     """Arrow-batched image resize over multimodal rows (the
     decode→RESIZE→featurize step of a vision training-data pipeline).
-    PPM payloads are really resampled (``resize_ppm``); payloads whose
-    bytes aren't a parseable P6 — other mimes, or corrupt rasters — pass
-    through untouched with ``resized=false`` (same never-crash posture
-    as ``decode_and_featurize``).  The meta struct is rewritten with the
-    actual post-resize dimensions parsed from the output payload, so
+    All four raster formats with REAL in-repo codecs are really
+    resampled — PPM P6 (``resize_ppm``), PNG (``resize_png``), GIF
+    (``resize_gif``, lossless in index space), JPEG (``resize_jpeg``,
+    YCbCr plane space, 8-snapped dims) — dispatched on magic bytes.
+    Payloads in no raster format (mp4 containers — frame decode is the
+    declared H.264 fallback — or corrupt rasters) pass through
+    untouched with ``resized=false``, the same never-crash posture as
+    ``decode_and_featurize``.  The meta struct is rewritten with the
+    actual post-resize dimensions from the output HEADER
+    (``image_dims`` — O(header), no second raster decode), so
     downstream metadata filters see truth, not the pre-resize claim.
 
     Scale: payload bytes move only inside Arrow batches (mapInPandas,
@@ -711,8 +798,8 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
                 data = bytes(payload) if payload is not None else b""
                 meta = dict(meta) if meta is not None else {}
                 try:
-                    out = resize_ppm(data, max_side)
-                    nw, nh, _, _ = _parse_ppm(out)
+                    out = _resize_any(data, max_side)
+                    nw, nh = image_dims(out)
                     meta["width"], meta["height"] = nw, nh
                     rows.append(
                         {"doc_id": doc_id, "payload": out, "meta": meta, "resized": out != data}

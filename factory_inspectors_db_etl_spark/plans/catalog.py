@@ -3296,24 +3296,82 @@ JOIN c ON q.doc_id = c.doc_id
 # and no query outside the window may be more than 3 rounds stale at the
 # upcoming driver run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) NEW in round 7 / code-or-oracle CHANGED in round 7 ---
-    # m_jpeg_decode: new (real baseline-JPEG decoder, operators/jpeg.py)
-    # m_png/m_wav/m_mp4: payload rules went codepoint-based + oracles
-    # gained % 256 (ADVICE r6); m_mp4 also got the nesting-depth cap
-    # j19: fifo_allocate dropped its pair-output distinct (one fewer shuffle)
+    # --- (a) NEW in round 8 ---
+    # d_semantic_dedup_auto: the scale-safe auto-k SemDeDup (closes the
+    # r7 sweep flag: fixed k=16 measured 17.65x at 10x data)
+    # a25: mergeable histogram-partial quantile rollup (VERDICT r7 item 7)
+    "d_semantic_dedup_auto": _EXT5_QUERIES["d_semantic_dedup_auto"],
+    "a25_quantile_sketch_rollup": _EXT5_QUERIES["a25_quantile_sketch_rollup"],
+    # --- (b) the 39 rows whose newest driver evidence is r4 — the
+    # oldest in the repo (VERDICT r7 item #1 / the staleness pin) ---
+    "d_simhash_neardup": q_d_simhash_neardup,
+    "a5_approx_sketches": q_a5_approx_sketches,
+    "s11_stream_dedup": q_s11_stream_dedup,
+    "p_mixture_sample": q_p_mixture_sample,
+    "j9_merge_upsert": q_j9_merge_upsert,
+    "p_zorder_layout": q_p_zorder_layout,
+    "a8_reaggregate": q_a8_reaggregate,
+    "a9_sketch_rollup": q_a9_sketch_rollup,
+    "t_span_dedup": q_t_span_dedup,
+    "t_quality_classifier": q_t_quality_classifier,
+    "a10_histogram": _EXT_QUERIES["a10_histogram"],
+    "j10_salted_join": _EXT_QUERIES["j10_salted_join"],
+    "d_keep_best": _EXT_QUERIES["d_keep_best"],
+    "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
+    "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
+    "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
+    "w15_cumulative_distinct": _EXT_QUERIES["w15_cumulative_distinct"],
+    "t_bpe_train": _EXT_QUERIES["t_bpe_train"],
+    "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
+    "s2c_variant_extract": _EXT_QUERIES["s2c_variant_extract"],
+    "t_bpe_encode": _EXT_QUERIES["t_bpe_encode"],
+    "j4_case_insensitive_join": q_j4_case_insensitive_join,
+    "j5_anti_join": q_j5_anti_join,
+    "j5b_semi_join": q_j5b_semi_join,
+    "j6_asof_fill": q_j6_asof_fill,
+    "j6b_asof_join": q_j6b_asof_join,
+    "j8_range_join": q_j8_range_join,
+    "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
+    "w1_forward_fill": q_w1_forward_fill,
+    "w5_latest_per_group": q_w5_latest_per_group,
+    "w6_global_surrogate": q_w6_global_surrogate,
+    "w7_lag_delta": q_w7_lag_delta,
+    "w8_rank_suite": q_w8_rank_suite,
+    "w9_range_frame": q_w9_range_frame,
+    "w10_funnel": q_w10_funnel,
+    "w11_cohort_retention": q_w11_cohort_retention,
+    "o5_topk": q_o5_topk,
+    "e1_union_dedup": q_e1_union_dedup,
+    "e2_except": q_e2_except,
+    # --- (c) oldest-r5 backfill (registry-order head of the r5 block,
+    # plus the two fixed-k semantic-dedup forms so the whole family is
+    # re-verified alongside the new auto form) — smooths the r9 load:
+    # 38 r5 rows remain due next round, leaving 12 slots ---
+    "e3_intersect": q_e3_intersect,
+    "s9_tumbling_window": q_s9_tumbling_window,
+    "s9b_sliding_window": q_s9b_sliding_window,
+    "s10_session_window": q_s10_session_window,
+    "d_exact_dedup": q_d_exact_dedup,
+    "t_chunk_windows": q_t_chunk_windows,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
+    "s12_stream_stream_join": q_s12_stream_stream_join,
+    # ------- 50-slot window boundary (s12_stream_stream_join is position 50) -------
+    # After round 8 the oldest driver evidence anywhere is r5 (38 rows),
+    # which round 9 must lead with — tests/test_plan_shapes.py pins max
+    # staleness, not just never-checked coverage.
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
     "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
     "m_png_decode": _EXT4_QUERIES["m_png_decode"],
     "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
     "m_mp4_meta": _EXT4_QUERIES["m_mp4_meta"],
     "j19_fifo_allocation": _EXT4_QUERIES["j19_fifo_allocation"],
-    # w32/t_coll: new round-7 queries (sweep-line concurrency, collocation lift)
     "w32_interval_concurrency": _EXT5_QUERIES["w32_interval_concurrency"],
     "t_collocation_lift": _EXT5_QUERIES["t_collocation_lift"],
     "m_gif_decode": _EXT5_QUERIES["m_gif_decode"],
     "w33_position_attribution": _EXT5_QUERIES["w33_position_attribution"],
     "p_ldiversity": _EXT5_QUERIES["p_ldiversity"],
-    # --- (b) the 35 r3-stale rows (oldest driver evidence, VERDICT r6
-    # item #1) — refresh every one to r7 ---
     "f11_typed_date": q_f11_typed_date,
     "a1_pricing_summary": q_a1_pricing_summary,
     "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
@@ -3349,25 +3407,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_multimodal_meta": q_m_multimodal_meta,
     "m_multimodal_decode": q_m_multimodal_decode,
     "m_frame_sample": q_m_frame_sample,
-    # --- (c) oldest-r4 backfill (registry-order head of the r4 block) ---
     "d_ngram_jaccard": q_d_ngram_jaccard,
     "d_dedup_clusters": q_d_dedup_clusters,
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
     "t_tfidf_topk": q_t_tfidf_topk,
-    # ------- 50-slot window boundary (t_tfidf_topk is position 50) -------
-    # After round 7 the oldest driver evidence anywhere is r4 (39 rows,
-    # incl. the d_simhash_neardup/a5/s11/p_mixture/j9 backfill displaced
-    # by the five new round-7 queries), which round 8 must lead with —
-    # tests/test_plan_shapes.py now pins max staleness, not just
-    # never-checked coverage.
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
-    "d_simhash_neardup": q_d_simhash_neardup,
-    "a5_approx_sketches": q_a5_approx_sketches,
-    "s11_stream_dedup": q_s11_stream_dedup,
-    "p_mixture_sample": q_p_mixture_sample,
-    "j9_merge_upsert": q_j9_merge_upsert,
     "w25_streaks": _EXT3_QUERIES["w25_streaks"],
     "p_benford": _EXT3_QUERIES["p_benford"],
     "p_kanon": _EXT3_QUERIES["p_kanon"],
@@ -3414,51 +3458,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
-    "p_zorder_layout": q_p_zorder_layout,
-    "a8_reaggregate": q_a8_reaggregate,
-    "a9_sketch_rollup": q_a9_sketch_rollup,
-    "t_span_dedup": q_t_span_dedup,
-    "t_quality_classifier": q_t_quality_classifier,
-    "a10_histogram": _EXT_QUERIES["a10_histogram"],
-    "j10_salted_join": _EXT_QUERIES["j10_salted_join"],
-    "d_keep_best": _EXT_QUERIES["d_keep_best"],
-    "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
-    "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
-    "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
-    "w15_cumulative_distinct": _EXT_QUERIES["w15_cumulative_distinct"],
-    "t_bpe_train": _EXT_QUERIES["t_bpe_train"],
-    "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
-    "s2c_variant_extract": _EXT_QUERIES["s2c_variant_extract"],
-    "t_bpe_encode": _EXT_QUERIES["t_bpe_encode"],
-    "j4_case_insensitive_join": q_j4_case_insensitive_join,
-    "j5_anti_join": q_j5_anti_join,
-    "j5b_semi_join": q_j5b_semi_join,
-    "j6_asof_fill": q_j6_asof_fill,
-    "j6b_asof_join": q_j6b_asof_join,
-    "j8_range_join": q_j8_range_join,
-    "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
-    "w1_forward_fill": q_w1_forward_fill,
-    "w5_latest_per_group": q_w5_latest_per_group,
-    "w6_global_surrogate": q_w6_global_surrogate,
-    "w7_lag_delta": q_w7_lag_delta,
-    "w8_rank_suite": q_w8_rank_suite,
-    "w9_range_frame": q_w9_range_frame,
-    "w10_funnel": q_w10_funnel,
-    "w11_cohort_retention": q_w11_cohort_retention,
-    "o5_topk": q_o5_topk,
-    "e1_union_dedup": q_e1_union_dedup,
-    "e2_except": q_e2_except,
-    "e3_intersect": q_e3_intersect,
-    "s9_tumbling_window": q_s9_tumbling_window,
-    "s9b_sliding_window": q_s9b_sliding_window,
-    "s10_session_window": q_s10_session_window,
-    "d_exact_dedup": q_d_exact_dedup,
-    "t_chunk_windows": q_t_chunk_windows,
-    "s12_stream_stream_join": q_s12_stream_stream_join,
     "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
     "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
     "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
-    "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
     "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
     "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
     "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
@@ -3489,7 +3491,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
     "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
     "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
-    "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
     "g1_pagerank": _EXT_QUERIES["g1_pagerank"],

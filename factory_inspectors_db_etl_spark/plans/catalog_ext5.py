@@ -497,6 +497,154 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# A25: mergeable quantile-summary rollup (histogram partials, a8/a9 theme)
+# ---------------------------------------------------------------------------
+
+_A25_BUCKET_CENTS = 50  # equi-width bucket: 50 cents => estimate error <= 2 buckets
+
+
+def q_a25_quantile_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A25: the QUANTILE side of a8/a9's partial-reaggregation story —
+    monthly p50/p90 from MERGED daily histogram partials, never
+    rescanning raw rows.  Exact quantile state cannot be rolled up
+    (median-of-day medians is the classic wrong answer), but equi-width
+    histogram counts merge freely across any regrouping — the same
+    mergeable-summary discipline as KLL/GK sketches, expressed with
+    nothing but groupBy/sum so the whole plan stays in whole-stage
+    codegen.
+
+    Contract oracle like a9: the exact monthly percentiles are
+    hash-checked, plus a boolean pinning the histogram estimate within
+    $1 of them (bucket width 50 cents; the midpoint estimate sits within
+    half a width of an order statistic adjacent to the interpolated
+    quantile, so 2 widths is a safe bound).  Only DYADIC quantiles
+    (0.5, 0.75) are exposed — w12's cross-engine lesson: interpolating
+    integer cents at quarter fractions is exact in binary floating point
+    under either interpolation formula, so Spark and DuckDB produce the
+    identical double, while 0.9's fraction is non-dyadic and can diverge
+    by an ulp.  Rank selection is cross-multiplied integers
+    (2*cum >= N, 4*cum >= 3*N), never ceil(q*N) on a float.  At 100 TB
+    only the daily histogram pass touches raw data; merges move
+    O(buckets) rows."""
+    ev = load_table(spark, sf, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    daily = ev.groupBy(
+        day.alias("day"),
+        "event_type",
+        (cents / _A25_BUCKET_CENTS).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    monthly_hist = daily.groupBy(
+        F.substring("day", 1, 7).alias("month"), "event_type", "bucket"
+    ).agg(F.sum("_c").alias("c"))
+    wcum = W.partitionBy("month", "event_type").orderBy("bucket")
+    wall = W.partitionBy("month", "event_type")
+    cum = monthly_hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "N", F.sum("c").over(wall)
+    )
+    mid = _A25_BUCKET_CENTS / 2.0
+    est = cum.groupBy("month", "event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("N"), F.col("bucket"))
+        ).alias("_b50"),
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("N") * 3, F.col("bucket"))
+        ).alias("_b75"),
+    )
+    exact = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "event_type"
+    ).agg(
+        F.percentile(
+            cents.cast("double"), F.array(F.lit(0.5), F.lit(0.75))
+        ).alias("_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    est50 = (F.col("_b50") * _A25_BUCKET_CENTS + mid) / 100
+    est75 = (F.col("_b75") * _A25_BUCKET_CENTS + mid) / 100
+    return exact.join(F.broadcast(est), ["month", "event_type"]).select(
+        "month",
+        "event_type",
+        "n_events",
+        (F.element_at("_q", 1) / 100).alias("p50_exact"),
+        (F.element_at("_q", 2) / 100).alias("p75_exact"),
+        (
+            (F.abs(est50 - F.element_at("_q", 1) / 100) <= F.lit(1.0))
+            & (F.abs(est75 - F.element_at("_q", 2) / 100) <= F.lit(1.0))
+        ).alias("merged_est_ok"),
+    )
+
+
+O_A25_QUANTILE_ROLLUP = """
+SELECT strftime(ts, '%Y-%m') AS month, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       quantile_cont(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE), 0.5) / 100 AS p50_exact,
+       quantile_cont(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE), 0.75) / 100 AS p75_exact,
+       TRUE AS merged_est_ok
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# M6 dedup: SemDeDup with AUTO cell count — the scale-safe registered form
+# ---------------------------------------------------------------------------
+
+_SEMAUTO_CELL = 24  # target vectors per cell (test-SF sized; 256 in prod)
+
+
+def q_d_semantic_dedup_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """M6 dedup: SemDeDup with ``n_clusters="auto"`` — the production
+    discipline the round-7 scaling sweep demanded (fixed k=16 measured
+    17.65× wall-clock for 10× data; the O(n²·n_probe/k) pair term is
+    quadratic whenever k is pinned while n grows).  Auto mode sizes
+    k = max(16, n // target_cell_size) from one metadata-cheap count, so
+    cells stay ~target_cell_size vectors and the pair term is
+    ~n·cell_size·n_probe — linear in the corpus.  n_probe=2 keeps the
+    multi-probe recall lever on, so this is the scale-safe twin of BOTH
+    d_semantic_dedup and d_semantic_dedup_multiprobe (same output
+    contract: one row per vector, rank-1 cell id, greedy keep-lowest-id).
+
+    Oracle replay: k is a DETERMINISTIC function of n, so the DuckDB
+    oracle computes the same k with greatest(16, count(*) // cell) and
+    names the same first-k centroid set."""
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf, "embeddings")
+    return semantic_dedup(
+        e,
+        n_clusters="auto",
+        threshold=0.40,
+        n_probe=2,
+        target_cell_size=_SEMAUTO_CELL,
+    )
+
+
+O_D_SEMANTIC_DEDUP_AUTO = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+kk AS (SELECT greatest(16, count(*) // {_SEMAUTO_CELL}) AS k FROM v),
+cents AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < (SELECT k FROM kk)),
+asg AS (
+  SELECT vec_id, ev, centroid_id, rn FROM (
+    SELECT v.vec_id, v.ev, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_inner_product(v.ev, c.cv) / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(list_inner_product(c.cv, c.cv))), 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM v CROSS JOIN cents c) WHERE rn <= 2
+),
+u AS (SELECT vec_id, centroid_id, rn,
+             list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+      FROM asg),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM u a JOIN u b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE round(list_inner_product(a.uv, b.uv), 4) >= 0.40
+)
+SELECT u.vec_id, u.centroid_id AS cluster_id, d.vec_id IS NULL AS keep
+FROM u LEFT JOIN dups d ON u.vec_id = d.vec_id
+WHERE u.rn = 1
+"""
+
+
 EXT5_QUERIES = {
     "m_jpeg_decode": q_m_jpeg_decode,
     "w32_interval_concurrency": q_w32_interval_concurrency,
@@ -504,6 +652,8 @@ EXT5_QUERIES = {
     "m_gif_decode": q_m_gif_decode,
     "w33_position_attribution": q_w33_position_attribution,
     "p_ldiversity": q_p_ldiversity,
+    "d_semantic_dedup_auto": q_d_semantic_dedup_auto,
+    "a25_quantile_sketch_rollup": q_a25_quantile_sketch_rollup,
 }
 
 EXT5_ORACLES = {
@@ -513,4 +663,6 @@ EXT5_ORACLES = {
     "m_gif_decode": O_M_GIF,
     "w33_position_attribution": O_W33_ATTRIBUTION,
     "p_ldiversity": O_P_LDIVERSITY,
+    "d_semantic_dedup_auto": O_D_SEMANTIC_DEDUP_AUTO,
+    "a25_quantile_sketch_rollup": O_A25_QUANTILE_ROLLUP,
 }

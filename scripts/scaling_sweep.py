@@ -39,7 +39,8 @@ FAMILIES = {
     "g1b_pagerank_shuffle": "O(E * iters), fixed 5 iterations — expect ~linear",
     "j19_fifo_allocation": "O(n + matches) cell equi-join — expect ~linear",
     "sim_ivf_topk_kmeans": "O(n*k*iters) training + bucketed probe — expect ~linear in n",
-    "d_semantic_dedup_multiprobe": "O(n^2 * n_probe / k) within-cell pairs — replicated sf1 raises dup density; watch the pair term",
+    "d_semantic_dedup_multiprobe": "O(n^2 * n_probe / k) within-cell pairs at FIXED k=16 — the known-quadratic form, kept for oracle determinism; d_semantic_dedup_auto is the scale path",
+    "d_semantic_dedup_auto": "auto k = max(16, n // cell): pair term ~n * cell * n_probe — expect ~linear (the r7 17.65x fix)",
     "d_setsim_prefix_join": "posting-list candidates + exact-dup collapse — expect ~linear after collapse",
     "g4_khop_bfs": "O(E * hops), 3 hops — expect ~linear in E",
     "corpus_pipeline_build": "composition of linear stages — expect ~linear",
