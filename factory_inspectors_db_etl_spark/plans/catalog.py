@@ -53,6 +53,7 @@ from .catalog_ext2 import EXT2_ORACLES as _EXT2_ORACLES, EXT2_QUERIES as _EXT2_Q
 from .catalog_ext3 import EXT3_ORACLES as _EXT3_ORACLES, EXT3_QUERIES as _EXT3_QUERIES
 from .catalog_ext4 import EXT4_ORACLES as _EXT4_ORACLES, EXT4_QUERIES as _EXT4_QUERIES
 from .catalog_ext5 import EXT5_ORACLES as _EXT5_ORACLES, EXT5_QUERIES as _EXT5_QUERIES
+from .catalog_ext6 import EXT6_ORACLES as _EXT6_ORACLES, EXT6_QUERIES as _EXT6_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3300,8 +3301,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # d_semantic_dedup_auto: the scale-safe auto-k SemDeDup (closes the
     # r7 sweep flag: fixed k=16 measured 17.65x at 10x data)
     # a25: mergeable histogram-partial quantile rollup (VERDICT r7 item 7)
+    # w34/p_ks/t_zipf/g7: survival curve, KS drift, Zipf fit,
+    # assortativity — classic shapes absent until round 8 (catalog_ext6)
     "d_semantic_dedup_auto": _EXT5_QUERIES["d_semantic_dedup_auto"],
     "a25_quantile_sketch_rollup": _EXT5_QUERIES["a25_quantile_sketch_rollup"],
+    "w34_survival_curve": _EXT6_QUERIES["w34_survival_curve"],
+    "p_ks_drift": _EXT6_QUERIES["p_ks_drift"],
+    "t_zipf_fit": _EXT6_QUERIES["t_zipf_fit"],
+    "g7_degree_assortativity": _EXT6_QUERIES["g7_degree_assortativity"],
     # --- (b) the 39 rows whose newest driver evidence is r4 — the
     # oldest in the repo (VERDICT r7 item #1 / the staleness pin) ---
     "d_simhash_neardup": q_d_simhash_neardup,
@@ -3346,22 +3353,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (c) oldest-r5 backfill (registry-order head of the r5 block,
     # plus the two fixed-k semantic-dedup forms so the whole family is
     # re-verified alongside the new auto form) — smooths the r9 load:
-    # 38 r5 rows remain due next round, leaving 12 slots ---
+    # 42 r5 rows remain due next round, leaving 8 slots ---
     "e3_intersect": q_e3_intersect,
     "s9_tumbling_window": q_s9_tumbling_window,
-    "s9b_sliding_window": q_s9b_sliding_window,
-    "s10_session_window": q_s10_session_window,
     "d_exact_dedup": q_d_exact_dedup,
-    "t_chunk_windows": q_t_chunk_windows,
     "d_semantic_dedup": q_d_semantic_dedup,
     "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
-    "s12_stream_stream_join": q_s12_stream_stream_join,
-    # ------- 50-slot window boundary (s12_stream_stream_join is position 50) -------
-    # After round 8 the oldest driver evidence anywhere is r5 (38 rows),
+    # ------- 50-slot window boundary (d_semantic_dedup_multiprobe is position 50) -------
+    # After round 8 the oldest driver evidence anywhere is r5 (42 rows),
     # which round 9 must lead with — tests/test_plan_shapes.py pins max
     # staleness, not just never-checked coverage.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "s9b_sliding_window": q_s9b_sliding_window,
+    "s10_session_window": q_s10_session_window,
+    "t_chunk_windows": q_t_chunk_windows,
+    "s12_stream_stream_join": q_s12_stream_stream_join,
     "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
     "m_png_decode": _EXT4_QUERIES["m_png_decode"],
     "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
@@ -3600,6 +3607,7 @@ ORACLES: dict[str, str] = {
     **_EXT3_ORACLES,
     **_EXT4_ORACLES,
     **_EXT5_ORACLES,
+    **_EXT6_ORACLES,
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error

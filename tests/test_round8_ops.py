@@ -1,0 +1,216 @@
+"""Round-8 operator tests: brute-force / property twins for the four
+new catalog_ext6 queries — w34 life-table survival, p_ks two-sample KS
+drift, t_zipf log-log fit, g7 degree assortativity.  (Oracle parity at
+sf0.001 is covered for all four by test_catalog_vs_duckdb.py; these pin
+the MATH against independent reference implementations and synthetic
+edge cases.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+
+from factory_inspectors_db_etl_spark.plans.catalog_ext6 import (
+    _W34_CHURN_GAP_DAYS,
+    q_g7_degree_assortativity,
+    q_p_ks_drift,
+    q_t_zipf_fit,
+    q_w34_survival_curve,
+)
+from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# W34: survival curve
+# ---------------------------------------------------------------------------
+
+
+def _brute_life_table(events: pd.DataFrame) -> pd.DataFrame:
+    d = events.assign(day=events["ts"].dt.normalize())
+    obs_end = d["day"].max()
+    g = d.groupby("user_id")["day"].agg(["min", "max"]).reset_index()
+    churned = (obs_end - g["max"]).dt.days > _W34_CHURN_GAP_DAYS
+    dur = np.where(
+        churned, (g["max"] - g["min"]).dt.days, (obs_end - g["min"]).dt.days
+    )
+    lt = (
+        pd.DataFrame({"day": dur, "churned": churned})
+        .groupby("day")["churned"]
+        .agg(n_churned="sum", total="count")
+        .reset_index()
+        .sort_values("day")
+    )
+    lt["n_censored"] = lt["total"] - lt["n_churned"]
+    return lt
+
+
+def test_w34_life_table_counts_match_pandas_brute_force(spark, sf_dir):
+    got = q_w34_survival_curve(spark, sf_dir).toPandas().sort_values("day")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    want = _brute_life_table(ev)
+    assert list(got["day"]) == list(want["day"])
+    assert list(got["n_churned"]) == list(want["n_churned"])
+    assert list(got["n_censored"]) == list(want["n_censored"])
+    # at-risk recurrence: n_{i+1} = n_i - d_i - c_i, starting at user count
+    n = ev["user_id"].nunique()
+    for _, r in got.iterrows():
+        assert r["n_at_risk"] == n
+        n -= r["n_churned"] + r["n_censored"]
+    assert n == 0
+
+
+def test_w34_ppm_survival_tracks_exact_km_product_within_step_rounding(
+    spark, sf_dir
+):
+    got = q_w34_survival_curve(spark, sf_dir).toPandas().sort_values("day")
+    s_exact = Fraction(1)
+    prev_ppm = 1_000_000
+    for i, (_, r) in enumerate(got.iterrows(), start=1):
+        s_exact *= Fraction(
+            int(r["n_at_risk"] - r["n_churned"]), int(r["n_at_risk"])
+        )
+        # each fold step rounds to the nearest ppm, so drift is bounded
+        # by half a ppm per step (relative, but survival <= 1)
+        assert abs(r["survival_ppm"] / 1e6 - float(s_exact)) <= i * 5e-7 + 1e-12
+        assert r["survival_ppm"] <= prev_ppm  # monotone non-increasing
+        prev_ppm = r["survival_ppm"]
+        assert r["hazard"] == r["n_churned"] / r["n_at_risk"]
+
+
+# ---------------------------------------------------------------------------
+# P-KS: two-sample KS drift
+# ---------------------------------------------------------------------------
+
+
+def _events_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_ks_stat_matches_numpy_brute_force(spark, sf_dir):
+    got = {
+        r["event_type"]: r
+        for r in q_p_ks_drift(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").toPandas()
+    ev["day"] = ev["ts"].dt.normalize()
+    d0, d1 = ev["day"].min(), ev["day"].max()
+    ev["cents"] = (ev["value"].round(2) * 100).round().astype("int64")
+    ev["first"] = (ev["day"] - d0).dt.days * 2 < (d1 - d0).days
+    for etype, grp in ev.groupby("event_type"):
+        a = np.sort(grp.loc[grp["first"], "cents"].to_numpy())
+        b = np.sort(grp.loc[~grp["first"], "cents"].to_numpy())
+        grid = np.union1d(a, b)
+        f1 = np.searchsorted(a, grid, side="right") / len(a)
+        f2 = np.searchsorted(b, grid, side="right") / len(b)
+        d_brute = np.max(np.abs(f1 - f2))
+        r = got[etype]
+        assert r["n_first"] == len(a) and r["n_second"] == len(b)
+        assert abs(r["ks_stat"] - d_brute) < 1e-12
+
+
+def test_ks_identical_halves_give_zero_and_no_drift(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # same 50 values replayed in each half, two types
+    for half, off in ((0, 0), (1, 10)):
+        for i in range(50):
+            rows.append(
+                (
+                    half * 100 + i,
+                    base + dt.timedelta(days=off, hours=i % 24),
+                    i % 7,
+                    "alpha" if i % 2 == 0 else "beta",
+                    float(i % 11) + 0.25,
+                    None,
+                )
+            )
+    # pin the span so day 0..19 splits at day 10 exactly
+    rows.append((999, base + dt.timedelta(days=19, hours=23), 1, "alpha", 3.25, None))
+    rows.append((998, base, 1, "alpha", 3.25, None))
+    out = {r["event_type"]: r for r in q_p_ks_drift(spark, _events_dir(spark, tmp_path, rows)).collect()}
+    assert out["beta"]["ks_stat"] == 0.0
+    assert not out["beta"]["drift"]
+    assert not out["alpha"]["drift"]  # one extra pair of equal values each side
+
+
+def test_ks_shifted_second_half_flags_drift(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        rows.append((i, base + dt.timedelta(hours=i % 200), i % 9, "gamma", 1.0, None))
+    for i in range(400):
+        rows.append(
+            (1000 + i, base + dt.timedelta(days=15, hours=i % 200), i % 9, "gamma", 900.0, None)
+        )
+    out = q_p_ks_drift(spark, _events_dir(spark, tmp_path, rows)).collect()
+    (r,) = out
+    assert r["ks_stat"] == 1.0  # disjoint supports: maximal drift
+    assert r["drift"]
+
+
+# ---------------------------------------------------------------------------
+# T-ZIPF: log-log fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_matches_numpy_polyfit_within_quantization(spark, sf_dir):
+    got = q_t_zipf_fit(spark, sf_dir).toPandas().set_index("shard")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    docs["shard"] = docs["doc_id"] % 4
+    for shard, grp in docs.groupby("shard"):
+        toks = pd.Series(
+            [t for s in grp["text"] for t in s.lower().strip().split()]
+        )
+        # ties at the rank-200 cutoff share the same count, so the
+        # (rank, count) multiset — and hence the fit — is tie-invariant
+        freq = toks.value_counts()
+        c = np.sort(freq.to_numpy())[::-1][:200].astype(float)
+        rank = np.arange(1, len(c) + 1, dtype=float)
+        slope, _ = np.polyfit(np.log(rank), np.log(c), 1)
+        row = got.loc[shard]
+        assert row["n_points"] == len(c)
+        # fixed-point snap at 1e-5 on each coordinate: slope agreement
+        # is far tighter than the quantization worst case
+        assert abs(row["slope"] - slope) < 1e-3
+        assert row["slope"] < 0  # frequencies decay with rank
+        assert 0.0 <= row["r2"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# G7: degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_g7_matches_numpy_pearson_over_edge_stubs(spark, sf_dir):
+    (row,) = q_g7_degree_assortativity(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    li = li[li["l_orderkey"].isin(set(urgent))]
+    m = li.merge(li, on="l_orderkey")
+    e = m[m["l_partkey_x"] < m["l_partkey_y"]][["l_partkey_x", "l_partkey_y"]]
+    e = e.drop_duplicates()
+    deg = pd.concat([e["l_partkey_x"], e["l_partkey_y"]]).value_counts()
+    x = np.concatenate([deg[e["l_partkey_x"]].to_numpy(), deg[e["l_partkey_y"]].to_numpy()])
+    y = np.concatenate([deg[e["l_partkey_y"]].to_numpy(), deg[e["l_partkey_x"]].to_numpy()])
+    assert row["n_edges"] == len(e)
+    assert row["n_nodes"] == len(deg)
+    assert abs(row["mean_degree"] - 2 * len(e) / len(deg)) < 1e-9
+    r_brute = np.corrcoef(x, y)[0, 1]
+    assert abs(row["assortativity"] - r_brute) < 1e-9
+    assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9

