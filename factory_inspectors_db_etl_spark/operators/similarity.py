@@ -191,6 +191,106 @@ def _assign_cells(
     return out if keep_rank else out.drop("_crank")
 
 
+# LSH-pruned centroid assignment: plane-count cap (bits never exceed
+# this; 2^16 buckets covers k ~ 500k centroids at 8 per bucket) and the
+# average centroids-per-bucket target the bit count is sized for.
+_ASSIGN_LSH_MAX_BITS = 16
+_ASSIGN_LSH_CENTS_PER_BUCKET = 8
+_ASSIGN_LSH_SEED = 42
+
+
+def assign_lsh_bits(n_centroids: int) -> int:
+    """Bit count for LSH-pruned assignment: enough sign-hyperplanes that
+    buckets hold ~_ASSIGN_LSH_CENTS_PER_BUCKET centroids on average.
+    Deterministic in k alone, so a SQL oracle can recompute it with
+    ``least(16, greatest(1, ceil(log2(k / 8.0))))`` — k/8.0 is an exact
+    dyadic division and log2 lands exactly on integers only at powers of
+    two (where both engines are exact), so the ceil never straddles an
+    ulp."""
+    import math
+
+    raw = math.ceil(math.log2(n_centroids / float(_ASSIGN_LSH_CENTS_PER_BUCKET)))
+    return min(_ASSIGN_LSH_MAX_BITS, max(1, raw))
+
+
+def _assign_cells_lsh(
+    df: DataFrame,
+    cents: DataFrame,
+    out_id: str,
+    vec_out: str,
+    top: int,
+    dim: int,
+    n_centroids: int,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """LSH-pruned centroid assignment — the linear-time replacement for
+    ``_assign_cells``'s broadcast nested loop when the centroid count
+    grows with the corpus (auto-k SemDeDup).
+
+    The nested loop costs O(n·k) dot products; with k = n/cell_size that
+    is quadratic in n — measured 64.5× wall-clock for 10× data at sf1
+    (SCALING_SWEEP.json round 8), WORSE than the fixed-k pair explosion
+    it was meant to fix.  Here each vector scores only centroids sharing
+    one of its 1+bits probed LSH codes (its own sign-bucket plus every
+    single-bit flip — standard multi-probe): candidates per vector stay
+    ~(1+bits)·k/2^bits ≈ (1+bits)·8, so total work is O(n·log k) — truly
+    linear up to the log factor.  Vectors whose probes hit no centroid
+    (rare by construction) fall back to the exact nested loop, so every
+    vector is always assigned.
+
+    Approximation contract: the assigned cell is the nearest centroid
+    among PROBED buckets, which can differ from the global argmax when
+    the true nearest centroid differs from the vector in >= 2 sign bits.
+    The assignment is still deterministic (seeded planes, identical
+    sequential-sum projections) and SQL-replayable — planes embed as
+    double literals, bits recomputes from k (``assign_lsh_bits``).
+
+    The hash pass uses the columnar ``lsh_bucket_expr`` (interpreted HOF
+    dots — fine for <= 16 planes); at extreme scale swap in
+    ``band_buckets_udf``'s Arrow/BLAS matmul, same bit semantics."""
+    bits = assign_lsh_bits(n_centroids)
+    planes = random_hyperplanes(dim, _ASSIGN_LSH_MAX_BITS, _ASSIGN_LSH_SEED)[:bits]
+    v = df.withColumn("_bkt", lsh_bucket_expr(F.col(vec_out), planes))
+    c = cents.withColumn("_cbkt", lsh_bucket_expr(F.col("_cent"), planes))
+    probes = v.select(
+        F.col(out_id),
+        F.col(vec_out),
+        F.explode(
+            F.array(
+                F.col("_bkt"),
+                *[F.col("_bkt").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+            )
+        ).alias("_code"),
+    )
+    cand = probes.join(
+        F.broadcast(c.select("centroid_id", "_cent", "_cbkt")),
+        probes["_code"] == F.col("_cbkt"),
+    ).select(out_id, vec_out, "centroid_id", "_cent")
+    # rare fallback: vectors none of whose probe codes hold a centroid
+    # are scored exactly against the full set (always-assigned contract)
+    unmatched = v.join(
+        cand.select(out_id).distinct(), out_id, "left_anti"
+    ).select(out_id, vec_out)
+    fallback = unmatched.crossJoin(
+        F.broadcast(cents.select("centroid_id", "_cent"))
+    ).select(out_id, vec_out, "centroid_id", "_cent")
+    scored = cand.unionAll(fallback).select(
+        F.col(out_id),
+        F.col(vec_out),
+        "centroid_id",
+        F.round(cosine(F.col(vec_out), F.col("_cent")), 6).alias("_cscore"),
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("_cscore").desc(), F.col("centroid_id").asc()
+    )
+    out = (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= top)
+        .drop("_cscore")
+    )
+    return out if keep_rank else out.drop("_crank")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -415,6 +515,8 @@ def semantic_dedup(
     kmeans_max_iter: int = 20,
     n_probe: int = 1,
     target_cell_size: int = 256,
+    assign: str = "exact",
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then search
@@ -442,15 +544,28 @@ def semantic_dedup(
     aggregation over the dup pairs joined back — shuffles are sized by
     the cluster cells, not the corpus square.
 
-    SCALING THE CELL COUNT: the O(n²·n_probe/k) pair term is quadratic
-    whenever ``k`` is FIXED while the corpus grows (the round-7 sf0.1→sf1
-    scaling sweep measured the fixed-k=16 registered query at 17.7× for
-    10× data).  Pass ``n_clusters="auto"`` for the production discipline:
-    k = max(16, n // target_cell_size) sized from one metadata-cheap
-    count — cells then grow with the corpus and the pair term stays
-    ~linear (n·target_cell_size·n_probe).  The registered catalog query
-    keeps a literal k so its DuckDB oracle can name the same centroid
-    set; auto mode is the knob a 100 TB run must turn.
+    SCALING THE CELL COUNT — the full story, both terms measured:
+
+    * Fixed ``k`` while the corpus grows: the O(n²·n_probe/k) PAIR term
+      is quadratic (r7 sweep: 17.7× wall-clock for 10× data at k=16).
+    * ``n_clusters="auto"`` (k = max(16, n // target_cell_size), one
+      metadata-cheap count) makes the pair term linear
+      (n·target_cell_size·n_probe) — but with ``assign="exact"`` the
+      ASSIGNMENT term O(n·k) = O(n²/cell) is now the quadratic one
+      (r8 sweep: 64.5× for 10× data at sf1 — WORSE than fixed-k,
+      because assignment costs k/cell_size times more dot products per
+      vector than pairing).
+    * ``assign="lsh"`` + auto-k is the actually-linear configuration:
+      each vector scores only centroids sharing one of its 1+bits
+      multi-probed LSH codes (~(1+bits)·8 candidates, bits ~ log k —
+      see ``_assign_cells_lsh``), so BOTH terms are ~n·log(n).  The
+      assignment becomes nearest-among-probed-buckets (approximate;
+      recall floor pinned in tests/test_semantic_dedup_recall.py), and
+      stays deterministic + SQL-replayable.
+
+    The registered catalog queries cover fixed-k (oracle-determinism
+    baseline), auto-k exact-assign, and the auto-k LSH-assign scale
+    path; ``dim`` is only read in LSH mode (plane width).
     """
     if n_clusters == "auto":
         n_total = vectors.count()
@@ -462,14 +577,28 @@ def semantic_dedup(
         kmeans_seed, kmeans_train_filter, kmeans_max_iter,
     )
 
-    assigned = _assign_cells(
-        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        cents,
-        "_id",
-        "_v",
-        top=n_probe,
-        keep_rank=True,
-    )
+    if assign == "lsh":
+        assigned = _assign_cells_lsh(
+            vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            cents,
+            "_id",
+            "_v",
+            top=n_probe,
+            dim=dim,
+            n_centroids=n_clusters,
+            keep_rank=True,
+        )
+    elif assign == "exact":
+        assigned = _assign_cells(
+            vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            cents,
+            "_id",
+            "_v",
+            top=n_probe,
+            keep_rank=True,
+        )
+    else:
+        raise ValueError(f"unknown assign mode {assign!r}: exact | lsh")
     # Assignment scores raw vectors (same expression as ivf_topk's oracle);
     # pair scoring pre-normalizes once per row, same as
     # embedding_neardup_pairs — both shapes already value-pinned vs DuckDB.

@@ -3303,7 +3303,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a25: mergeable histogram-partial quantile rollup (VERDICT r7 item 7)
     # w34/p_ks/t_zipf/g7: survival curve, KS drift, Zipf fit,
     # assortativity — classic shapes absent until round 8 (catalog_ext6)
+    # d_semantic_dedup_lshassign: auto-k + LSH-pruned assignment — the
+    # configuration where BOTH SemDeDup cost terms are ~linear (the r8
+    # sweep measured exact-assign auto-k at 64.5x for 10x data)
     "d_semantic_dedup_auto": _EXT5_QUERIES["d_semantic_dedup_auto"],
+    "d_semantic_dedup_lshassign": _EXT6_QUERIES["d_semantic_dedup_lshassign"],
     "a25_quantile_sketch_rollup": _EXT5_QUERIES["a25_quantile_sketch_rollup"],
     "w34_survival_curve": _EXT6_QUERIES["w34_survival_curve"],
     "p_ks_drift": _EXT6_QUERIES["p_ks_drift"],
@@ -3353,18 +3357,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (c) oldest-r5 backfill (registry-order head of the r5 block,
     # plus the two fixed-k semantic-dedup forms so the whole family is
     # re-verified alongside the new auto form) — smooths the r9 load:
-    # 42 r5 rows remain due next round, leaving 8 slots ---
+    # 43 r5 rows remain due next round, leaving 7 slots ---
     "e3_intersect": q_e3_intersect,
     "s9_tumbling_window": q_s9_tumbling_window,
-    "d_exact_dedup": q_d_exact_dedup,
     "d_semantic_dedup": q_d_semantic_dedup,
     "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
     # ------- 50-slot window boundary (d_semantic_dedup_multiprobe is position 50) -------
-    # After round 8 the oldest driver evidence anywhere is r5 (42 rows),
+    # After round 8 the oldest driver evidence anywhere is r5 (43 rows),
     # which round 9 must lead with — tests/test_plan_shapes.py pins max
     # staleness, not just never-checked coverage.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "d_exact_dedup": q_d_exact_dedup,
     "s9b_sliding_window": q_s9b_sliding_window,
     "s10_session_window": q_s10_session_window,
     "t_chunk_windows": q_t_chunk_windows,

@@ -486,11 +486,123 @@ FROM s, nn
 """
 
 
+# ---------------------------------------------------------------------------
+# M6 dedup: SemDeDup auto-k with LSH-pruned assignment — the linear form
+# ---------------------------------------------------------------------------
+
+_SEMLSH_CELL = 24  # same target cell size as d_semantic_dedup_auto
+
+
+def q_d_semantic_dedup_lshassign(spark: SparkSession, sf: str) -> DataFrame:
+    """M6 dedup: SemDeDup with auto-k AND LSH-pruned centroid assignment
+    — the configuration where BOTH cost terms are ~linear.  The round-8
+    scaling sweep exposed that auto-k alone only moves the quadratic:
+    fixed k=16 made the within-cell PAIR term O(n²/k) (17.7× at 10×
+    data, r7); auto k=n/cell fixed pairs but made the exact ASSIGNMENT
+    term O(n·k)=O(n²/cell) — measured 64.5× at 10× data (r8), worse.
+    Here assignment scores each vector only against centroids sharing
+    one of its 1+bits multi-probed sign-LSH codes (~(1+bits)·8
+    candidates, bits ~ log k), with an exact fallback for probe misses —
+    see ``operators/similarity.py::_assign_cells_lsh``.
+
+    Oracle replay: k and bits are deterministic functions of n
+    (greatest/least/ceil/log2 in SQL), the 16 seeded hyperplanes embed
+    as double literals (repr round-trips each float64), and bucket bits
+    come from the sign of the identical sequential-sum projection — so
+    DuckDB reproduces the exact candidate sets, fallback set, and
+    assignment."""
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf, "embeddings")
+    return semantic_dedup(
+        e,
+        n_clusters="auto",
+        threshold=0.40,
+        n_probe=2,
+        target_cell_size=_SEMLSH_CELL,
+        assign="lsh",
+        dim=64,
+    )
+
+
+def _gen_semantic_lsh_oracle() -> str:
+    from ..operators.similarity import (
+        _ASSIGN_LSH_CENTS_PER_BUCKET,
+        _ASSIGN_LSH_MAX_BITS,
+        _ASSIGN_LSH_SEED,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, _ASSIGN_LSH_MAX_BITS, _ASSIGN_LSH_SEED)
+    pl = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+        )
+        + "]"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+kk AS (SELECT greatest(16, count(*) // {_SEMLSH_CELL}) AS k FROM v),
+bb AS (SELECT CAST(least({_ASSIGN_LSH_MAX_BITS}, greatest(1,
+         ceil(log2(k / {float(_ASSIGN_LSH_CENTS_PER_BUCKET)})))) AS INTEGER) AS bits FROM kk),
+pl AS (SELECT CAST({pl} AS DOUBLE[][]) AS planes),
+bkt AS (
+  SELECT vec_id, ev,
+         list_sum(list_transform(range(bits), i ->
+           CASE WHEN list_inner_product(ev, planes[CAST(i + 1 AS INTEGER)]) > 0
+                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS bucket
+  FROM v, bb, pl
+),
+cents AS (SELECT vec_id AS centroid_id, ev AS cv, bucket AS cbkt
+          FROM bkt WHERE vec_id < (SELECT k FROM kk)),
+probes AS (
+  SELECT vec_id, ev,
+         unnest(list_prepend(bucket,
+           list_transform(range(bits), i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS code
+  FROM bkt, bb
+),
+cand AS (
+  SELECT p.vec_id, p.ev, c.centroid_id, c.cv
+  FROM probes p JOIN cents c ON c.cbkt = p.code
+),
+nocand AS (
+  SELECT b.vec_id, b.ev, c.centroid_id, c.cv
+  FROM bkt b CROSS JOIN cents c
+  WHERE b.vec_id NOT IN (SELECT vec_id FROM cand)
+),
+allc AS (SELECT * FROM cand UNION ALL SELECT * FROM nocand),
+asg AS (
+  SELECT vec_id, ev, centroid_id, rn FROM (
+    SELECT vec_id, ev, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(list_inner_product(ev, cv) / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(cv, cv))), 6) DESC,
+                      centroid_id ASC) AS rn
+    FROM allc) WHERE rn <= 2
+),
+u AS (SELECT vec_id, centroid_id, rn,
+             list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+      FROM asg),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM u a JOIN u b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE round(list_inner_product(a.uv, b.uv), 4) >= 0.40
+)
+SELECT u.vec_id, u.centroid_id AS cluster_id, d.vec_id IS NULL AS keep
+FROM u LEFT JOIN dups d ON u.vec_id = d.vec_id
+WHERE u.rn = 1
+"""
+
+
+O_D_SEMANTIC_DEDUP_LSHASSIGN = _gen_semantic_lsh_oracle()
+
+
 EXT6_QUERIES = {
     "w34_survival_curve": q_w34_survival_curve,
     "p_ks_drift": q_p_ks_drift,
     "t_zipf_fit": q_t_zipf_fit,
     "g7_degree_assortativity": q_g7_degree_assortativity,
+    "d_semantic_dedup_lshassign": q_d_semantic_dedup_lshassign,
 }
 
 EXT6_ORACLES = {
@@ -498,4 +610,5 @@ EXT6_ORACLES = {
     "p_ks_drift": O_P_KS_DRIFT,
     "t_zipf_fit": O_T_ZIPF,
     "g7_degree_assortativity": O_G7_ASSORTATIVITY,
+    "d_semantic_dedup_lshassign": O_D_SEMANTIC_DEDUP_LSHASSIGN,
 }

@@ -40,8 +40,10 @@ FAMILIES = {
     "j19_fifo_allocation": "O(n + matches) cell equi-join — expect ~linear",
     "sim_ivf_topk_kmeans": "O(n*k*iters) training + bucketed probe — expect ~linear in n",
     "d_semantic_dedup_multiprobe": "O(n^2 * n_probe / k) within-cell pairs at FIXED k=16 — the known-quadratic form, kept for oracle determinism; d_semantic_dedup_auto is the scale path",
-    "d_semantic_dedup_auto": "auto k = max(16, n // cell): pair term ~n * cell * n_probe — expect ~linear (the r7 17.65x fix)",
+    "d_semantic_dedup_auto": "auto k fixes the PAIR term (n * cell * n_probe) but the EXACT assignment term O(n*k)=O(n^2/cell) is now the quadratic one — MEASURED 64.5x at 10x (r8 finding); kept in the sweep as the documented anti-pattern, d_semantic_dedup_lshassign is the linear form",
+    "d_semantic_dedup_lshassign": "auto k + LSH-pruned assignment: ~(1+bits)*8 centroid candidates per vector (bits ~ log k) + n*cell*n_probe pairs — both terms ~n log n, expect ~linear",
     "d_setsim_prefix_join": "posting-list candidates + exact-dup collapse — expect ~linear after collapse",
+    "g7_degree_assortativity": "edge build is sum over orders of (parts/order)^2 with bounded parts/order — expect ~linear in orders; moment agg is one reduce",
     "g4_khop_bfs": "O(E * hops), 3 hops — expect ~linear in E",
     "corpus_pipeline_build": "composition of linear stages — expect ~linear",
 }

@@ -214,3 +214,76 @@ def test_g7_matches_numpy_pearson_over_edge_stubs(spark, sf_dir):
     r_brute = np.corrcoef(x, y)[0, 1]
     assert abs(row["assortativity"] - r_brute) < 1e-9
     assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Pure-math property pins for the round-8 cross-engine formulas
+# (replicating the exact SQL integer semantics in Python; no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _life_tables(draw):
+    """Random (d_i, c_i) sequences with every step consuming >= 1 user."""
+    steps = draw(
+        st.lists(
+            st.tuples(st.integers(0, 50), st.integers(0, 50)).filter(
+                lambda t: t[0] + t[1] > 0
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    return steps
+
+
+@given(_life_tables())
+@settings(max_examples=300, deadline=None)
+def test_ppm_recurrence_tracks_exact_km_product(steps):
+    """The integer survival recurrence s' = (2*s*(n-d) + n) DIV (2*n)
+    (round-half-up in ppm space) stays within half a ppm per step of the
+    exact Kaplan-Meier product, is monotone non-increasing, and never
+    leaves [0, 1e6] — for ANY life table, not just the test data's."""
+    total = sum(d + c for d, c in steps)
+    n, s = total, 1_000_000
+    exact = Fraction(1)
+    for i, (d, c) in enumerate(steps, start=1):
+        assert n >= d + c >= 1
+        s = (2 * s * (n - d) + n) // (2 * n)
+        exact *= Fraction(n - d, n)
+        assert 0 <= s <= 1_000_000
+        assert abs(s / 1e6 - float(exact)) <= i * 5e-7 + 1e-12
+        n -= d + c
+    assert n == 0
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    st.lists(st.integers(0, 30), min_size=1, max_size=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_ks_integer_cross_multiplication_is_exact(a, b):
+    """max|ca*n2 - cb*n1| / (n1*n2) equals the true two-sample KS
+    statistic as an exact rational, for any integer samples."""
+    n1, n2 = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    ca = cb = 0
+    best = 0
+    for v in grid:
+        ca += sum(1 for x in a if x == v)
+        cb += sum(1 for x in b if x == v)
+        best = max(best, abs(ca * n2 - cb * n1))
+    # exact rational reference: max over grid of |F1 - F2|
+    ca = cb = 0
+    want = Fraction(0)
+    for v in grid:
+        ca += sum(1 for x in a if x == v)
+        cb += sum(1 for x in b if x == v)
+        want = max(want, abs(Fraction(ca, n1) - Fraction(cb, n2)))
+    assert Fraction(best, n1 * n2) == want
+    # identical samples => zero
+    if a == b:
+        assert best == 0

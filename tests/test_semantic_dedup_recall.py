@@ -94,3 +94,50 @@ def test_recall_floors_adversarial_regime_sf01(spark):
     # multi-probe must strictly improve recall in both centroid modes
     assert recalls[("first_n", 2)] > recalls[("first_n", 1)]
     assert recalls[("kmeans", 2)] > recalls[("kmeans", 1)]
+
+
+def test_lsh_assignment_agrees_with_exact_assignment_measured(spark, sf_dir):
+    """``assign="lsh"`` (auto-k's linear assignment path, r8) is
+    approximate: a vector lands on its nearest centroid AMONG PROBED
+    BUCKETS, not the global argmax.  Measure the agreement against
+    exact assignment at identical k and pin a floor — plus the two
+    invariants that hold regardless: every vector is assigned exactly
+    one rank-1 cell (the fallback guarantees total coverage), and in
+    the design regime (planted near-identical copies, threshold 0.95)
+    the planted dups are still caught because near-identical vectors
+    share ALL their sign bits, not just their cell."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    exact = semantic_dedup(
+        e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=24
+    ).select("vec_id", F.col("cluster_id").alias("c_exact"))
+    lsh = semantic_dedup(
+        e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=24,
+        assign="lsh", dim=64,
+    ).select("vec_id", F.col("cluster_id").alias("c_lsh"))
+    assert lsh.count() == n  # total coverage: one rank-1 row per vector
+    both = exact.join(lsh, "vec_id")
+    agree = both.filter(F.col("c_exact") == F.col("c_lsh")).count()
+    # measured agreement: 0.798 (sf0.001), 0.846 (sf0.01), 0.500
+    # (sf0.1) on these near-uniform synthetic embeddings — the hardest
+    # case for sign-LSH, since centroid margins are tiny so >=2-bit
+    # flips are common (real clustered corpora agree far more); floor
+    # at 0.40 to catch assignment regressions without pinning noise
+    assert agree >= 0.40 * n
+
+    # design regime: planted near-identical copies still dedup
+    planted = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * 1.02 + F.when(i == 0, F.lit(0.03)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    sd = semantic_dedup(
+        corpus, n_clusters="auto", threshold=0.95, n_probe=1,
+        target_cell_size=24, assign="lsh", dim=64,
+    )
+    flagged_planted = sd.filter(
+        (~F.col("keep")) & (F.col("vec_id") >= 1_000_000)
+    ).count()
+    assert flagged_planted >= 0.85 * n
