@@ -288,8 +288,9 @@ def q_t_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     moment sums are exact BIGINTs and slope/r2 are single divisions of
     exact integers (the a11 discipline).  Residual risk: ln() itself
     could differ by 1 ulp between the JVM and libm AND land within 1e-16
-    of a 1e-5 rounding boundary — probability ~1e-8 across the ~400
-    evaluations per run, documented and accepted.  The 1e5 scale (not
+    of a 1e-5 rounding boundary — probability ~1e-8 across the ~1600
+    evaluations per run (4 shards x 200 points x 2 logs), documented
+    and accepted.  The 1e5 scale (not
     1e6) keeps n*sum(y*y) < 2^63 at sf1 corpus frequencies.
 
     Scale: tokenize+explode (scan), one shuffle to (shard, token)
