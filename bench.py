@@ -140,7 +140,10 @@ def main() -> None:
     # cluster -> keep-best -> quality/lang gates -> split -> pack), at
     # the bench sf like the queries.  Warm once at sf0.001, min-of-3
     # (measured 5.0s and 10.5s min-of-2 across identical sessions).
-    from factory_inspectors_db_etl_spark.plans.corpus_pipeline import build_training_set
+    from factory_inspectors_db_etl_spark.plans.corpus_pipeline import (
+        BENCH_OUTPUTS,
+        build_training_set,
+    )
 
     # warm-up dir: smallest sibling SF of the bench dir (not a hardcoded
     # path — a relocated testdata tree silently skipped the warm-up and
@@ -158,8 +161,9 @@ def main() -> None:
     runs = []
     for _ in range(3):
         t0 = time.time()
-        for part in build_training_set(spark, sf_dir).values():
-            part.write.mode("overwrite").format("noop").save()
+        built = build_training_set(spark, sf_dir)
+        for key in BENCH_OUTPUTS:  # pinned scope — not .values() (see corpus_pipeline)
+            built[key].write.mode("overwrite").format("noop").save()
         runs.append(time.time() - t0)
     timings["corpus_pipeline_build"] = round(min(runs), 3)
 

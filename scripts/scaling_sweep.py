@@ -58,12 +58,14 @@ def _run_one(name: str, sf_dir: str) -> None:
 
     if name == "corpus_pipeline_build":
         from factory_inspectors_db_etl_spark.plans.corpus_pipeline import (
+            BENCH_OUTPUTS,
             build_training_set,
         )
 
         def run(d):
-            for part in build_training_set(spark, d).values():
-                part.write.mode("overwrite").format("noop").save()
+            built = build_training_set(spark, d)
+            for key in BENCH_OUTPUTS:  # pinned scope — see corpus_pipeline
+                built[key].write.mode("overwrite").format("noop").save()
     else:
         from factory_inspectors_db_etl_spark.plans.catalog import QUERIES
 

@@ -161,3 +161,68 @@ def test_resize_images_dispatches_all_formats(spark):
     assert out[4]["resized"] is False
     assert bytes(out[4]["payload"]) == mp4ish
     assert out[4]["meta"]["n_frames"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Round-8 review fixes: header parity, descriptor dims, snap-enlarge guard
+# ---------------------------------------------------------------------------
+
+
+def test_image_dims_accepts_comment_bearing_ppm_header():
+    """image_dims must accept exactly the headers _parse_ppm accepts —
+    the old fixed-window regex rejected '#' comments the decode path
+    handles (round-8 review)."""
+    from factory_inspectors_db_etl_spark.operators.multimodal import image_dims
+
+    payload = b"P6\n# a comment line\n4 2\n255\n" + bytes(4 * 2 * 3)
+    assert image_dims(payload) == (4, 2)
+
+
+def test_image_dims_gif_reports_first_image_not_logical_screen():
+    """A valid external GIF may declare a logical screen larger than its
+    first image; meta must describe what decode_gif rasterizes (round-8
+    review)."""
+    import numpy as np
+
+    from factory_inspectors_db_etl_spark.operators.gif import encode_gif, parse_gif_indexed
+    from factory_inspectors_db_etl_spark.operators.multimodal import image_dims
+
+    idx = (np.arange(100, dtype=np.uint8).reshape(10, 10)) % 4
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[:4] = [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    p = bytearray(encode_gif(idx, palette=palette))
+    # patch the logical-screen descriptor to 200x100 (image stays 10x10)
+    p[6:8] = (200).to_bytes(2, "little")
+    p[8:10] = (100).to_bytes(2, "little")
+    w, h, got_idx, _ = parse_gif_indexed(bytes(p))
+    assert (w, h) == (10, 10)  # the decoder rasterizes the descriptor dims
+    assert image_dims(bytes(p)) == (10, 10)  # meta now agrees with the raster
+    assert np.array_equal(got_idx, idx)
+
+
+def test_resize_jpeg_refuses_to_enlarge_thin_images():
+    """The 8x8-MCU snap floors to 8; when the aspect-correct short side
+    is below 8 that would UPSCALE — resize must refuse (ValueError ->
+    caller passthrough), never enlarge (round-8 review)."""
+    import numpy as np
+    import pytest
+
+    from factory_inspectors_db_etl_spark.operators.jpeg import (
+        encode_jpeg,
+        parse_jpeg,
+        resize_jpeg,
+    )
+
+    y = (np.arange(104 * 8, dtype=np.int64).reshape(8, 104) % 256).astype("u1")
+    p = bytearray(encode_jpeg(y))
+    i = p.find(b"\xff\xc0")  # patch SOF dims: emulate an external 100x4 JPEG
+    p[i + 5 : i + 7] = (4).to_bytes(2, "big")
+    p[i + 7 : i + 9] = (100).to_bytes(2, "big")
+    w, h, _, planes = parse_jpeg(bytes(p))
+    assert (w, h) == (100, 4) and planes[0].shape == (4, 100)
+    with pytest.raises(ValueError, match="enlarge"):
+        resize_jpeg(bytes(p), 16)
+    # and the wide-but-legal equality case still resizes: 104x8 @ 16
+    out = resize_jpeg(bytes(bytearray(encode_jpeg(y))), 16)
+    ow, oh, _, _ = parse_jpeg(out)
+    assert (ow, oh) == (16, 8)  # height snaps to exactly the source height

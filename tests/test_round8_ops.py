@@ -287,3 +287,32 @@ def test_ks_integer_cross_multiplication_is_exact(a, b):
     # identical samples => zero
     if a == b:
         assert best == 0
+
+
+# ---------------------------------------------------------------------------
+# A25: the review's interpolation-gap scenario must hold under the new
+# order-statistic bound
+# ---------------------------------------------------------------------------
+
+
+def test_a25_merged_bound_holds_on_sparse_wide_gap_group(spark, tmp_path):
+    """Two events valued $1.00 and $10.00 in one group: the interpolated
+    median is $5.50 (mid-gap, unboundedly far from any bucket midpoint —
+    the round-8 review's counterexample to the old bound), but the new
+    contract bounds the estimate against the rank-selected ORDER
+    STATISTIC ($1.00), which always shares the selected bucket:
+    |$1.25 - $1.00| = 25 cents = half a width.  merged_est_ok must be
+    TRUE — provably, not empirically."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext5 import (
+        q_a25_quantile_sketch_rollup,
+    )
+
+    base = dt.datetime(2024, 3, 5)
+    rows = [
+        (1, base, 1, "gap", 1.00, None),
+        (2, base + dt.timedelta(days=1), 2, "gap", 10.00, None),
+    ]
+    (r,) = q_a25_quantile_sketch_rollup(spark, _events_dir(spark, tmp_path, rows)).collect()
+    assert r["n_events"] == 2
+    assert abs(r["p50_exact"] - 5.50) < 1e-9  # interpolation sits mid-gap...
+    assert r["merged_est_ok"]  # ...and the contract still holds

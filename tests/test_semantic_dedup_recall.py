@@ -141,3 +141,17 @@ def test_lsh_assignment_agrees_with_exact_assignment_measured(spark, sf_dir):
         (~F.col("keep")) & (F.col("vec_id") >= 1_000_000)
     ).count()
     assert flagged_planted >= 0.85 * n
+
+
+def test_lsh_assignment_rejects_mismatched_plane_width(spark, sf_dir):
+    """dim != embedding width must fail loudly: zip_with pads with NULLs,
+    so wrong-width planes silently send everything to bucket 0 and the
+    'linear' path degrades to worse-than-exact (round-8 review)."""
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="LSH planes must match"):
+        semantic_dedup(
+            e, n_clusters="auto", threshold=0.40, n_probe=2,
+            target_cell_size=24, assign="lsh", dim=32,
+        )
