@@ -316,3 +316,29 @@ def test_a25_merged_bound_holds_on_sparse_wide_gap_group(spark, tmp_path):
     assert r["n_events"] == 2
     assert abs(r["p50_exact"] - 5.50) < 1e-9  # interpolation sits mid-gap...
     assert r["merged_est_ok"]  # ...and the contract still holds
+
+
+def test_assign_lsh_bits_formula_matches_sql_replay_exactly():
+    """The LSH-assign oracle recomputes bits in SQL as
+    least(16, greatest(1, ceil(log2(k / 8.0)))); the Python side is
+    operators.similarity.assign_lsh_bits.  Pin exact agreement across
+    the k range, including every power-of-two boundary (where ceil(log2)
+    sits exactly on an integer and an engine ulp would flip it)."""
+    import duckdb
+
+    from factory_inspectors_db_etl_spark.operators.similarity import assign_lsh_bits
+
+    ks = sorted(
+        set(
+            [16, 17, 100, 128, 129, 833, 8333, 524288, 10**7]
+            + [2**i * 8 for i in range(1, 22)]          # exact boundaries
+            + [2**i * 8 + 1 for i in range(1, 22)]      # just past them
+            + [2**i * 8 - 1 for i in range(2, 22)]      # just before them
+        )
+    )
+    con = duckdb.connect()
+    for k in ks:
+        (got,) = con.sql(
+            f"SELECT CAST(least(16, greatest(1, ceil(log2({k} / 8.0)))) AS INTEGER)"
+        ).fetchone()
+        assert got == assign_lsh_bits(k), f"k={k}: sql {got} != python {assign_lsh_bits(k)}"
