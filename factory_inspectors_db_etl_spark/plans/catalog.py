@@ -3306,8 +3306,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # d_semantic_dedup_lshassign: auto-k + LSH-pruned assignment — the
     # configuration where BOTH SemDeDup cost terms are ~linear (the r8
     # sweep measured exact-assign auto-k at 64.5x for 10x data)
+    # g8_kcore: fixed-round k-core peeling, completing the graph family
     "d_semantic_dedup_auto": _EXT5_QUERIES["d_semantic_dedup_auto"],
     "d_semantic_dedup_lshassign": _EXT6_QUERIES["d_semantic_dedup_lshassign"],
+    "g8_kcore": _EXT6_QUERIES["g8_kcore"],
     "a25_quantile_sketch_rollup": _EXT5_QUERIES["a25_quantile_sketch_rollup"],
     "w34_survival_curve": _EXT6_QUERIES["w34_survival_curve"],
     "p_ks_drift": _EXT6_QUERIES["p_ks_drift"],
@@ -3357,17 +3359,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (c) oldest-r5 backfill (registry-order head of the r5 block,
     # plus the two fixed-k semantic-dedup forms so the whole family is
     # re-verified alongside the new auto form) — smooths the r9 load:
-    # 43 r5 rows remain due next round, leaving 7 slots ---
+    # 44 r5 rows remain due next round, leaving 6 slots ---
     "e3_intersect": q_e3_intersect,
-    "s9_tumbling_window": q_s9_tumbling_window,
     "d_semantic_dedup": q_d_semantic_dedup,
     "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
     # ------- 50-slot window boundary (d_semantic_dedup_multiprobe is position 50) -------
-    # After round 8 the oldest driver evidence anywhere is r5 (43 rows),
+    # After round 8 the oldest driver evidence anywhere is r5 (44 rows),
     # which round 9 must lead with — tests/test_plan_shapes.py pins max
     # staleness, not just never-checked coverage.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
+    "s9_tumbling_window": q_s9_tumbling_window,
     "d_exact_dedup": q_d_exact_dedup,
     "s9b_sliding_window": q_s9b_sliding_window,
     "s10_session_window": q_s10_session_window,

@@ -598,12 +598,135 @@ WHERE u.rn = 1
 O_D_SEMANTIC_DEDUP_LSHASSIGN = _gen_semantic_lsh_oracle()
 
 
+# ---------------------------------------------------------------------------
+# G8: k-core extraction (iterative peeling, fixed-round form)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 8  # minimum in-core degree
+_KCORE_ROUNDS = 6  # fixed peels; fixpoint measured at <=4 for sf0.01..sf1
+
+
+def q_g8_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """G8: K-CORE extraction (Seidman '83) of the urgent-order
+    co-purchase graph — the classic cohesive-subgraph/graph-pruning
+    primitive (every surviving node has >= k neighbors that also
+    survive), computed by iterative peeling: drop nodes with degree < k,
+    re-filter edges to surviving endpoints, repeat.  Completes the graph
+    family next to pagerank/triangles/label-prop/k-hop/wcc/clustering/
+    assortativity.
+
+    FIXED-ROUND form: exactly ``_KCORE_ROUNDS`` peels, not
+    loop-until-fixpoint.  Peeling is monotone (once converged, further
+    rounds are no-ops), the fixpoint was MEASURED at <= 4 rounds for
+    k=8 on sf0.01/sf0.1/sf1 (6 gives margin), and a fixed round count
+    makes the query (a) driver-action-free — no per-round convergence
+    .count() on the driver, unlike the wcc loop — and (b) exactly
+    replayable as an unrolled SQL CTE chain, so the oracle needs no
+    recursion.  A production run on an unknown graph loops to
+    fixpoint with the same per-round plan.
+
+    Plan per round: one map-side-combinable degree aggregation over the
+    edge stubs + two equi-joins filtering edges to surviving endpoints
+    (the alive set is far smaller than the edge list — broadcastable
+    here, AQE-shuffle at 100 TB).  Edges are materialized once and
+    every round's output feeds the next, so the whole peel is one
+    linear pipeline with no driver round-trips."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize(
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    cur = edges
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        alive = deg.filter(F.col("_d") >= _KCORE_K).select("node")
+        # materialize per round: each round reads `cur` TWICE (degree agg
+        # + edge filter), so without a barrier the lineage doubles every
+        # round — 2^R copies of the base scan in one Catalyst tree (found
+        # the hard way: the unmaterialized 6-round plan stalled the
+        # optimizer).  The barrier keeps every round's plan constant-size,
+        # exactly the g5_wcc iteration discipline.
+        cur = materialize(
+            cur.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+        )
+    core_deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return core_deg.select("node", "core_degree")
+
+
+def _gen_kcore_oracle() -> str:
+    # every e{{i}} is referenced TWICE by round i+1 (degree agg + edge
+    # filter): default inlined CTEs would expand 2^R copies of the base
+    # scan (measured: fd exhaustion at R=6) — MATERIALIZED pins each
+    # round to evaluate once, mirroring the Spark side's per-round
+    # materialize() barrier
+    rounds = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS c
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY node)
+  WHERE c >= {_KCORE_K}
+), e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN a{i} x ON x.node = e.u
+  JOIN a{i} y ON y.node = e.v
+)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+{chain}
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY node
+"""
+
+
+O_G8_KCORE = _gen_kcore_oracle()
+
+
 EXT6_QUERIES = {
     "w34_survival_curve": q_w34_survival_curve,
     "p_ks_drift": q_p_ks_drift,
     "t_zipf_fit": q_t_zipf_fit,
     "g7_degree_assortativity": q_g7_degree_assortativity,
     "d_semantic_dedup_lshassign": q_d_semantic_dedup_lshassign,
+    "g8_kcore": q_g8_kcore,
 }
 
 EXT6_ORACLES = {
@@ -612,4 +735,5 @@ EXT6_ORACLES = {
     "t_zipf_fit": O_T_ZIPF,
     "g7_degree_assortativity": O_G7_ASSORTATIVITY,
     "d_semantic_dedup_lshassign": O_D_SEMANTIC_DEDUP_LSHASSIGN,
+    "g8_kcore": O_G8_KCORE,
 }

@@ -342,3 +342,58 @@ def test_assign_lsh_bits_formula_matches_sql_replay_exactly():
             f"SELECT CAST(least(16, greatest(1, ceil(log2({k} / 8.0)))) AS INTEGER)"
         ).fetchone()
         assert got == assign_lsh_bits(k), f"k={k}: sql {got} != python {assign_lsh_bits(k)}"
+
+
+# ---------------------------------------------------------------------------
+# G8: k-core extraction
+# ---------------------------------------------------------------------------
+
+
+def test_g8_kcore_matches_python_peeling_to_fixpoint(spark, sf_dir):
+    """The fixed-round query must equal the TRUE k-core (peel to
+    fixpoint) on the test graphs — the fixed round count (6) was chosen
+    above the measured fixpoint (<=4), and peeling is monotone, so any
+    difference means the margin eroded or the peel is wrong."""
+    from factory_inspectors_db_etl_spark.plans.catalog_ext6 import (
+        _KCORE_K,
+        q_g8_kcore,
+    )
+
+    got = {r["node"]: r["core_degree"] for r in q_g8_kcore(spark, sf_dir).collect()}
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    urgent = set(
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    li = li[li["l_orderkey"].isin(urgent)]
+    m = li.merge(li, on="l_orderkey")
+    e = (
+        m[m["l_partkey_x"] < m["l_partkey_y"]][["l_partkey_x", "l_partkey_y"]]
+        .drop_duplicates()
+        .itertuples(index=False)
+    )
+    edges = {(u, v) for u, v in e}
+    while True:  # peel to TRUE fixpoint, however many rounds
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= _KCORE_K}
+        nxt = {(u, v) for u, v in edges if u in alive and v in alive}
+        if nxt == edges:
+            break
+        edges = nxt
+    want = {}
+    for u, v in edges:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    assert got == want
+    # k-core invariant: every surviving node has >= k in-core neighbors
+    assert all(d >= _KCORE_K for d in got.values()) or not got
