@@ -3367,6 +3367,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # After round 8 the oldest driver evidence anywhere is r5 (44 rows),
     # which round 9 must lead with — tests/test_plan_shapes.py pins max
     # staleness, not just never-checked coverage.
+    # FORWARD CROWD WARNING (cohort arithmetic): the r8 window refreshed
+    # exactly 50 rows, so that cohort comes due IN FULL at round 12 —
+    # zero new-query slots that round unless earlier rounds pre-drain it.
+    # Discipline for r9-r11: after the due cohort and any new queries,
+    # spend leftover window slots backfilling the LARGEST future cohort
+    # (any at >= 48), not the merely-oldest rows; or retire redundant
+    # pairs to pytest-only. test_due_cohort_fits_next_window trips if
+    # this is ignored until it becomes unfixable.
     # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
     # tests/test_plan_shapes.py pins it.)
     "s9_tumbling_window": q_s9_tumbling_window,
