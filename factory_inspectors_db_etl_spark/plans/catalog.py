@@ -54,6 +54,7 @@ from .catalog_ext3 import EXT3_ORACLES as _EXT3_ORACLES, EXT3_QUERIES as _EXT3_Q
 from .catalog_ext4 import EXT4_ORACLES as _EXT4_ORACLES, EXT4_QUERIES as _EXT4_QUERIES
 from .catalog_ext5 import EXT5_ORACLES as _EXT5_ORACLES, EXT5_QUERIES as _EXT5_QUERIES
 from .catalog_ext6 import EXT6_ORACLES as _EXT6_ORACLES, EXT6_QUERIES as _EXT6_QUERIES
+from .catalog_ext7 import EXT7_ORACLES as _EXT7_ORACLES, EXT7_QUERIES as _EXT7_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -2828,7 +2829,7 @@ def q_d_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the full pipeline — assignment argmax, within-cell pair scores, keep
     flags — replays in the oracle."""
     e = load_table(spark, sf, "embeddings")
-    return semantic_dedup(e, n_clusters=16, threshold=0.40)
+    return semantic_dedup(e, n_clusters=16, threshold=0.40, assign="exact")
 
 
 O_D_SEMANTIC_DEDUP = """
@@ -2864,7 +2865,7 @@ def q_d_semantic_dedup_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     rank-1 cell, so the output schema and grouping semantics match
     d_semantic_dedup exactly."""
     e = load_table(spark, sf, "embeddings")
-    return semantic_dedup(e, n_clusters=16, threshold=0.40, n_probe=2)
+    return semantic_dedup(e, n_clusters=16, threshold=0.40, n_probe=2, assign="exact")
 
 
 O_D_SEMANTIC_DEDUP_MP = """
@@ -3287,102 +3288,137 @@ JOIN c ON q.doc_id = c.doc_id
 # additions + 26 new round-6 queries + r6-changed code + 8 oldest-r3 core
 # (all 50 green, CORRECTNESS_r06.json).
 #
-# Round 7 leads with (a) queries NEW in round 7 or whose code/oracle
-# CHANGED in round 7, (b) the 35 rows whose newest driver evidence is r3
-# — the oldest in the repo (VERDICT r6 item #1) — and (c) oldest-r4
-# backfill to fill the window.  Union across rounds stays total and every
+# Round 9 leads with (a) the 6 queries NEW in round 9 (catalog_ext7)
+# and (b) the 44 rows whose newest driver evidence is r5 — the oldest
+# in the repo (VERDICT r8 item #2) — which exactly fill the window.
+# Round 9 also DEMOTED the three quadratic semantic-dedup forms to
+# PYTEST_ONLY_QUERIES (VERDICT r8 item #1), shrinking the registry to
+# 193 driver rows.  Union across rounds stays total and every
 # rotated-out query is re-verified locally by tests/test_catalog_vs_duckdb.py
 # each round.  tests/test_plan_shapes.py pins the rotation rule itself two
 # ways: no never-driver-checked query may sit outside the first-50 window,
-# and no query outside the window may be more than 3 rounds stale at the
+# and no query outside the window may be more than 4 rounds stale at the
 # upcoming driver run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) NEW in round 8 ---
-    # d_semantic_dedup_auto: the scale-safe auto-k SemDeDup (closes the
-    # r7 sweep flag: fixed k=16 measured 17.65x at 10x data)
-    # a25: mergeable histogram-partial quantile rollup (VERDICT r7 item 7)
-    # w34/p_ks/t_zipf/g7: survival curve, KS drift, Zipf fit,
-    # assortativity — classic shapes absent until round 8 (catalog_ext6)
-    # d_semantic_dedup_lshassign: auto-k + LSH-pruned assignment — the
-    # configuration where BOTH SemDeDup cost terms are ~linear (the r8
-    # sweep measured exact-assign auto-k at 64.5x for 10x data)
-    # g8_kcore: fixed-round k-core peeling, completing the graph family
-    "d_semantic_dedup_auto": _EXT5_QUERIES["d_semantic_dedup_auto"],
-    "d_semantic_dedup_lshassign": _EXT6_QUERIES["d_semantic_dedup_lshassign"],
-    "g8_kcore": _EXT6_QUERIES["g8_kcore"],
-    "a25_quantile_sketch_rollup": _EXT5_QUERIES["a25_quantile_sketch_rollup"],
-    "w34_survival_curve": _EXT6_QUERIES["w34_survival_curve"],
-    "p_ks_drift": _EXT6_QUERIES["p_ks_drift"],
-    "t_zipf_fit": _EXT6_QUERIES["t_zipf_fit"],
-    "g7_degree_assortativity": _EXT6_QUERIES["g7_degree_assortativity"],
-    # --- (b) the 39 rows whose newest driver evidence is r4 — the
-    # oldest in the repo (VERDICT r7 item #1 / the staleness pin) ---
-    "d_simhash_neardup": q_d_simhash_neardup,
-    "a5_approx_sketches": q_a5_approx_sketches,
-    "s11_stream_dedup": q_s11_stream_dedup,
-    "p_mixture_sample": q_p_mixture_sample,
-    "j9_merge_upsert": q_j9_merge_upsert,
-    "p_zorder_layout": q_p_zorder_layout,
-    "a8_reaggregate": q_a8_reaggregate,
-    "a9_sketch_rollup": q_a9_sketch_rollup,
-    "t_span_dedup": q_t_span_dedup,
-    "t_quality_classifier": q_t_quality_classifier,
-    "a10_histogram": _EXT_QUERIES["a10_histogram"],
-    "j10_salted_join": _EXT_QUERIES["j10_salted_join"],
-    "d_keep_best": _EXT_QUERIES["d_keep_best"],
-    "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
-    "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
-    "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
-    "w15_cumulative_distinct": _EXT_QUERIES["w15_cumulative_distinct"],
-    "t_bpe_train": _EXT_QUERIES["t_bpe_train"],
-    "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
-    "s2c_variant_extract": _EXT_QUERIES["s2c_variant_extract"],
-    "t_bpe_encode": _EXT_QUERIES["t_bpe_encode"],
-    "j4_case_insensitive_join": q_j4_case_insensitive_join,
-    "j5_anti_join": q_j5_anti_join,
-    "j5b_semi_join": q_j5b_semi_join,
-    "j6_asof_fill": q_j6_asof_fill,
-    "j6b_asof_join": q_j6b_asof_join,
-    "j8_range_join": q_j8_range_join,
-    "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
-    "w1_forward_fill": q_w1_forward_fill,
-    "w5_latest_per_group": q_w5_latest_per_group,
-    "w6_global_surrogate": q_w6_global_surrogate,
-    "w7_lag_delta": q_w7_lag_delta,
-    "w8_rank_suite": q_w8_rank_suite,
-    "w9_range_frame": q_w9_range_frame,
-    "w10_funnel": q_w10_funnel,
-    "w11_cohort_retention": q_w11_cohort_retention,
-    "o5_topk": q_o5_topk,
-    "e1_union_dedup": q_e1_union_dedup,
-    "e2_except": q_e2_except,
-    # --- (c) oldest-r5 backfill (registry-order head of the r5 block,
-    # plus the two fixed-k semantic-dedup forms so the whole family is
-    # re-verified alongside the new auto form) — smooths the r9 load:
-    # 44 r5 rows remain due next round, leaving 6 slots ---
-    "e3_intersect": q_e3_intersect,
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
-    # ------- 50-slot window boundary (d_semantic_dedup_multiprobe is position 50) -------
-    # After round 8 the oldest driver evidence anywhere is r5 (44 rows),
-    # which round 9 must lead with — tests/test_plan_shapes.py pins max
-    # staleness, not just never-checked coverage.
-    # FORWARD CROWD WARNING (cohort arithmetic): the r8 window refreshed
-    # exactly 50 rows, so that cohort comes due IN FULL at round 12 —
-    # zero new-query slots that round unless earlier rounds pre-drain it.
-    # Discipline for r9-r11: after the due cohort and any new queries,
-    # spend leftover window slots backfilling the LARGEST future cohort
-    # (any at >= 48), not the merely-oldest rows; or retire redundant
-    # pairs to pytest-only. test_due_cohort_fits_next_window trips if
-    # this is ignored until it becomes unfixable.
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
+    # --- (a) NEW in round 9 (catalog_ext7): CUSUM change-point,
+    # interpolation as-of join, Shannon-entropy profile, bottom-k (KMV)
+    # distinct sketch, Flesch readability, Adamic-Adar link prediction ---
+    "w35_changepoint": _EXT7_QUERIES["w35_changepoint"],
+    "j24_interp_join": _EXT7_QUERIES["j24_interp_join"],
+    "a26_entropy": _EXT7_QUERIES["a26_entropy"],
+    "a27_bottomk_distinct": _EXT7_QUERIES["a27_bottomk_distinct"],
+    "t_readability": _EXT7_QUERIES["t_readability"],
+    "g9_link_prediction": _EXT7_QUERIES["g9_link_prediction"],
+    # --- (b) the 44 rows whose newest driver evidence is r5 — the
+    # oldest in the repo (VERDICT r8 item #2 / the staleness pin) ---
     "s9_tumbling_window": q_s9_tumbling_window,
     "d_exact_dedup": q_d_exact_dedup,
     "s9b_sliding_window": q_s9b_sliding_window,
     "s10_session_window": q_s10_session_window,
     "t_chunk_windows": q_t_chunk_windows,
     "s12_stream_stream_join": q_s12_stream_stream_join,
+    "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
+    "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
+    "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
+    "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
+    "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
+    "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
+    "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
+    "d_incremental_dedup": q_d_incremental_dedup,
+    "w16_ohlc_resample": q_w16_ohlc_resample,
+    "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
+    "d_setsim_prefix_join": _EXT2_QUERIES["d_setsim_prefix_join"],
+    "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
+    "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
+    "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
+    "w18_ewma": _EXT2_QUERIES["w18_ewma"],
+    "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
+    "t_bigram_lm": _EXT2_QUERIES["t_bigram_lm"],
+    "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
+    "a15_countmin": _EXT3_QUERIES["a15_countmin"],
+    "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
+    "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
+    "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
+    "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
+    "w20_twap": _EXT3_QUERIES["w20_twap"],
+    "w21_funnel_window": _EXT3_QUERIES["w21_funnel_window"],
+    "a17_mode": _EXT3_QUERIES["a17_mode"],
+    "p_impute": _EXT3_QUERIES["p_impute"],
+    "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
+    "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
+    "a18_gini": _EXT3_QUERIES["a18_gini"],
+    "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
+    "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
+    "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
+    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
+    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
+    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
+    # ------- 50-slot window boundary (d_embedding_neardup_lsh is position 50) -------
+    # After round 9 the oldest driver evidence anywhere is r6 (46 rows),
+    # which round 10 must lead with — tests/test_plan_shapes.py pins max
+    # staleness, not just never-checked coverage.
+    # FORWARD COHORT ARITHMETIC (r9 accounting): this window refreshed
+    # 44 r5 rows + 6 new queries = 50; demoting the three quadratic
+    # semantic-dedup forms to PYTEST_ONLY_QUERIES shrank the r8 cohort
+    # to 47.  Dues: r10 <- r6 cohort (46, 4 spare), r11 <- r7 cohort
+    # (50 minus whatever r10's spare slots pre-drain), r12 <- r8 cohort
+    # (47).  Each round MUST spend spare slots pre-draining the largest
+    # future cohort or the r11/r12 windows arrive full — the ordering
+    # below already groups the out-of-window tail by due round (r6, r7,
+    # then r8 cohort) so the next rotation is a block move.
+    # test_due_cohort_fits_next_window trips if this is ignored.
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
+    # --- r6 cohort (due at round 10) ---
+    "w25_streaks": _EXT3_QUERIES["w25_streaks"],
+    "p_benford": _EXT3_QUERIES["p_benford"],
+    "p_kanon": _EXT3_QUERIES["p_kanon"],
+    "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
+    "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
+    "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
+    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
+    "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
+    "j6c_asof_tolerance": q_j6c_asof_tolerance,
+    "d_containment": _EXT2_QUERIES["d_containment"],
+    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
+    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
+    "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
+    "g5_wcc": _EXT4_QUERIES["g5_wcc"],
+    "a22_hhi_concentration": _EXT4_QUERIES["a22_hhi_concentration"],
+    "w28_rfm_segmentation": _EXT4_QUERIES["w28_rfm_segmentation"],
+    "j18_interval_align": _EXT4_QUERIES["j18_interval_align"],
+    "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
+    "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
+    "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
+    "j21_grid_spatial_join": _EXT4_QUERIES["j21_grid_spatial_join"],
+    "t_vocab_growth": _EXT4_QUERIES["t_vocab_growth"],
+    "w29_last_touch_attribution": _EXT4_QUERIES["w29_last_touch_attribution"],
+    "g6_clustering_coeff": _EXT4_QUERIES["g6_clustering_coeff"],
+    "p_temporal_split": _EXT4_QUERIES["p_temporal_split"],
+    "j23_incremental_join_view": _EXT4_QUERIES["j23_incremental_join_view"],
+    "a24_percentile_rank": _EXT4_QUERIES["a24_percentile_rank"],
+    "p_balanced_downsample": _EXT4_QUERIES["p_balanced_downsample"],
+    "p_winsorize": _EXT4_QUERIES["p_winsorize"],
+    "w30_path_analysis": _EXT4_QUERIES["w30_path_analysis"],
+    "w31_interval_coalesce": _EXT4_QUERIES["w31_interval_coalesce"],
+    "s15_stream_stream_semi": _EXT4_QUERIES["s15_stream_stream_semi"],
+    "p_chi2_independence": _EXT4_QUERIES["p_chi2_independence"],
+    "e4_relational_division": _EXT4_QUERIES["e4_relational_division"],
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "d_embedding_neardup": q_d_embedding_neardup,
+    "sim_pq_topk": q_sim_pq_topk,
+    "flagship_q5_revenue": flagship,
+    "s1_filter_project": q_s1_filter_project,
+    "f1_standardize": q_f1_standardize,
+    "f2_clean_number": q_f2_clean_number,
+    "f5_regex_extract": q_f5_regex_extract,
+    "f8_token_sort_canon": q_f8_token_sort_canon,
+    "f9_case_ladder": q_f9_case_ladder,
+    "f10_dict_canonicalize": q_f10_dict_canonicalize,
+    # --- r7 cohort (due at round 11; pre-drain with r10 spare slots) ---
     "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
     "m_png_decode": _EXT4_QUERIES["m_png_decode"],
     "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
@@ -3433,90 +3469,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
     "t_tfidf_topk": q_t_tfidf_topk,
-    "w25_streaks": _EXT3_QUERIES["w25_streaks"],
-    "p_benford": _EXT3_QUERIES["p_benford"],
-    "p_kanon": _EXT3_QUERIES["p_kanon"],
-    "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
-    "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
-    "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
-    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
-    "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
-    "j6c_asof_tolerance": q_j6c_asof_tolerance,
-    "d_containment": _EXT2_QUERIES["d_containment"],
-    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
-    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
-    "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
-    "g5_wcc": _EXT4_QUERIES["g5_wcc"],
-    "a22_hhi_concentration": _EXT4_QUERIES["a22_hhi_concentration"],
-    "w28_rfm_segmentation": _EXT4_QUERIES["w28_rfm_segmentation"],
-    "j18_interval_align": _EXT4_QUERIES["j18_interval_align"],
-    "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
-    "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
-    "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
-    "j21_grid_spatial_join": _EXT4_QUERIES["j21_grid_spatial_join"],
-    "t_vocab_growth": _EXT4_QUERIES["t_vocab_growth"],
-    "w29_last_touch_attribution": _EXT4_QUERIES["w29_last_touch_attribution"],
-    "g6_clustering_coeff": _EXT4_QUERIES["g6_clustering_coeff"],
-    "p_temporal_split": _EXT4_QUERIES["p_temporal_split"],
-    "j23_incremental_join_view": _EXT4_QUERIES["j23_incremental_join_view"],
-    "a24_percentile_rank": _EXT4_QUERIES["a24_percentile_rank"],
-    "p_balanced_downsample": _EXT4_QUERIES["p_balanced_downsample"],
-    "p_winsorize": _EXT4_QUERIES["p_winsorize"],
-    "w30_path_analysis": _EXT4_QUERIES["w30_path_analysis"],
-    "w31_interval_coalesce": _EXT4_QUERIES["w31_interval_coalesce"],
-    "s15_stream_stream_semi": _EXT4_QUERIES["s15_stream_stream_semi"],
-    "p_chi2_independence": _EXT4_QUERIES["p_chi2_independence"],
-    "e4_relational_division": _EXT4_QUERIES["e4_relational_division"],
-    "sim_cosine_topk": q_sim_cosine_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "d_embedding_neardup": q_d_embedding_neardup,
-    "sim_pq_topk": q_sim_pq_topk,
-    "flagship_q5_revenue": flagship,
-    "s1_filter_project": q_s1_filter_project,
-    "f1_standardize": q_f1_standardize,
-    "f2_clean_number": q_f2_clean_number,
-    "f5_regex_extract": q_f5_regex_extract,
-    "f8_token_sort_canon": q_f8_token_sort_canon,
-    "f9_case_ladder": q_f9_case_ladder,
-    "f10_dict_canonicalize": q_f10_dict_canonicalize,
-    "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
-    "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
-    "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
-    "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
-    "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
-    "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
-    "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
-    "d_incremental_dedup": q_d_incremental_dedup,
-    "w16_ohlc_resample": q_w16_ohlc_resample,
-    "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
-    "d_setsim_prefix_join": _EXT2_QUERIES["d_setsim_prefix_join"],
-    "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
-    "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
-    "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
-    "w18_ewma": _EXT2_QUERIES["w18_ewma"],
-    "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
-    "t_bigram_lm": _EXT2_QUERIES["t_bigram_lm"],
-    "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
-    "a15_countmin": _EXT3_QUERIES["a15_countmin"],
-    "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
-    "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
-    "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
-    "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
-    "w20_twap": _EXT3_QUERIES["w20_twap"],
-    "w21_funnel_window": _EXT3_QUERIES["w21_funnel_window"],
-    "a17_mode": _EXT3_QUERIES["a17_mode"],
-    "p_impute": _EXT3_QUERIES["p_impute"],
-    "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
-    "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
-    "a18_gini": _EXT3_QUERIES["a18_gini"],
-    "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
-    "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
-    "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
-    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
-    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
-    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
+    # --- r8 cohort (due at round 12; 47 rows after the demotion) ---
+    "d_semantic_dedup_lshassign": _EXT6_QUERIES["d_semantic_dedup_lshassign"],
+    "g8_kcore": _EXT6_QUERIES["g8_kcore"],
+    "a25_quantile_sketch_rollup": _EXT5_QUERIES["a25_quantile_sketch_rollup"],
+    "w34_survival_curve": _EXT6_QUERIES["w34_survival_curve"],
+    "p_ks_drift": _EXT6_QUERIES["p_ks_drift"],
+    "t_zipf_fit": _EXT6_QUERIES["t_zipf_fit"],
+    "g7_degree_assortativity": _EXT6_QUERIES["g7_degree_assortativity"],
+    "d_simhash_neardup": q_d_simhash_neardup,
+    "a5_approx_sketches": q_a5_approx_sketches,
+    "s11_stream_dedup": q_s11_stream_dedup,
+    "p_mixture_sample": q_p_mixture_sample,
+    "j9_merge_upsert": q_j9_merge_upsert,
+    "p_zorder_layout": q_p_zorder_layout,
+    "a8_reaggregate": q_a8_reaggregate,
+    "a9_sketch_rollup": q_a9_sketch_rollup,
+    "t_span_dedup": q_t_span_dedup,
+    "t_quality_classifier": q_t_quality_classifier,
+    "a10_histogram": _EXT_QUERIES["a10_histogram"],
+    "j10_salted_join": _EXT_QUERIES["j10_salted_join"],
+    "d_keep_best": _EXT_QUERIES["d_keep_best"],
+    "t_unigram_lm": _EXT_QUERIES["t_unigram_lm"],
+    "a11_groupwise_linreg": _EXT_QUERIES["a11_groupwise_linreg"],
+    "g2_triangle_count": _EXT_QUERIES["g2_triangle_count"],
+    "w15_cumulative_distinct": _EXT_QUERIES["w15_cumulative_distinct"],
+    "t_bpe_train": _EXT_QUERIES["t_bpe_train"],
+    "j11_interval_overlap": _EXT_QUERIES["j11_interval_overlap"],
+    "s2c_variant_extract": _EXT_QUERIES["s2c_variant_extract"],
+    "t_bpe_encode": _EXT_QUERIES["t_bpe_encode"],
+    "j4_case_insensitive_join": q_j4_case_insensitive_join,
+    "j5_anti_join": q_j5_anti_join,
+    "j5b_semi_join": q_j5b_semi_join,
+    "j6_asof_fill": q_j6_asof_fill,
+    "j6b_asof_join": q_j6b_asof_join,
+    "j8_range_join": q_j8_range_join,
+    "j8b_range_join_bucketed": q_j8b_range_join_bucketed,
+    "w1_forward_fill": q_w1_forward_fill,
+    "w5_latest_per_group": q_w5_latest_per_group,
+    "w6_global_surrogate": q_w6_global_surrogate,
+    "w7_lag_delta": q_w7_lag_delta,
+    "w8_rank_suite": q_w8_rank_suite,
+    "w9_range_frame": q_w9_range_frame,
+    "w10_funnel": q_w10_funnel,
+    "w11_cohort_retention": q_w11_cohort_retention,
+    "o5_topk": q_o5_topk,
+    "e1_union_dedup": q_e1_union_dedup,
+    "e2_except": q_e2_except,
+    "e3_intersect": q_e3_intersect,
 }
 
 
@@ -3574,8 +3574,6 @@ ORACLES: dict[str, str] = {
     "s10_session_window": O_S10,
     "s11_stream_dedup": O_S11,
     "sim_ivf_topk_kmeans": O_SIM_IVF_KMEANS,
-    "d_semantic_dedup": O_D_SEMANTIC_DEDUP,
-    "d_semantic_dedup_multiprobe": O_D_SEMANTIC_DEDUP_MP,
     "s12_stream_stream_join": O_S12,
     "p_mixture_sample": O_P_MIXTURE,
     "j9_merge_upsert": O_J9_MERGE,
@@ -3622,8 +3620,31 @@ ORACLES: dict[str, str] = {
     **_EXT4_ORACLES,
     **_EXT5_ORACLES,
     **_EXT6_ORACLES,
+    **_EXT7_ORACLES,
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error
     # contract (exact counts hash-checked + in-bound booleans, r4).
+}
+
+
+# Demoted to pytest-only in round 9 (VERDICT r8 item #1): the three
+# semantic-dedup configurations with a MEASURED quadratic term — fixed
+# k=16 (pair term O(n²/k), 17.65× at 10× data), fixed-k multiprobe, and
+# auto-k with exact assignment (O(n·k) = O(n²/cell), 64.5× at 10×) —
+# stay fully oracle-verified by tests/test_catalog_vs_duckdb.py every
+# round as determinism baselines, but are no longer driver-registered
+# or benchmarked: a user reaching for the registered name gets only the
+# linear configuration (d_semantic_dedup_lshassign, sweep 4.71× at 10×),
+# which is also what operators/similarity.semantic_dedup now defaults to.
+PYTEST_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "d_semantic_dedup_multiprobe": q_d_semantic_dedup_multiprobe,
+    "d_semantic_dedup_auto": _EXT5_QUERIES["d_semantic_dedup_auto"],
+}
+
+PYTEST_ONLY_ORACLES: dict[str, str] = {
+    "d_semantic_dedup": O_D_SEMANTIC_DEDUP,
+    "d_semantic_dedup_multiprobe": O_D_SEMANTIC_DEDUP_MP,
+    "d_semantic_dedup_auto": ORACLES.pop("d_semantic_dedup_auto"),
 }

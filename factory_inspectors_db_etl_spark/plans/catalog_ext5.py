@@ -687,12 +687,17 @@ def q_d_semantic_dedup_auto(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     e = load_table(spark, sf, "embeddings")
+    # assign="exact" EXPLICITLY: this query IS the auto-k/exact-assign
+    # baseline (its r8 sweep row, 64.5x at 10x, is why the family's
+    # defaults moved to assign="lsh" in round 9 and this form left the
+    # driver registry for PYTEST_ONLY_QUERIES).
     return semantic_dedup(
         e,
         n_clusters="auto",
         threshold=0.40,
         n_probe=2,
         target_cell_size=_SEMAUTO_CELL,
+        assign="exact",
     )
 
 

@@ -11,8 +11,20 @@ import duckdb
 import pandas as pd
 import pytest
 
-from factory_inspectors_db_etl_spark.plans.catalog import ORACLES, QUERIES
+from factory_inspectors_db_etl_spark.plans.catalog import (
+    ORACLES,
+    PYTEST_ONLY_ORACLES,
+    PYTEST_ONLY_QUERIES,
+    QUERIES,
+)
 from factory_inspectors_db_etl_spark.sources.tables import TABLE_NAMES
+
+# Demoted queries (quadratic semantic-dedup baselines, VERDICT r8 item
+# #1) keep their full oracle verification HERE even though they left the
+# driver registry — the local gate is what "stays verified" means.
+_ALL_QUERIES = {**QUERIES, **PYTEST_ONLY_QUERIES}
+_ALL_ORACLES = {**ORACLES, **PYTEST_ONLY_ORACLES}
+assert not (set(PYTEST_ONLY_QUERIES) & set(QUERIES)), "demoted query re-registered"
 
 
 @pytest.fixture(scope="module")
@@ -40,10 +52,10 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(_ALL_ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
-    spark_df = QUERIES[name](spark, sf_dir).toPandas()
-    oracle_df = duck.sql(ORACLES[name]).fetchdf()
+    spark_df = _ALL_QUERIES[name](spark, sf_dir).toPandas()
+    oracle_df = duck.sql(_ALL_ORACLES[name]).fetchdf()
 
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
         f"column mismatch: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
@@ -74,9 +86,9 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert not mismatches, f"value mismatches (col, row, spark, oracle): {mismatches[:6]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(_ALL_QUERIES) - set(_ALL_ORACLES)))
 def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
+    df = _ALL_QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
 
 

@@ -165,7 +165,7 @@ def vectors(spark):
 
 
 def test_semantic_dedup_drops_planted_dups_keeps_lowest_id(vectors):
-    out = {r["vec_id"]: r for r in semantic_dedup(vectors, n_clusters=8, threshold=0.98).collect()}
+    out = {r["vec_id"]: r for r in semantic_dedup(vectors, n_clusters=8, threshold=0.98, assign="exact").collect()}
     assert len(out) == 120  # every vector gets a verdict row
     for i in range(100, 120, 2):
         src = i - 100
@@ -179,7 +179,7 @@ def test_semantic_dedup_drops_planted_dups_keeps_lowest_id(vectors):
 def test_semantic_dedup_within_cluster_agrees_with_bruteforce(vectors):
     """Every within-cluster brute-force near-dup pair must be reflected:
     the higher id of each pair is dropped (greedy keep-lowest-id)."""
-    res = semantic_dedup(vectors, n_clusters=8, threshold=0.98)
+    res = semantic_dedup(vectors, n_clusters=8, threshold=0.98, assign="exact")
     clusters = {r["vec_id"]: r["cluster_id"] for r in res.collect()}
     kept = {r["vec_id"] for r in res.collect() if r["keep"]}
     pairs = embedding_neardup_pairs(vectors, threshold=0.98).collect()
@@ -190,7 +190,7 @@ def test_semantic_dedup_within_cluster_agrees_with_bruteforce(vectors):
 
 
 def test_semantic_dedup_pair_join_is_equi_not_cartesian(vectors):
-    plan = semantic_dedup(vectors, n_clusters=8, threshold=0.98)._jdf.queryExecution().executedPlan().toString()
+    plan = semantic_dedup(vectors, n_clusters=8, threshold=0.98, assign="exact")._jdf.queryExecution().executedPlan().toString()
     # the only nested-loop is the broadcast against the tiny centroid
     # set; the pair search itself must be an equi-join on the cluster id
     assert "CartesianProduct" not in plan
@@ -198,7 +198,7 @@ def test_semantic_dedup_pair_join_is_equi_not_cartesian(vectors):
 
 
 def test_semantic_dedup_kmeans_variant_same_contract(vectors):
-    out = semantic_dedup(vectors, n_clusters=4, threshold=0.98, centroids="kmeans")
+    out = semantic_dedup(vectors, n_clusters=4, threshold=0.98, centroids="kmeans", assign="exact")
     rows = out.collect()
     assert len(rows) == 120
     dropped = {r["vec_id"] for r in rows if not r["keep"]}

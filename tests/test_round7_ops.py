@@ -284,9 +284,10 @@ def test_semantic_dedup_auto_cell_count_scales_with_corpus(spark, sf_dir):
     n = e.count()
     target = max(1, n // 16)  # forces auto-k == 16 on this corpus
     auto = semantic_dedup(
-        e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=target
+        e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=target,
+        assign="exact",
     )
-    fixed = semantic_dedup(e, n_clusters=16, threshold=0.40, n_probe=2)
+    fixed = semantic_dedup(e, n_clusters=16, threshold=0.40, n_probe=2, assign="exact")
     a = sorted(map(tuple, auto.collect()))
     b = sorted(map(tuple, fixed.collect()))
     assert a == b and len(a) == n
@@ -295,7 +296,8 @@ def test_semantic_dedup_auto_cell_count_scales_with_corpus(spark, sf_dir):
     base = e.select("vec_id", "embedding")
     doubled = base.unionAll(base.selectExpr(f"vec_id + {n} as vec_id", "embedding"))
     out = semantic_dedup(
-        doubled, n_clusters="auto", threshold=0.40, target_cell_size=target
+        doubled, n_clusters="auto", threshold=0.40, target_cell_size=target,
+        assign="exact",
     )
     # auto-k = 2n // target = 32 cells -> cluster ids span beyond the
     # first 16 vec_ids (first_n centroids are vec_id < k)

@@ -51,13 +51,13 @@ def test_planted_neardups_are_found_design_regime(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = e.unionByName(planted)
-    sd = semantic_dedup(corpus, n_clusters=16, threshold=0.95, n_probe=1)
+    sd = semantic_dedup(corpus, n_clusters=16, threshold=0.95, n_probe=1, assign="exact")
     flagged_planted = sd.filter(
         (~F.col("keep")) & (F.col("vec_id") >= 1_000_000)
     ).count()
     assert flagged_planted >= 0.90 * n
     # and with multi-probe the boundary stragglers are caught too
-    sd2 = semantic_dedup(corpus, n_clusters=16, threshold=0.95, n_probe=2)
+    sd2 = semantic_dedup(corpus, n_clusters=16, threshold=0.95, n_probe=2, assign="exact")
     flagged2 = sd2.filter((~F.col("keep")) & (F.col("vec_id") >= 1_000_000)).count()
     assert flagged2 >= flagged_planted
 
@@ -84,7 +84,7 @@ def test_recall_floors_adversarial_regime_sf01(spark):
         ("kmeans", 2, 0.60),
     ]:
         dups = _dup_ids(
-            semantic_dedup(e, n_clusters=16, threshold=0.40, centroids=mode, n_probe=n_probe)
+            semantic_dedup(e, n_clusters=16, threshold=0.40, centroids=mode, n_probe=n_probe, assign="exact")
         )
         assert not (dups - exact_dups), f"{mode} p{n_probe}: false positives"
         rec = len(dups & exact_dups) / len(exact_dups)
@@ -109,7 +109,8 @@ def test_lsh_assignment_agrees_with_exact_assignment_measured(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()
     exact = semantic_dedup(
-        e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=24
+        e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=24,
+        assign="exact",
     ).select("vec_id", F.col("cluster_id").alias("c_exact"))
     lsh = semantic_dedup(
         e, n_clusters="auto", threshold=0.40, n_probe=2, target_cell_size=24,
@@ -155,3 +156,24 @@ def test_lsh_assignment_rejects_mismatched_plane_width(spark, sf_dir):
             e, n_clusters="auto", threshold=0.40, n_probe=2,
             target_cell_size=24, assign="lsh", dim=32,
         )
+
+
+def test_default_call_is_scale_safe_lsh_with_inferred_dim(spark, sf_dir):
+    """Round-9 API contract (VERDICT r8 item #1): semantic_dedup's
+    DEFAULTS are the scale-safe configuration — n_clusters="auto",
+    assign="lsh", plane width inferred from the corpus.  A bare
+    semantic_dedup(e) must (a) run the LSH-assign path (identical
+    output to the explicit lshassign configuration at the same knobs),
+    (b) emit exactly one rank-1 row per vector, and (c) never leave a
+    vector unassigned."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    bare = semantic_dedup(e, threshold=0.40, n_probe=2, target_cell_size=24)
+    explicit = semantic_dedup(
+        e, n_clusters="auto", threshold=0.40, n_probe=2,
+        target_cell_size=24, assign="lsh", dim=64,
+    )
+    a = sorted(map(tuple, bare.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b and len(a) == n
+    assert all(r[1] is not None for r in a)  # every vector got a cell
