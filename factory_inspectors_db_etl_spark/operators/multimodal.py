@@ -714,7 +714,15 @@ def image_dims(payload: bytes) -> tuple[int, int]:
     SOF0/SOF1).  Exists so ``resize_images`` can rewrite the meta
     struct without decoding its own output a second time (metadata is
     O(header), not O(pixels) — the thing that matters when the payload
-    column is terabytes).  Raises ValueError on anything else."""
+    column is terabytes).  Raises ValueError on anything else.
+
+    CONTRACT (stricter since r8, noted per the r8 review): for GIF this
+    walks extension blocks to the first image DESCRIPTOR and raises on
+    unknown/truncated blocks, where it previously returned the logical-
+    screen dims from the 10 header bytes — so malformed-but-headered
+    GIFs that used to "succeed" now fail.  ``resize_images`` (the only
+    in-repo caller) catches the ValueError and flags the row; any NEW
+    caller must either do the same or accept the raise."""
     d = bytes(payload)
     if d.startswith(b"P6"):
         w, h, _, _ = _ppm_header(d)

@@ -188,10 +188,18 @@ def q_p_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     one window exchange on event_type reused by the final aggregation —
     never a sort of raw rows.  Values are bucketed to cents, so the
     cumulative pass is O(distinct cents) per type, not O(rows)."""
-    ev = load_table(spark, sf, "events").select(
-        "event_type",
-        F.to_date("ts").alias("d"),
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    # NULL values are dropped explicitly (r8 ADVICE): a NULL cents group
+    # would sort FIRST in Spark's cumulative window but LAST in DuckDB's
+    # default NULLS ordering, diverging the running CDF — and a NULL
+    # measurement carries no distribution information anyway.
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
     )
     span = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     halved = ev.crossJoin(F.broadcast(span)).withColumn(
@@ -219,15 +227,20 @@ def q_p_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     n1d = F.col("n_first").cast("double")
     n2d = F.col("n_second").cast("double")
     ksd = F.col("ks_int").cast("double")
+    # empty-half guard (r8 ADVICE): with n1 or n2 = 0 the statistic is
+    # undefined (no distribution to compare) — NULLIF pins ks_stat to
+    # NULL and the strict > against a NULL product makes drift NULL on
+    # both engines, instead of 0/0-dependent behavior.
+    prod = F.nullif(F.col("n_first") * F.col("n_second"), F.lit(0))
     return ks.select(
         "event_type",
         "n_first",
         "n_second",
-        (ksd / (F.col("n_first") * F.col("n_second")).cast("double")).alias("ks_stat"),
+        (ksd / prod.cast("double")).alias("ks_stat"),
         (
             ksd * ksd
             > (F.lit(_KS_C2) * (F.col("n_first") + F.col("n_second")).cast("double"))
-            * (n1d * n2d)
+            * prod.cast("double")
         ).alias("drift"),
     )
 
@@ -236,7 +249,7 @@ O_P_KS_DRIFT = f"""
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
 halved AS (
   SELECT event_type, cents,
@@ -260,10 +273,10 @@ halved AS (
   FROM cdf GROUP BY event_type
 )
 SELECT event_type, n_first, n_second,
-       CAST(ks_int AS DOUBLE) / CAST(n_first * n_second AS DOUBLE) AS ks_stat,
+       CAST(ks_int AS DOUBLE) / CAST(nullif(n_first * n_second, 0) AS DOUBLE) AS ks_stat,
        CAST(ks_int AS DOUBLE) * CAST(ks_int AS DOUBLE)
          > ({_KS_C2} * CAST(n_first + n_second AS DOUBLE))
-           * (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)) AS drift
+           * CAST(nullif(n_first * n_second, 0) AS DOUBLE) AS drift
 FROM ks
 """
 
@@ -330,14 +343,21 @@ def q_t_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Degenerate guards (r8 ADVICE): den = 0 only for a single-point
+    # shard (ranks are distinct); deny = 0 when every top frequency is
+    # equal (flat head).  Either way the fit is undefined — pin to NULL
+    # on both engines rather than inherit engine-specific 0-division.
+    dend = F.when(den != 0, den).otherwise(F.lit(None)).cast("double")
+    # guard the FACTORS, multiply as doubles: den*deny as BIGINT would
+    # overflow (each moment determinant reaches ~1e16 at sf1)
+    denr2 = F.when(
+        (den != 0) & (deny != 0), den.cast("double") * deny.cast("double")
+    ).otherwise(F.lit(None))
     return s.select(
         "shard",
         F.col("n").alias("n_points"),
-        (num.cast("double") / den.cast("double")).alias("slope"),
-        (
-            (num.cast("double") * num.cast("double"))
-            / (den.cast("double") * deny.cast("double"))
-        ).alias("r2"),
+        (num.cast("double") / dend).alias("slope"),
+        ((num.cast("double") * num.cast("double")) / denr2).alias("r2"),
     )
 
 
@@ -367,9 +387,12 @@ WITH tok AS (
   FROM pts GROUP BY shard
 )
 SELECT shard, n AS n_points,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
        (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
-         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+         / (CASE WHEN (n * sxx - sx * sx) != 0 AND (n * syy - sy * sy) != 0
+                 THEN CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE) END) AS r2
 FROM s
 """
 
@@ -442,13 +465,21 @@ def q_g7_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
     den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    # Degenerate-graph guard (r8 ADVICE): on a REGULAR graph every stub
+    # degree is equal, so den = n*sxx - sx² = 0 and the correlation is
+    # undefined — Spark's double 0/0 yields NaN while DuckDB's behavior
+    # is version/setting-dependent, so both engines pin the case to NULL
+    # via NULLIF instead of relying on either's division semantics.
     return s.crossJoin(F.broadcast(nodes)).select(
         (F.col("n") / 2).cast("long").alias("n_edges"),
         "n_nodes",
         (F.col("n").cast("double") / F.col("n_nodes").cast("double")).alias(
             "mean_degree"
         ),
-        (num.cast("double") / den.cast("double")).alias("assortativity"),
+        (
+            num.cast("double")
+            / F.when(den != 0, den).otherwise(F.lit(None)).cast("double")
+        ).alias("assortativity"),
     )
 
 
@@ -481,7 +512,7 @@ WITH li AS (
 SELECT CAST(n / 2 AS BIGINT) AS n_edges, n_nodes,
        CAST(n AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mean_degree,
        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         / CAST(nullif(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 0) AS DOUBLE)
          AS assortativity
 FROM s, nn
 """

@@ -2,9 +2,11 @@
 
 Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
 configuration surface is what we would submit to a real cluster — only the
-master URL and memory sizing change.  Shuffle partitions default to the core
-count locally; at 100 TB the same code runs with AQE coalescing partitions
-from a deliberately-high initial number, so nothing here assumes local mode.
+master URL and memory sizing change.  Shuffle partitions are sized
+DATA-PROPORTIONALLY (see ``_auto_shuffle_partitions``) with the core
+count as the floor; at 100 TB the same code runs with AQE coalescing
+partitions from a deliberately-high initial number, so nothing here
+assumes local mode.
 """
 
 from __future__ import annotations
@@ -13,14 +15,57 @@ import os
 
 from pyspark.sql import SparkSession
 
+# ~bytes of COMPRESSED parquet input per initial shuffle partition.  The
+# round-7 sweep traced g4_khop_bfs's 13x-at-10x-data anomaly to the fixed
+# partitions=cores default: AQE can COALESCE small partitions but cannot
+# SPLIT an oversized reduce task's GC/spill pressure, so the initial count
+# must grow with the data (re-measured: 128 partitions at sf1 => 9.0x,
+# linear).  2 MiB of compressed input per partition reproduces that
+# calibration point (the synthetic sf1 tree is 235 MB on disk => ~117;
+# the low divisor reflects this data's high compression — in-memory rows
+# expand ~20x from these parquet bytes) while leaving the test/driver
+# scales (sf0.001-0.1 <= 17 MB at 32 cores) exactly at the core-count
+# floor — plan pins unchanged below the knee, scale behavior fixed above.
+_BYTES_PER_SHUFFLE_PARTITION = 2 * 1024 * 1024
+_MAX_AUTO_PARTITIONS = 2048  # local-mode ceiling; a real cluster raises it
+
+
+def _auto_shuffle_partitions(cpus: int, data_dir: str | None) -> int:
+    """max(cores, input_bytes / 12 MiB), capped — data-proportional
+    initial shuffle partitioning (VERDICT r8 item #6).  ``data_dir``
+    (usually $SPARK_GRAFT_SF_DIR) is scanned for parquet bytes; absent
+    or unreadable, the core-count default stands."""
+    if not data_dir or not os.path.isdir(data_dir):
+        return cpus
+    total = 0
+    for root, _, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return min(
+        _MAX_AUTO_PARTITIONS, max(cpus, total // _BYTES_PER_SHUFFLE_PARTITION)
+    )
+
 
 def get_spark(
     app_name: str = "factory-inspectors-db-etl-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | str | None = None,
+    data_dir: str | None = None,
 ) -> SparkSession:
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
-    shuffle_partitions = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS") or cpus)
+    # precedence: explicit arg > SPARK_SHUFFLE_PARTITIONS env > sized
+    # from the data dir (arg or $SPARK_GRAFT_SF_DIR) > core count
+    shuffle_partitions = str(
+        shuffle_partitions
+        or os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        or _auto_shuffle_partitions(
+            int(cpus), data_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+        )
+    )
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -53,7 +53,9 @@ def _run_one(name: str, sf_dir: str) -> None:
     """Child-process entry: fresh JVM, warm, 3 timed runs, one JSON line."""
     from factory_inspectors_db_etl_spark.session import get_spark
 
-    spark = get_spark(f"bench-iso-{name}")
+    # data_dir engages the r9 data-proportional shuffle-partition sizing
+    # (no-op at sf<=0.1 on 32 cores; see session.py)
+    spark = get_spark(f"bench-iso-{name}", data_dir=sf_dir)
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):

@@ -53,7 +53,11 @@ FAMILIES = {
 def _run_one(name: str, sf_dir: str) -> None:
     from factory_inspectors_db_etl_spark.session import get_spark
 
-    spark = get_spark(f"scale-{name}")
+    # data_dir engages the data-proportional shuffle-partition sizing
+    # (session.py::_auto_shuffle_partitions) — the sweep measures the
+    # DEFAULT config, and since r9 the default sizes partitions from
+    # the input (g4's 13x-at-10x finding, VERDICT r8 item #6)
+    spark = get_spark(f"scale-{name}", data_dir=sf_dir)
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
 

