@@ -47,6 +47,9 @@ FAMILIES = {
     "g8_kcore": "g7's edge build + 6 fixed peel rounds (degree agg + 2 alive joins each, per-round materialize) — expect ~linear in edges",
     "g4_khop_bfs": "O(E * hops), 3 hops — expect ~linear in E",
     "corpus_pipeline_build": "composition of linear stages — expect ~linear",
+    "g9_link_prediction": "candidate volume n*cap^2 with the deg<=64 hub cap — expect ~linear in edges once capped; TakeOrdered top-k, no global sort",
+    "j24_interp_join": "probe-side broadcast hash equi-join on month buckets; reference curve O(days) — expect ~linear in probes",
+    "a27_bottomk_distinct": "distinct-(group,hash) shuffle + rank window over distinct hashes — expect ~linear in rows",
 }
 
 

@@ -408,3 +408,32 @@ def test_graph_join_strategy_flips_with_conf(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     assert "BroadcastHashJoin" not in plan_shuffle
     assert "SortMergeJoin" in plan_shuffle or "ShuffledHashJoin" in plan_shuffle
+
+
+def test_simulated_r10_r12_rotation_never_overflows_the_window():
+    """Forward-schedule pin (VERDICT r8 item #3): simulate the next
+    three rotations under the documented discipline — each round's
+    window takes its due cohort first, then backfills from the
+    registry-ordered tail — and assert the due cohort NEVER exceeds the
+    50-slot window.  This turns the registry's FORWARD COHORT
+    ARITHMETIC comment into an executable check: if a future builder
+    adds queries or reorders the tail such that some round r10-r12
+    cannot refresh everything due, THIS fails today, not at r12."""
+    newest, upcoming = _driver_evidence()
+    keys = list(QUERIES)
+    # assume the upcoming run turns the current window green (the gate
+    # for that is the driver itself; here we schedule forward from it)
+    sim = dict(newest)
+    for k in keys[:50]:
+        sim[k] = upcoming - 1  # will be stamped by the upcoming run
+    order = keys  # registry order drives backfill priority
+    for rnd in range(upcoming, upcoming + 3):
+        due = [k for k in order if sim.get(k, 0) <= rnd - 4]
+        assert len(due) <= 50, (
+            f"simulated round {rnd}: {len(due)} queries due but the window "
+            f"holds 50 — the cohort arithmetic in plans/catalog.py is "
+            f"violated; pre-drain or retire before this becomes real: {due[:8]}…"
+        )
+        window = due + [k for k in order if k not in due][: 50 - len(due)]
+        for k in window:
+            sim[k] = rnd
