@@ -55,6 +55,7 @@ from .catalog_ext4 import EXT4_ORACLES as _EXT4_ORACLES, EXT4_QUERIES as _EXT4_Q
 from .catalog_ext5 import EXT5_ORACLES as _EXT5_ORACLES, EXT5_QUERIES as _EXT5_QUERIES
 from .catalog_ext6 import EXT6_ORACLES as _EXT6_ORACLES, EXT6_QUERIES as _EXT6_QUERIES
 from .catalog_ext7 import EXT7_ORACLES as _EXT7_ORACLES, EXT7_QUERIES as _EXT7_QUERIES
+from .catalog_ext8 import EXT8_ORACLES as _EXT8_ORACLES, EXT8_QUERIES as _EXT8_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3648,3 +3649,18 @@ PYTEST_ONLY_ORACLES: dict[str, str] = {
     "d_semantic_dedup_multiprobe": O_D_SEMANTIC_DEDUP_MP,
     "d_semantic_dedup_auto": ORACLES.pop("d_semantic_dedup_auto"),
 }
+
+
+# STAGED for the round-10 window (catalog_ext8): built and locally
+# oracle-verified in round 9, but the r9 window is exactly full (6 new
+# + the 44-row due cohort) and a never-driver-checked query must not
+# sit outside the first-50 window.  Round 10 has ~4 spare slots after
+# its 46-row due cohort: promote by MOVING entries from these dicts
+# into QUERIES/ORACLES inside the window (delete here, insert there) —
+# the queries and oracles need no code change.  Until then the local
+# gate (tests/test_catalog_vs_duckdb.py) verifies them every round.
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
+    _EXT8_QUERIES
+)
+
+STAGED_ORACLES: dict[str, str] = dict(_EXT8_ORACLES)

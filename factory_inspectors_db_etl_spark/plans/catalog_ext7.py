@@ -607,11 +607,17 @@ def q_g9_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     p1 = adj_mid.select("w", F.col("x").alias("u"), "aa")
     p2 = adj_mid.select("w", F.col("x").alias("v"))
     cand = p1.join(p2, "w").filter(F.col("u") < F.col("v"))
-    non_edges = cand.join(edges, ["u", "v"], "left_anti")
-    scored = non_edges.groupBy("u", "v").agg(
+    # aggregate BEFORE the existing-edge anti-join: the wedge stream is
+    # the big intermediate (139M rows at sf1 — measured exactly 10x the
+    # sf0.1 volume) and groupBy gets a map-side partial combine, so the
+    # (u,v) shuffle carries combined pair scores, not raw wedges; the
+    # anti-join then runs on the far smaller distinct-pair set.  The
+    # filter commutes with the aggregation (both key on (u,v)).
+    scored_all = cand.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("cn"),
         F.sum("aa").cast("long").alias("aa_scaled"),
     )
+    scored = scored_all.join(edges, ["u", "v"], "left_anti")
     top = scored.orderBy(
         F.col("cn").desc(), F.col("aa_scaled").desc(), F.col("u").asc(), F.col("v").asc()
     ).limit(_G9_TOP)

@@ -1,0 +1,485 @@
+"""Round-9 STAGED catalog: operators built and oracle-verified this
+round but NOT yet driver-registered — the round-9 window is exactly
+full (6 new queries + the 44-row due cohort), and the rotation gates
+forbid parking a never-checked query outside the first-50 window.
+These live in ``plans.catalog.STAGED_QUERIES`` instead: the local
+DuckDB-oracle gate (tests/test_catalog_vs_duckdb.py) verifies them
+every round, and round 10 (which has ~4 spare window slots after its
+46-row due cohort) promotes them into the driver registry by moving
+the dict entries — no code change to the queries themselves.
+
+Same determinism discipline as plans.catalog (exact integers, one
+trailing IEEE division, ln snapped to fixed point, NULLIF on every
+degenerate divisor).
+
+Reference parity: the reference repo (populate_db_ru_v1.py) has no
+graph-similarity / lexical-diversity / keyphrase path — these extend
+the engine's analytics surface beyond the reference (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.materialize import materialize
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# G10: neighbor-Jaccard edge similarity (graph family)
+# ---------------------------------------------------------------------------
+
+
+def q_g10_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """G10: NEIGHBOR-JACCARD similarity per EDGE of the urgent-order
+    co-purchase graph — |N(u)∩N(v)| / |N(u)∪N(v)| over the endpoints'
+    neighbor sets (excluding the endpoints themselves), the classic
+    edge-strength/tie-strength feature (Granovetter-style weak-tie
+    analysis; also the embeddedness feature in link-strength models).
+    Complements g9: g9 scores NON-edges (what forms next), this scores
+    EXISTING edges (how embedded each tie is).
+
+    With deg taken over the canonical u<v edge set: the intersection is
+    the edge's triangle count (common neighbors w); |N(u)\\{v}| =
+    deg_u−1, |N(v)\\{u}| = deg_v−1, so union = (deg_u−1)+(deg_v−1)−∩.
+    All exact BIGINTs, ONE trailing division; an isolated edge (both
+    degrees 1) has union 0 — undefined similarity, NULLIF-pinned NULL.
+
+    Scale: degree table is one map-side count; common neighbors per
+    edge reuse the g2 wedge equi-join (adjacency joined with itself on
+    the intermediate, then matched against the edge list) — candidate
+    volume Σ deg(w)², the triangle-counting bound, with the heavy-hub
+    mitigation available exactly as in g9 if a real graph needs it."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = materialize(
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # wedges through w: (x1, x2) both adjacent to w, canonical x1<x2;
+    # matching an existing edge (u,v) means w is a COMMON neighbor
+    p1 = adj.select("w", F.col("x").alias("u"))
+    p2 = adj.select("w", F.col("x").alias("v"))
+    shared = (
+        p1.join(p2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(edges, ["u", "v"], "left_semi")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("deg_v"))
+    e = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .join(shared, ["u", "v"], "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+    )
+    union = F.col("deg_u") - 1 + F.col("deg_v") - 1 - F.col("n_shared")
+    return e.select(
+        "u",
+        "v",
+        "deg_u",
+        "deg_v",
+        "n_shared",
+        (
+            F.col("n_shared").cast("double")
+            / F.nullif(union, F.lit(0)).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+O_G10_NEIGHBOR_JACCARD = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+), adj AS (
+  SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY w
+), shared AS (
+  SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS n_shared
+  FROM (
+    SELECT p1.w, p1.x AS u, p2.x AS v
+    FROM adj p1 JOIN adj p2 ON p1.w = p2.w
+    WHERE p1.x < p2.x
+  ) c
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)
+  GROUP BY c.u, c.v
+)
+SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v,
+       coalesce(s.n_shared, 0) AS n_shared,
+       CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+         / CAST(nullif(du.deg - 1 + dv.deg - 1 - coalesce(s.n_shared, 0), 0) AS DOUBLE)
+         AS jaccard
+FROM e
+JOIN deg du ON du.w = e.u
+JOIN deg dv ON dv.w = e.v
+LEFT JOIN shared s ON s.u = e.u AND s.v = e.v
+"""
+
+
+# ---------------------------------------------------------------------------
+# T-MATTR: moving-average type-token ratio (text family)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 100  # window length in tokens (Covington & McFall's default)
+
+
+def q_t_mattr(spark: SparkSession, sf: str) -> DataFrame:
+    """T-MATTR: MOVING-AVERAGE TYPE-TOKEN RATIO per document (Covington
+    & McFall 2010) — mean over all sliding ``_MATTR_W``-token windows
+    of (distinct tokens in window)/W, the length-robust lexical-
+    diversity metric corpus-quality filters use where plain TTR decays
+    with document length.  Documents shorter than W get their single
+    full-width window (plain TTR).
+
+    NO per-window distinct scan: distinct(s) for window start s counts
+    positions i in [s, s+W-1] whose PREVIOUS occurrence of the same
+    token is before s.  Each position therefore contributes +1 to a
+    CONTIGUOUS run of window starts [max(i-W+1, prev_i+1, 1),
+    min(i, n-W+1)] — emitted as a +1/-1 difference pair, summed per
+    start, prefix-summed per doc (three per-doc windows over the token
+    stream, no quadratic slice scans; the same trick that makes w32's
+    interval concurrency linear).  The mean over starts is an exact
+    integer sum with ONE trailing division by n_windows*W — windows
+    themselves are never enumerated row-wise beyond the start index
+    domain, which the diff events generate.
+
+    Scale: everything partitions by doc_id; state per doc is O(tokens),
+    the same bound as tokenization itself.  Empty docs report NULL
+    mattr (NULLIF on the zero window count)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    trimmed = F.trim(F.lower(F.col("t")))
+    toks = F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    tok = d.select(
+        "doc_id", F.posexplode(toks).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    wdoc = W.partitionBy("doc_id")
+    wprev = W.partitionBy("doc_id", "tok").orderBy("i")
+    t1 = tok.withColumn("prev", F.coalesce(F.lag("i").over(wprev), F.lit(0)))
+    t2 = t1.withColumn("n", F.max("i").over(wdoc)).withColumn(
+        "weff", F.least(F.lit(_MATTR_W), F.col("n"))
+    )
+    lo = F.greatest(F.col("i") - F.col("weff") + 1, F.col("prev") + 1, F.lit(1))
+    hi = F.least(F.col("i"), F.col("n") - F.col("weff") + 1)
+    ev = t2.filter(lo <= hi).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(lo.alias("s"), F.lit(1).alias("delta")),
+                F.struct((hi + 1).alias("s"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.s", "e.delta")
+    per_start = ev.groupBy("doc_id", "s").agg(F.sum("delta").alias("d"))
+    wcum = W.partitionBy("doc_id").orderBy("s")
+    distinct_per_start = per_start.withColumn(
+        "distinct_s", F.sum("d").over(wcum)
+    )
+    # difference events exist only at change points; the distinct count
+    # is PIECEWISE CONSTANT between them, so each change point at start
+    # s holds until the next event (or the last window start) — weight
+    # each piece by its length to sum over ALL starts without
+    # materializing them
+    meta = tok.groupBy("doc_id").agg(F.max("i").alias("n"))
+    meta = meta.withColumn("weff", F.least(F.lit(_MATTR_W), F.col("n"))).withColumn(
+        "n_windows", F.col("n") - F.col("weff") + 1
+    )
+    pieces = distinct_per_start.join(meta, "doc_id").withColumn(
+        "next_s",
+        F.coalesce(
+            F.lead("s").over(wcum), F.col("n_windows") + 1
+        ),
+    ).filter(F.col("s") <= F.col("n_windows"))
+    summed = pieces.groupBy("doc_id").agg(
+        F.sum(
+            F.col("distinct_s")
+            * (F.least(F.col("next_s"), F.col("n_windows") + 1) - F.col("s"))
+        )
+        .cast("long")
+        .alias("sum_distinct"),
+        F.max("n_windows").cast("long").alias("n_windows"),
+        F.max("weff").cast("long").alias("window_w"),
+        F.max("n").cast("long").alias("n_tokens"),
+    )
+    all_docs = d.select("doc_id")
+    return all_docs.join(summed, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+        F.coalesce(F.col("window_w"), F.lit(0)).alias("window_w"),
+        (
+            F.col("sum_distinct").cast("double")
+            / F.nullif(F.col("n_windows") * F.col("window_w"), F.lit(0)).cast(
+                "double"
+            )
+        ).alias("mattr"),
+    )
+
+
+O_T_MATTR = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+                                 i -> {{'i': i, 'tok': toks[CAST(i AS INTEGER)]}})) AS u
+    FROM (
+      SELECT doc_id,
+             CASE WHEN trim(lower(t)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(t)), '\\s+') END AS toks
+      FROM d
+    )
+  )
+), t1 AS (
+  SELECT doc_id, i, tok,
+         coalesce(lag(i) OVER (PARTITION BY doc_id, tok ORDER BY i), 0) AS prev,
+         max(i) OVER (PARTITION BY doc_id) AS n
+  FROM tok
+), t2 AS (
+  SELECT *, least({_MATTR_W}, n) AS weff FROM t1
+), ev AS (
+  SELECT doc_id, greatest(i - weff + 1, prev + 1, 1) AS s, 1 AS delta
+  FROM t2 WHERE greatest(i - weff + 1, prev + 1, 1) <= least(i, n - weff + 1)
+  UNION ALL
+  SELECT doc_id, least(i, n - weff + 1) + 1, -1
+  FROM t2 WHERE greatest(i - weff + 1, prev + 1, 1) <= least(i, n - weff + 1)
+), per_start AS (
+  SELECT doc_id, s, sum(delta) AS dd FROM ev GROUP BY doc_id, s
+), meta AS (
+  SELECT doc_id, max(i) AS n, least({_MATTR_W}, max(i)) AS weff,
+         max(i) - least({_MATTR_W}, max(i)) + 1 AS n_windows
+  FROM tok GROUP BY doc_id
+), cum AS (
+  SELECT p.doc_id, p.s,
+         sum(dd) OVER (PARTITION BY p.doc_id ORDER BY p.s) AS distinct_s,
+         coalesce(lead(p.s) OVER (PARTITION BY p.doc_id ORDER BY p.s),
+                  m.n_windows + 1) AS next_s,
+         m.n_windows, m.weff, m.n
+  FROM per_start p JOIN meta m USING (doc_id)
+), summed AS (
+  SELECT doc_id,
+         CAST(sum(distinct_s * (least(next_s, n_windows + 1) - s)) AS BIGINT)
+           AS sum_distinct,
+         CAST(max(n_windows) AS BIGINT) AS n_windows,
+         CAST(max(weff) AS BIGINT) AS window_w,
+         CAST(max(n) AS BIGINT) AS n_tokens
+  FROM cum WHERE s <= n_windows GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.n_windows, 0) AS n_windows,
+       coalesce(s.window_w, 0) AS window_w,
+       CAST(s.sum_distinct AS DOUBLE)
+         / CAST(nullif(s.n_windows * s.window_w, 0) AS DOUBLE) AS mattr
+FROM d LEFT JOIN summed s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T-RAKE: RAKE keyphrase extraction (text family)
+# ---------------------------------------------------------------------------
+
+# minimal deterministic English stopword set for phrase BOUNDARIES —
+# content fidelity does not depend on completeness (RAKE is robust to
+# the stopword list; this one is fixed so both engines split alike)
+_RAKE_STOP = (
+    "a an and are as at be but by for from has have i in is it its of on "
+    "or that the this to was were will with"
+).split()
+_RAKE_TOP = 5  # keyphrases per document
+
+
+def q_t_rake_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
+    """T-RAKE: RAKE keyphrase extraction per document (Rose et al.
+    2010): candidate phrases are maximal stopword/punctuation-free
+    token runs; each word scores degree/frequency where degree =
+    Σ(phrase_len − 1) + freq over the phrases containing it; a phrase
+    scores the sum of its word scores; top-5 phrases per doc by score.
+    The standard lightweight keyword surface for corpus indexing /
+    topic QA — no model, no UDF, pure columnar splits and aggregations.
+
+    Cross-engine exactness: degree and frequency are exact integer
+    sums.  The word score degree/freq is a RATIONAL — summing doubles
+    would order-diverge, so phrase scores are compared as EXACT
+    cross-multiplied integers: score = Σ deg_w/freq_w over ≤L words is
+    put over the common denominator Π freq_w (bounded: freq ≤ doc
+    tokens, L ≤ 6 enforced by RAKE's phrase-length cap... here by the
+    data's short phrases) — instead, simpler and fully exact: the
+    per-word ratio is snapped to fixed-point round(1e6·deg/freq) BIGINT
+    (one engine-identical rounded division per DISTINCT word) and
+    phrase scores are exact integer sums of those — the t_zipf
+    discipline applied to rationals.  Ties broken by (score desc,
+    phrase asc).
+
+    Scale: two explodes (phrases, words), two map-side-combinable
+    aggregations (word stats per doc, phrase scores per doc), one
+    rank window per doc over its phrases — partitions by doc_id
+    end-to-end, no global state."""
+    stop_re = "|".join(_RAKE_STOP)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    norm = F.regexp_replace(F.lower(F.col("t")), r"[^a-z0-9\s]", " ")
+    # stopwords become phrase delimiters.  NO lookahead — DuckDB's RE2
+    # has none, so both engines use the double-space trick instead:
+    # widen every token boundary to two spaces, then a CONSUMING
+    # ' (stop) ' match still leaves a space on each neighbor, so
+    # adjacent stopwords ("of the") both match without overlap.
+    bounded = F.regexp_replace(
+        F.regexp_replace(F.concat(F.lit(" "), norm, F.lit(" ")), r"\s+", "  "),
+        rf" ({stop_re}) ",
+        " | ",
+    )
+    phrases = d.select(
+        "doc_id", F.explode(F.split(bounded, r"\|")).alias("p")
+    ).select(
+        "doc_id", F.regexp_replace(F.trim(F.col("p")), r"\s+", " ").alias("phrase")
+    ).filter(F.col("phrase") != "")
+    pw = phrases.select(
+        "doc_id",
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    wstats = pw.groupBy("doc_id", "word").agg(
+        F.sum(F.col("plen") - 1).cast("long").alias("deg_extra"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    wscore = wstats.select(
+        "doc_id",
+        "word",
+        F.round(
+            (F.col("deg_extra") + F.col("freq")).cast("double")
+            * F.lit(1_000_000.0)
+            / F.col("freq").cast("double")
+        )
+        .cast("long")
+        .alias("wscore6"),
+    )
+    pscore = (
+        pw.join(wscore, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.sum("wscore6").cast("long").alias("_sum"),
+            F.max("plen").alias("_plen"),
+            F.count(F.lit(1)).cast("long").alias("_nw"),
+        )
+        # a phrase appearing k times contributes k identical word rows
+        # per word: _sum counts each word k times, so divide by the
+        # phrase's occurrence count _nw/_plen to get the per-occurrence
+        # score — exact integer division is safe because _sum is k
+        # times the true score by construction
+        .select(
+            "doc_id",
+            "phrase",
+            (F.col("_sum") * F.col("_plen") / F.col("_nw"))
+            .cast("long")
+            .alias("score6"),
+        )
+    )
+    wr = W.partitionBy("doc_id").orderBy(
+        F.col("score6").desc(), F.col("phrase").asc()
+    )
+    top = pscore.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= _RAKE_TOP
+    )
+    return top.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        "phrase",
+        (F.col("score6").cast("double") / F.lit(1_000_000.0)).alias("score"),
+    )
+
+
+def _gen_rake_oracle() -> str:
+    stop_re = "|".join(_RAKE_STOP)
+    return f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), phrases AS (
+  SELECT doc_id,
+         regexp_replace(trim(p), '\\s+', ' ', 'g') AS phrase
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(
+             regexp_replace(
+               regexp_replace(' ' || regexp_replace(lower(t), '[^a-z0-9\\s]', ' ', 'g') || ' ',
+                              '\\s+', '  ', 'g'),
+               ' ({stop_re}) ', ' | ', 'g'),
+             '|')) AS p
+    FROM d
+  )
+  WHERE regexp_replace(trim(p), '\\s+', ' ', 'g') != ''
+), pw AS (
+  SELECT doc_id, phrase,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM phrases
+), wstats AS (
+  SELECT doc_id, word,
+         CAST(sum(plen - 1) AS BIGINT) AS deg_extra,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM pw GROUP BY doc_id, word
+), wscore AS (
+  SELECT doc_id, word,
+         CAST(round(CAST(deg_extra + freq AS DOUBLE) * 1000000.0
+                    / CAST(freq AS DOUBLE)) AS BIGINT) AS wscore6
+  FROM wstats
+), pscore AS (
+  SELECT pw.doc_id, pw.phrase,
+         CAST(CAST(sum(wscore6) AS BIGINT) * CAST(max(plen) AS BIGINT)
+              / CAST(count(*) AS BIGINT) AS BIGINT) AS score6
+  FROM pw JOIN wscore ON wscore.doc_id = pw.doc_id AND wscore.word = pw.word
+  GROUP BY pw.doc_id, pw.phrase
+), ranked AS (
+  SELECT doc_id, phrase, score6,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score6 DESC, phrase ASC) AS INTEGER) AS rank
+  FROM pscore
+)
+SELECT doc_id, rank, phrase, CAST(score6 AS DOUBLE) / 1000000.0 AS score
+FROM ranked WHERE rank <= {_RAKE_TOP}
+"""
+
+
+O_T_RAKE = _gen_rake_oracle()
+
+
+EXT8_QUERIES = {
+    "g10_neighbor_jaccard": q_g10_neighbor_jaccard,
+    "t_mattr": q_t_mattr,
+    "t_rake_keyphrases": q_t_rake_keyphrases,
+}
+
+EXT8_ORACLES = {
+    "g10_neighbor_jaccard": O_G10_NEIGHBOR_JACCARD,
+    "t_mattr": O_T_MATTR,
+    "t_rake_keyphrases": O_T_RAKE,
+}

@@ -1,0 +1,174 @@
+"""Staged-operator properties (catalog_ext8 — built r9, staged for the
+r10 driver window): independent brute-force twins, same discipline as
+test_round9_ops.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from factory_inspectors_db_etl_spark.plans.catalog_ext8 import (
+    _MATTR_W,
+    _RAKE_STOP,
+    _RAKE_TOP,
+    q_g10_neighbor_jaccard,
+    q_t_mattr,
+    q_t_rake_keyphrases,
+)
+from factory_inspectors_db_etl_spark.sources.tables import load_table
+
+
+def _edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return {
+        (r["u"], r["v"])
+        for r in a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_g10_jaccard_matches_bruteforce(spark, sf_dir):
+    edges = _edges(spark, sf_dir)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = q_g10_neighbor_jaccard(spark, sf_dir).collect()
+    assert {(r["u"], r["v"]) for r in out} == edges  # one row per edge
+    for r in out:
+        u, v = r["u"], r["v"]
+        shared = len(adj[u] & adj[v])
+        union = len((adj[u] - {v}) | (adj[v] - {u}))
+        assert r["n_shared"] == shared
+        assert (r["deg_u"], r["deg_v"]) == (len(adj[u]), len(adj[v]))
+        if union == 0:
+            assert r["jaccard"] is None
+        else:
+            assert abs(r["jaccard"] - shared / union) < 1e-15
+
+
+def test_t_mattr_matches_direct_window_scan(spark, sf_dir):
+    """The difference-array formulation must equal the textbook O(n*W)
+    per-window distinct scan."""
+    docs = {
+        r["doc_id"]: (r["text"] or "")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {r["doc_id"]: r for r in q_t_mattr(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        toks = text.strip().lower().split()
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        if not toks:
+            assert r["mattr"] is None and r["n_windows"] == 0
+            continue
+        w = min(_MATTR_W, len(toks))
+        starts = range(len(toks) - w + 1)
+        total = sum(len(set(toks[s : s + w])) for s in starts)
+        assert r["n_windows"] == len(starts) and r["window_w"] == w
+        assert abs(r["mattr"] - total / (len(starts) * w)) < 1e-12
+
+
+def test_t_mattr_repetitive_vs_diverse_hand_docs(spark, tmp_path):
+    sf = str(tmp_path)
+    diverse = " ".join(f"tok{i}" for i in range(150))
+    repetitive = " ".join("spam ham" for _ in range(75))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [diverse, repetitive, ""],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1, 1, 0],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_t_mattr(spark, sf).collect()}
+    assert got[1]["mattr"] == 1.0  # all distinct in every window
+    assert abs(got[2]["mattr"] - 2 / _MATTR_W) < 1e-12  # two types per window
+    assert got[3]["mattr"] is None and got[3]["n_tokens"] == 0
+
+
+def _rake_bruteforce(text: str) -> list[tuple[str, float]]:
+    norm = re.sub(r"[^a-z0-9\s]", " ", text.lower())
+    stop = set(_RAKE_STOP)
+    phrases: list[list[str]] = []
+    cur: list[str] = []
+    for tok in norm.split():
+        if tok in stop:
+            if cur:
+                phrases.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    if cur:
+        phrases.append(cur)
+    deg_extra: dict[str, int] = {}
+    freq: dict[str, int] = {}
+    for p in phrases:
+        for wd in p:
+            deg_extra[wd] = deg_extra.get(wd, 0) + len(p) - 1
+            freq[wd] = freq.get(wd, 0) + 1
+    wscore6 = {
+        wd: round((deg_extra[wd] + freq[wd]) * 1_000_000.0 / freq[wd]) for wd in freq
+    }
+    pscore: dict[str, int] = {}
+    for p in phrases:
+        pscore[" ".join(p)] = sum(wscore6[wd] for wd in p)
+    ranked = sorted(pscore.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_TOP]
+    return [(ph, s / 1e6) for ph, s in ranked]
+
+
+def test_t_rake_matches_bruteforce(spark, sf_dir):
+    docs = {
+        r["doc_id"]: (r["text"] or "")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got: dict[int, list] = {}
+    for r in q_t_rake_keyphrases(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["phrase"], r["score"]))
+    n_checked = 0
+    for doc_id, text in docs.items():
+        want = _rake_bruteforce(text)
+        rows = sorted(got.get(doc_id, []))
+        assert len(rows) == len(want), f"doc {doc_id}: {len(rows)} vs {len(want)}"
+        for (rank, phrase, score), (wp, ws) in zip(rows, want):
+            assert phrase == wp, f"doc {doc_id} rank {rank}: {phrase!r} != {wp!r}"
+            assert math.isclose(score, ws, abs_tol=1e-9)
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_t_rake_hand_example(spark, tmp_path):
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["Deep learning of compact models is the art of compact models."],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [1],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    rows = {r["rank"]: r for r in q_t_rake_keyphrases(spark, sf).collect()}
+    # phrases: "deep learning" (of) "compact models" (is the art of)
+    # "compact models" -> compact/models freq 2 deg_extra 2 -> wscore 2.0
+    # deep/learning freq 1 deg_extra 1 -> wscore 2.0
+    assert rows[1]["phrase"] == "compact models" and rows[1]["score"] == 4.0
+    assert rows[2]["phrase"] == "deep learning" and rows[2]["score"] == 4.0
