@@ -50,6 +50,9 @@ FAMILIES = {
     "g9_link_prediction": "candidate volume n*cap^2 with the deg<=64 hub cap — expect ~linear in edges once capped; TakeOrdered top-k, no global sort",
     "j24_interp_join": "probe-side broadcast hash equi-join on month buckets; reference curve O(days) — expect ~linear in probes",
     "a27_bottomk_distinct": "distinct-(group,hash) shuffle + rank window over distinct hashes — expect ~linear in rows",
+    "g10_neighbor_jaccard": "g2's wedge equi-join bound (sum deg(w)^2) + map-side-combined pair agg — expect ~linear on the replicated stress graph (disjoint subgraphs)",
+    "t_mattr": "difference-array sliding distinct: +1/-1 events per token, three per-doc windows — expect ~linear in tokens",
+    "t_rake_keyphrases": "two explodes + two map-side-combinable aggs + per-doc rank window — expect ~linear in tokens",
 }
 
 
@@ -75,10 +78,18 @@ def _run_one(name: str, sf_dir: str) -> None:
             for key in BENCH_OUTPUTS:  # pinned scope — see corpus_pipeline
                 built[key].write.mode("overwrite").format("noop").save()
     else:
-        from factory_inspectors_db_etl_spark.plans.catalog import QUERIES
+        from factory_inspectors_db_etl_spark.plans.catalog import (
+            PYTEST_ONLY_QUERIES,
+            QUERIES,
+            STAGED_QUERIES,
+        )
+
+        # demoted quadratic baselines and staged-for-next-window queries
+        # stay sweepable even though they are off the driver registry
+        lookup = {**QUERIES, **PYTEST_ONLY_QUERIES, **STAGED_QUERIES}
 
         def run(d):
-            QUERIES[name](spark, d).write.mode("overwrite").format("noop").save()
+            lookup[name](spark, d).write.mode("overwrite").format("noop").save()
 
     run(warm_dir)
     runs = []
