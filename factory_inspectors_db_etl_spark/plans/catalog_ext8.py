@@ -472,13 +472,133 @@ FROM ranked WHERE rank <= {_RAKE_TOP}
 O_T_RAKE = _gen_rake_oracle()
 
 
+# ---------------------------------------------------------------------------
+# T-PPL: held-out unigram-LM negative log-likelihood (text family)
+# ---------------------------------------------------------------------------
+
+_PPL_SCALE = 1_000_000  # fixed-point scale for per-token log-probs
+
+
+def q_t_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """T-PPL: held-out LOG-DOMAIN language-model scoring — per held-out
+    document, the negative log-likelihood under a Laplace-smoothed
+    unigram LM trained on the content-hash 80% split (same split
+    arithmetic as p_hash_split/t_unigram_lm).  This is the actual
+    CCNet/Gopher perplexity-filter shape: t_unigram_lm's exact RATIONAL
+    mean is the bit-checkable proxy; the log-domain form here is what
+    production filters threshold on (perplexity = exp(avg_nll), left to
+    the caller — exp of an engine-identical double is the only step
+    that could diverge by an ulp, so the QUERY emits the exact-integer
+    NLL and its single-division average instead).
+
+    Cross-engine exactness: per-token log-prob lp = round(ln((c+1) /
+    (T+V)) * 1e6) snapped to BIGINT from an identically-parenthesized
+    double quotient (the t_zipf ln discipline; OOV uses c=0), so each
+    doc's nll_e6 = -Σ lp is an exact integer sum and avg_nll is ONE
+    IEEE division (NULLIF for token-less docs).
+
+    Scale: one shuffle for train vocab counts, broadcast totals, vocab
+    broadcast-joined onto held-out tokens (past broadcast size the same
+    plan flips to a shuffle join on tok — the aggregation shape is
+    unchanged), one per-doc shuffle."""
+    from ..operators import text_analysis as TA
+    from ..operators.dedup import portable_hash60
+
+    d = load_table(spark, sf, "documents")
+    docs = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("lt"),
+        (portable_hash60(F.col("text")) % 10_000 < 8_000).alias("is_train"),
+    )
+    tok = docs.select(
+        "doc_id", "is_train", F.explode(TA.tokens(F.col("lt"))).alias("tok")
+    )
+    vocab = materialize(
+        tok.filter("is_train").groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = vocab.agg(
+        F.sum("c").cast("long").alias("T"), F.count(F.lit(1)).cast("long").alias("V")
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("T") + F.col("V")).cast("double")
+        )
+        * _PPL_SCALE
+    ).cast("long")
+    scored = (
+        tok.filter(~F.col("is_train"))
+        .join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("c").isNull(), 1)).cast("long").alias("n_oov"),
+            (-F.sum(lp)).cast("long").alias("nll_e6"),
+        )
+    )
+    return (
+        docs.filter(~F.col("is_train"))
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.coalesce(F.col("nll_e6"), F.lit(0)).alias("nll_e6"),
+            (
+                F.col("nll_e6").cast("double")
+                / F.nullif(F.col("n_tokens") * _PPL_SCALE, F.lit(0)).cast("double")
+            ).alias("avg_nll"),
+        )
+    )
+
+
+O_T_LM_PERPLEXITY = f"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS lt,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 10000 < 8000 AS is_train
+  FROM documents
+), tok AS (
+  SELECT doc_id, is_train,
+         unnest(CASE WHEN trim(lt) = '' THEN []
+                     ELSE string_split_regex(trim(lt), '\\s+') END) AS tok
+  FROM docs
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok WHERE is_train GROUP BY tok
+), totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(CASE WHEN v.c IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+         CAST(-sum(CAST(round(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+                                 / CAST(tt.T + tt.V AS DOUBLE)) * {_PPL_SCALE})
+                         AS BIGINT)) AS BIGINT) AS nll_e6
+  FROM tok t LEFT JOIN vocab v USING (tok), totals tt
+  WHERE NOT t.is_train
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.n_oov, 0) AS n_oov,
+       coalesce(s.nll_e6, 0) AS nll_e6,
+       CAST(s.nll_e6 AS DOUBLE)
+         / CAST(nullif(s.n_tokens * {_PPL_SCALE}, 0) AS DOUBLE) AS avg_nll
+FROM docs d LEFT JOIN scored s USING (doc_id)
+WHERE NOT d.is_train
+"""
+
+
 EXT8_QUERIES = {
+    "t_lm_perplexity": q_t_lm_perplexity,
     "g10_neighbor_jaccard": q_g10_neighbor_jaccard,
     "t_mattr": q_t_mattr,
     "t_rake_keyphrases": q_t_rake_keyphrases,
 }
 
 EXT8_ORACLES = {
+    "t_lm_perplexity": O_T_LM_PERPLEXITY,
     "g10_neighbor_jaccard": O_G10_NEIGHBOR_JACCARD,
     "t_mattr": O_T_MATTR,
     "t_rake_keyphrases": O_T_RAKE,

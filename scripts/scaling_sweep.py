@@ -53,6 +53,7 @@ FAMILIES = {
     "g10_neighbor_jaccard": "g2's wedge equi-join bound (sum deg(w)^2) + map-side-combined pair agg — expect ~linear on the replicated stress graph (disjoint subgraphs)",
     "t_mattr": "difference-array sliding distinct: +1/-1 events per token, three per-doc windows — expect ~linear in tokens",
     "t_rake_keyphrases": "two explodes + two map-side-combinable aggs + per-doc rank window — expect ~linear in tokens",
+    "t_lm_perplexity": "one vocab-count shuffle + broadcast LM join + per-doc agg — expect ~linear in tokens",
 }
 
 

@@ -172,3 +172,43 @@ def test_t_rake_hand_example(spark, tmp_path):
     # deep/learning freq 1 deg_extra 1 -> wscore 2.0
     assert rows[1]["phrase"] == "compact models" and rows[1]["score"] == 4.0
     assert rows[2]["phrase"] == "deep learning" and rows[2]["score"] == 4.0
+
+
+def test_t_lm_perplexity_matches_bruteforce(spark, sf_dir):
+    """From-scratch Laplace unigram NLL over the same hash split."""
+    from factory_inspectors_db_etl_spark.operators.dedup import portable_hash60
+    from factory_inspectors_db_etl_spark.plans.catalog_ext8 import (
+        _PPL_SCALE,
+        q_t_lm_perplexity,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (portable_hash60(F.col("text")) % 10_000 < 8_000).alias("is_train"),
+    )
+    rows = d.collect()
+    vocab: dict[str, int] = {}
+    for r in rows:
+        if r["is_train"] and r["text"] is not None:
+            for tok in r["text"].lower().strip().split():
+                vocab[tok] = vocab.get(tok, 0) + 1
+    T, V = sum(vocab.values()), len(vocab)
+    got = {r["doc_id"]: r for r in q_t_lm_perplexity(spark, sf_dir).collect()}
+    heldout = [r for r in rows if r["is_train"] is False]
+    assert len(got) == len(heldout) and len(heldout) > 0
+    for r in heldout:
+        toks = (r["text"] or "").lower().strip().split()
+        nll = -sum(
+            round(math.log((vocab.get(t, 0) + 1) / (T + V)) * _PPL_SCALE)
+            for t in toks
+        )
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_oov"] == sum(1 for t in toks if t not in vocab)
+        assert g["nll_e6"] == nll
+        if toks:
+            assert abs(g["avg_nll"] - nll / (len(toks) * _PPL_SCALE)) < 1e-12
+            assert g["avg_nll"] > 0  # log-probs are negative
+        else:
+            assert g["avg_nll"] is None
