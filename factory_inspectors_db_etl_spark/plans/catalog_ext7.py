@@ -170,7 +170,14 @@ def q_j24_interp_join(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", F.to_date("o_orderdate").alias("day")
     )
-    daily = li.groupBy("d").agg(F.sum("cents").cast("long").alias("y"))
+    # materialize the O(days) aggregate: THREE consumers (packed
+    # segments, the sentinel bound, and nothing else) would otherwise
+    # re-run the full lineitem scan per consumer — at corpus scale
+    # that is a repeated full-table pass for a kilobyte result (the
+    # t_collocation_lift reuse lesson)
+    daily = materialize(
+        li.groupBy("d").agg(F.sum("cents").cast("long").alias("y"))
+    )
     # sentinel end: day after the last probe or reference day — small,
     # data-derived, identical on both engines (coalesce guards an empty
     # side; greatest() skips nulls in Spark but not DuckDB)
