@@ -3654,11 +3654,21 @@ PYTEST_ONLY_ORACLES: dict[str, str] = {
 # STAGED for the round-10 window (catalog_ext8): built and locally
 # oracle-verified in round 9, but the r9 window is exactly full (6 new
 # + the 44-row due cohort) and a never-driver-checked query must not
-# sit outside the first-50 window.  Round 10 has ~4 spare slots after
-# its 46-row due cohort: promote by MOVING entries from these dicts
-# into QUERIES/ORACLES inside the window (delete here, insert there) —
-# the queries and oracles need no code change.  Until then the local
-# gate (tests/test_catalog_vs_duckdb.py) verifies them every round.
+# sit outside the first-50 window.  Promote by MOVING entries from
+# these dicts into QUERIES/ORACLES inside the window (delete here,
+# insert there) — the queries and oracles need no code change.  Until
+# then the local gate (tests/test_catalog_vs_duckdb.py) verifies them
+# every round.
+#
+# PROMOTION ARITHMETIC (do the subtraction before moving entries):
+# r10's window owes the 46-row r6 cohort -> 4 spare slots.  Promoting
+# all 4 staged queries at r10 makes the r11 window EXACTLY its 50-row
+# r7-cohort due (legal, but r11 then has zero slots for new work or
+# pre-draining).  Promoting 2 at r10 and 2 at r12 (r12 owes 47, 3
+# spare) keeps one spare slot in every round.  Registry ceiling: the
+# 50-slot/4-round rotation supports at most 200 registered queries —
+# 193 + these 4 = 197 eventual; RETIRE rows to PYTEST_ONLY before
+# registering past 200.
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
     _EXT8_QUERIES
 )
