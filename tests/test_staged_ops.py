@@ -212,3 +212,85 @@ def test_t_lm_perplexity_matches_bruteforce(spark, sf_dir):
             assert g["avg_nll"] > 0  # log-probs are negative
         else:
             assert g["avg_nll"] is None
+
+
+# ---------------------------------------------------------------------------
+# pure-python hypothesis twins for the subtle round-9 algorithm math
+# (no Spark session — these pin the DERIVATIONS the queries implement)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _mattr_diff_array(toks: list[str], W: int) -> tuple[int, int, int]:
+    """Pure-python replica of q_t_mattr's difference-array derivation:
+    (sum_distinct, n_windows, weff)."""
+    n = len(toks)
+    if n == 0:
+        return 0, 0, 0
+    weff = min(W, n)
+    n_windows = n - weff + 1
+    prev: dict[str, int] = {}
+    events: dict[int, int] = {}
+    for i, t in enumerate(toks, start=1):
+        p = prev.get(t, 0)
+        lo = max(i - weff + 1, p + 1, 1)
+        hi = min(i, n_windows)
+        if lo <= hi:
+            events[lo] = events.get(lo, 0) + 1
+            events[hi + 1] = events.get(hi + 1, 0) - 1
+        prev[t] = i
+    total = 0
+    cum = 0
+    pts = sorted(s for s in events if s <= n_windows)
+    for idx, s in enumerate(pts):
+        cum += events[s]
+        nxt = pts[idx + 1] if idx + 1 < len(pts) else n_windows + 1
+        total += cum * (min(nxt, n_windows + 1) - s)
+    return total, n_windows, weff
+
+
+@given(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=60),
+    st.integers(1, 12),
+)
+@settings(max_examples=500, deadline=None)
+def test_mattr_difference_array_identity(toks, W):
+    """The +1/-1 event formulation must equal the direct per-window
+    distinct scan on ARBITRARY token sequences and window widths —
+    adversarial repeats at window boundaries included (the synthetic
+    corpus can't generate those)."""
+    total, n_windows, weff = _mattr_diff_array(toks, W)
+    if not toks:
+        assert (total, n_windows, weff) == (0, 0, 0)
+        return
+    want = sum(
+        len(set(toks[s : s + weff])) for s in range(len(toks) - weff + 1)
+    )
+    assert total == want
+    assert n_windows == len(toks) - weff + 1
+
+
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=50))
+@settings(max_examples=500, deadline=None)
+def test_cusum_integer_argmax_equals_fraction_form(ys):
+    """w35's integer-scaled deviation |n*C_i - i*T| must pick the same
+    change-point as the textbook float form |C_i - i*T/n| computed with
+    exact Fractions (earliest-index tiebreak both sides)."""
+    from fractions import Fraction
+
+    n = len(ys)
+    T = sum(ys)
+    best_int, dev_int = None, -1
+    best_fr, dev_fr = None, Fraction(-1)
+    c = 0
+    for i, y in enumerate(ys, start=1):
+        c += y
+        di = abs(n * c - i * T)
+        if di > dev_int:
+            best_int, dev_int = i, di
+        df = abs(Fraction(c) - Fraction(i * T, n))
+        if df > dev_fr:
+            best_fr, dev_fr = i, df
+    assert best_int == best_fr
+    assert dev_int == dev_fr * n
