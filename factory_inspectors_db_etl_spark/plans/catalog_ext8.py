@@ -71,15 +71,19 @@ def q_g10_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # wedges through w: (x1, x2) both adjacent to w, canonical x1<x2;
-    # matching an existing edge (u,v) means w is a COMMON neighbor
+    # matching an existing edge (u,v) means w is a COMMON neighbor.
+    # Aggregate BEFORE the edge semi-join (the g9 lesson): the wedge
+    # stream is the big intermediate and groupBy gets a map-side
+    # combine, so the (u,v) shuffle carries combined counts; the
+    # semi-join then runs on the distinct-pair set, not raw wedges.
     p1 = adj.select("w", F.col("x").alias("u"))
     p2 = adj.select("w", F.col("x").alias("v"))
     shared = (
         p1.join(p2, "w")
         .filter(F.col("u") < F.col("v"))
-        .join(edges, ["u", "v"], "left_semi")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .join(edges, ["u", "v"], "left_semi")
     )
     du = deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("deg_v"))
