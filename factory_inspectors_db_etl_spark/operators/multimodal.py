@@ -11,10 +11,12 @@ five scanline filters), and MP4/ISO-BMFF container demux
 (``encode_mp4_min``/``parse_mp4``: box-tree walk, mvhd/tkhd extraction;
 codec FRAME decode is the declared fallback — H.264 et al. genuinely
 need external libraries), plus baseline JPEG (``operators.jpeg``:
-Huffman + dequant + IDCT + chroma upsample + YCbCr->RGB) — and falls
-back to a deterministic byte-level featurizer for the remaining
-codec-compressed formats (H.264 frames, progressive JPEG) or payloads
-whose bytes don't match their claimed mime.
+Huffman + dequant + IDCT + chroma upsample + YCbCr->RGB) and 24-bit
+BI_RGB BMP (``encode_bmp``/``decode_bmp``: stride padding, BGR order,
+both row directions) — and falls back to a deterministic byte-level
+featurizer for the remaining codec-compressed formats (H.264 frames,
+progressive JPEG) or payloads whose bytes don't match their claimed
+mime.
 
 * ``with_payload`` manufactures a deterministic binary payload + metadata
   struct from the ``documents`` table (so every test table works at any
@@ -562,6 +564,9 @@ _CODECS = {
     # PNG bytes (e.g. with_payload's text stand-ins labeled image/png)
     # raise ValueError and take the byte-level fallback, unchanged
     "image/png": decode_png,
+    # image/bmp + image/x-ms-bmp register below decode_bmp's definition
+    # (round 9): real 24-bit BI_RGB DIB decode — header validation,
+    # 4-byte row stride, BGR order, both row directions (±height)
     # real BMFF box-walk (round 6): container demux only — duration,
     # track geometry, mdat size; codec FRAME decode is the declared
     # fallback (H.264 et al. genuinely need external libraries)
@@ -706,6 +711,134 @@ def resize_png(payload: bytes, max_side: int) -> bytes:
     return encode_png(px[np.ix_(ys, xs)])
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """REAL BMP (Windows DIB) encoder for 8-bit RGB images — 24-bit
+    BI_RGB, BITMAPINFOHEADER, canonical BOTTOM-UP row order, each row
+    padded to a 4-byte boundary, channels stored BGR (all per the
+    public DIB format).  ``pixels`` is an (h, w, 3) uint8 RGB array.
+    Byte-deterministic for a given pixel array (fixed 2835 px/m
+    resolution fields)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp needs an (h, w, 3) uint8 array")
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        raster.extend(pixels[y, :, ::-1].tobytes())  # RGB -> BGR
+        raster.extend(pad)
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")  # positive height = bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + (stride * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")  # 72 dpi in px/m
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # palette colors
+        + (0).to_bytes(4, "little")  # important colors
+    )
+    file_size = 14 + 40 + stride * h
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (54).to_bytes(4, "little")
+    )
+    return header + info + bytes(raster)
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 24-bit BI_RGB BMP -> (w, h, h×w×3 uint8 RGB array).
+    Full real decode: header validation, pixel-offset honoring,
+    4-byte row stride, BGR->RGB, and BOTH row orders (positive height
+    = bottom-up, negative = top-down — the format's documented
+    variant).  Raises ValueError on anything that is not an
+    uncompressed 24-bit DIB."""
+    d = bytes(payload)
+    if len(d) < 54 or d[:2] != b"BM":
+        raise ValueError("bmp: bad magic or truncated header")
+    px_off = int.from_bytes(d[10:14], "little")
+    bi_size = int.from_bytes(d[14:18], "little")
+    if bi_size < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER DIBs unsupported")
+    w = int.from_bytes(d[18:22], "little", signed=True)
+    h_raw = int.from_bytes(d[22:26], "little", signed=True)
+    planes = int.from_bytes(d[26:28], "little")
+    bpp = int.from_bytes(d[28:30], "little")
+    compression = int.from_bytes(d[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"bmp: unsupported profile (planes={planes}, bpp={bpp}, "
+            f"compression={compression}) — only 24-bit BI_RGB decodes"
+        )
+    if w <= 0 or h_raw == 0:
+        raise ValueError("bmp: non-positive dimensions")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    if px_off + stride * h > len(d):
+        raise ValueError("bmp: truncated raster")
+    rows = np.frombuffer(
+        d, dtype="u1", count=stride * h, offset=px_off
+    ).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_raw > 0:
+        px = px[::-1]  # bottom-up storage -> top-down array
+    return w, h, np.ascontiguousarray(px)
+
+
+def decode_bmp(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL image decode for 24-bit BI_RGB BMP payloads (``_parse_bmp``)
+    — same feature contract as ``decode_ppm``/``decode_png``:
+
+      [width, height, 3, mean R/255, mean G/255, mean B/255,
+       overall mean/255, aspect ratio]
+
+    Exact integer sums, one trailing IEEE division each — features are
+    bit-deterministic and SQL-reproducible from the source pixels.
+    Raises ValueError for non-BMP payloads (fallback path)."""
+    w, h, px8 = _parse_bmp(payload)
+    px = px8.astype("int64")
+    npx = w * h
+    feats = [
+        float(w),
+        float(h),
+        3.0,
+        int(px[:, :, 0].sum()) / (npx * 255),
+        int(px[:, :, 1].sum()) / (npx * 255),
+        int(px[:, :, 2].sum()) / (npx * 255),
+        int(px.sum()) / (npx * 3 * 255),
+        w / h,
+    ]
+    return (feats + [0.0] * n_features)[:n_features]
+
+
+# registered here because decode_bmp is defined after the _CODECS
+# literal (see the placeholder comment there)
+_CODECS["image/bmp"] = decode_bmp
+_CODECS["image/x-ms-bmp"] = decode_bmp
+
+
+def resize_bmp(payload: bytes, max_side: int) -> bytes:
+    """REAL nearest-neighbor BMP resize: full decode (``_parse_bmp``),
+    NN-resample (``i*src//dst``, the shared ``nn_target`` mapping —
+    integer-exact, idempotent at fixed max_side), re-encode through
+    ``encode_bmp``.  BMP is uncompressed, so every output pixel is
+    bit-identical to its source pixel; top-down inputs re-encode in the
+    canonical bottom-up order (same pixels).  Images already within
+    bounds return byte-identical.  Raises ValueError for non-BMP
+    payloads — callers fall back to passthrough."""
+    if max_side <= 0:
+        raise ValueError("max_side must be positive")
+    w, h, px = _parse_bmp(payload)
+    if max(w, h) <= max_side:
+        return bytes(payload)
+    _, _, ys, xs = nn_target(w, h, max_side)
+    return encode_bmp(np.ascontiguousarray(px[np.ix_(ys, xs)]))
+
+
 def image_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) from the image HEADER only — no raster decode.
     Supports the four resize formats: PPM P6 (text header, the decode
@@ -737,6 +870,13 @@ def image_dims(payload: bytes) -> tuple[int, int]:
         # valid external GIF may declare a larger screen (round-8
         # review finding: meta must describe what decode_gif features)
         return _gif_image_dims(d)
+    if d[:2] == b"BM":
+        if len(d) < 26:
+            raise ValueError("bmp: truncated header")
+        return (
+            int.from_bytes(d[18:22], "little", signed=True),
+            abs(int.from_bytes(d[22:26], "little", signed=True)),
+        )
     if d[:2] == b"\xff\xd8":
         pos = 2
         while pos + 4 <= len(d):
@@ -770,6 +910,8 @@ def _resize_any(data: bytes, max_side: int) -> bytes:
         return resize_gif(data, max_side)
     if data[:2] == b"\xff\xd8":
         return resize_jpeg(data, max_side)
+    if data[:2] == b"BM":
+        return resize_bmp(data, max_side)
     raise ValueError("unrecognized image payload")
 
 
@@ -786,10 +928,11 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
     """Arrow-batched image resize over multimodal rows (the
     decode→RESIZE→featurize step of a vision training-data pipeline).
-    All four raster formats with REAL in-repo codecs are really
+    All five raster formats with REAL in-repo codecs are really
     resampled — PPM P6 (``resize_ppm``), PNG (``resize_png``), GIF
     (``resize_gif``, lossless in index space), JPEG (``resize_jpeg``,
-    YCbCr plane space, 8-snapped dims) — dispatched on magic bytes.
+    YCbCr plane space, 8-snapped dims), BMP (``resize_bmp``, lossless)
+    — dispatched on magic bytes.
     Payloads in no raster format (mp4 containers — frame decode is the
     declared H.264 fallback — or corrupt rasters) pass through
     untouched with ``resized=false``, the same never-crash posture as
@@ -869,6 +1012,57 @@ def with_png_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
                         "doc_id": did,
                         "payload": encode_png(px),
                         "meta": {"mime": "image/png", "width": w, "height": h, "n_frames": 1},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def with_bmp_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Attach a REAL BMP payload per document (Arrow-batched
+    ``mapInPandas``) — the ``with_png_payload`` contract with a
+    DIFFERENT dimension rule so the two queries cover distinct shapes:
+
+        w = doc_id % 6 + 3,  h = doc_id % 3 + 2,
+        byte[i] = ord(text[i mod len(text)]) % 256  (0 when text is empty)
+
+    (codepoint-indexed, so the DuckDB oracle's per-character replay is
+    exact for any Unicode text).  Encoded through ``encode_bmp``
+    (24-bit BI_RGB, bottom-up rows, 4-byte stride padding — w=3/6/7
+    rows genuinely exercise nonzero padding).  Because the PIXELS are
+    SQL-expressible while the PAYLOAD is genuine DIB bytes, a
+    downstream ``decode_bmp`` whose channel means hash-match the SQL
+    replay proves the whole encode→decode round-trip — stride padding,
+    BGR swap, and bottom-up ordering included."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", META_TYPE),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(doc_id)
+                w, h = did % 6 + 3, did % 3 + 2
+                codes = bytes(ord(c) % 256 for c in (text or ""))
+                n = w * h * 3
+                if codes:
+                    reps = -(-n // len(codes))  # ceil
+                    flat = np.frombuffer(codes * reps, dtype="u1")[:n]
+                else:
+                    flat = np.zeros(n, dtype="u1")
+                px = flat.reshape(h, w, 3)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": encode_bmp(px),
+                        "meta": {"mime": "image/bmp", "width": w, "height": h, "n_frames": 1},
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])

@@ -3661,14 +3661,13 @@ PYTEST_ONLY_ORACLES: dict[str, str] = {
 # every round.
 #
 # PROMOTION ARITHMETIC (do the subtraction before moving entries):
-# r10's window owes the 46-row r6 cohort -> 4 spare slots.  Promoting
-# all 4 staged queries at r10 makes the r11 window EXACTLY its 50-row
-# r7-cohort due (legal, but r11 then has zero slots for new work or
-# pre-draining).  Promoting 2 at r10 and 2 at r12 (r12 owes 47, 3
-# spare) keeps one spare slot in every round.  Registry ceiling: the
-# 50-slot/4-round rotation supports at most 200 registered queries —
-# 193 + these 4 = 197 eventual; RETIRE rows to PYTEST_ONLY before
-# registering past 200.
+# r10's window owes the 46-row r6 cohort -> 4 spare slots; r11 owes
+# the full 50-row r7 cohort -> 0 spare; r12 owes 47 -> 3 spare.  The 6
+# staged queries therefore land as 4 at r10 + 2 at r12 (or 3+3 with a
+# retirement).  Registry ceiling: the 50-slot/4-round rotation supports
+# at most 200 registered queries — 193 + these 6 = 199 eventual, ONE
+# slot of headroom; RETIRE rows to PYTEST_ONLY before registering past
+# 200.
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
     _EXT8_QUERIES
 )

@@ -477,6 +477,68 @@ O_T_RAKE = _gen_rake_oracle()
 
 
 # ---------------------------------------------------------------------------
+# M-BMP: real BMP decode round-trip (multimodal family)
+# ---------------------------------------------------------------------------
+
+
+def q_m_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """M-BMP: REAL BMP decode — the fifth raster codec, completing the
+    family next to PPM/PNG/GIF/JPEG.  ``with_bmp_payload`` builds a
+    genuine 24-bit BI_RGB DIB per document (bottom-up rows, 4-byte
+    stride padding — the w=3/6/7 widths exercise nonzero padding, the
+    format's classic off-by-stride bug surface) whose PIXELS replay a
+    SQL-expressible rule over the document text;
+    ``decode_and_featurize`` then really decodes it
+    (``operators.multimodal.decode_bmp``: header validation, stride
+    walk, BGR→RGB, row-order flip).  The oracle recomputes the channel
+    means from the pixel RULE — a hash match proves the whole
+    encode→decode round-trip, padding and BGR swap included."""
+    from ..operators import multimodal as MM
+
+    d = load_table(spark, sf, "documents")
+    feats = MM.decode_and_featurize(MM.with_bmp_payload(d))
+    fx = lambda i: F.element_at("features", i)  # noqa: E731
+    return feats.select(
+        "doc_id",
+        fx(1).cast("int").alias("width"),
+        fx(2).cast("int").alias("height"),
+        fx(4).alias("mean_r"),
+        fx(5).alias("mean_g"),
+        fx(6).alias("mean_b"),
+        fx(7).alias("mean_all"),
+    )
+
+
+O_M_BMP = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 6 + 3 AS BIGINT) AS w,
+         CAST(doc_id % 3 + 2 AS BIGINT) AS h,
+         length(text) AS L,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)) % 256) AS codes
+  FROM documents
+), s AS (
+  SELECT doc_id, w, h,
+         list_sum(list_transform(range(0, w * h), j ->
+            CASE WHEN L = 0 THEN 0 ELSE codes[((3 * j) % L) + 1] END)) AS sum_r,
+         list_sum(list_transform(range(0, w * h), j ->
+            CASE WHEN L = 0 THEN 0 ELSE codes[((3 * j + 1) % L) + 1] END)) AS sum_g,
+         list_sum(list_transform(range(0, w * h), j ->
+            CASE WHEN L = 0 THEN 0 ELSE codes[((3 * j + 2) % L) + 1] END)) AS sum_b
+  FROM m
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum_r AS DOUBLE) / (w * h * 255) AS mean_r,
+       CAST(sum_g AS DOUBLE) / (w * h * 255) AS mean_g,
+       CAST(sum_b AS DOUBLE) / (w * h * 255) AS mean_b,
+       CAST(sum_r + sum_g + sum_b AS DOUBLE) / (w * h * 3 * 255) AS mean_all
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # T-PPL: held-out unigram-LM negative log-likelihood (text family)
 # ---------------------------------------------------------------------------
 
@@ -595,6 +657,7 @@ WHERE NOT d.is_train
 
 
 EXT8_QUERIES = {
+    "m_bmp_decode": q_m_bmp_decode,
     "t_lm_perplexity": q_t_lm_perplexity,
     "g10_neighbor_jaccard": q_g10_neighbor_jaccard,
     "t_mattr": q_t_mattr,
@@ -602,6 +665,7 @@ EXT8_QUERIES = {
 }
 
 EXT8_ORACLES = {
+    "m_bmp_decode": O_M_BMP,
     "t_lm_perplexity": O_T_LM_PERPLEXITY,
     "g10_neighbor_jaccard": O_G10_NEIGHBOR_JACCARD,
     "t_mattr": O_T_MATTR,

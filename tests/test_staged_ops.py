@@ -294,3 +294,106 @@ def test_cusum_integer_argmax_equals_fraction_form(ys):
             best_fr, dev_fr = i, df
     assert best_int == best_fr
     assert dev_int == dev_fr * n
+
+
+# ---------------------------------------------------------------------------
+# M-BMP: the fifth raster codec (staged query q_m_bmp_decode)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+
+def test_bmp_roundtrip_exact_including_stride_padding():
+    """decode(encode(px)) must return the exact pixel array for widths
+    with every stride-padding residue (w*3 mod 4 = 0..3) — the format's
+    classic off-by-stride bug surface."""
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        _parse_bmp,
+        encode_bmp,
+        image_dims,
+    )
+
+    rng = np.random.RandomState(11)
+    for w in (3, 4, 5, 6, 1, 8):
+        for h in (1, 2, 5):
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            b = encode_bmp(px)
+            w2, h2, px2 = _parse_bmp(b)
+            assert (w2, h2) == (w, h)
+            assert (px2 == px).all()
+            assert image_dims(b) == (w, h)
+
+
+def test_bmp_top_down_variant_decodes_identically():
+    """Negative biHeight = top-down row order (the documented DIB
+    variant): same pixels must come back."""
+    import struct
+
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        _parse_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(12)
+    px = rng.randint(0, 256, (3, 5, 3)).astype(np.uint8)
+    b = bytearray(encode_bmp(px))
+    h, stride = 3, (5 * 3 + 3) & ~3
+    struct.pack_into("<i", b, 22, -h)
+    rows = [bytes(b[54 + i * stride : 54 + (i + 1) * stride]) for i in range(h)]
+    b[54 : 54 + stride * h] = b"".join(reversed(rows))
+    _, _, px2 = _parse_bmp(bytes(b))
+    assert (px2 == px).all()
+
+
+def test_bmp_rejects_unsupported_profiles():
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        _parse_bmp,
+        encode_bmp,
+    )
+    import struct
+
+    import pytest
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_bmp(px)
+    for offset, value in ((28, 8), (30, 1)):  # bpp=8, compression=RLE8
+        bad = bytearray(good)
+        struct.pack_into("<H" if offset == 28 else "<I", bad, offset, value)
+        with pytest.raises(ValueError, match="unsupported profile"):
+            _parse_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="bad magic"):
+        _parse_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated raster"):
+        _parse_bmp(good[:-4])
+
+
+def test_bmp_resize_dispatch_and_idempotence(spark):
+    """resize_images must really resample BMP payloads (fifth format in
+    the magic-byte dispatch), rewrite meta from the output header, and
+    be idempotent at fixed max_side."""
+    from factory_inspectors_db_etl_spark.operators.multimodal import (
+        _parse_bmp,
+        encode_bmp,
+        image_dims,
+        resize_bmp,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, (4, 16, 3)).astype(np.uint8)
+    bmp = encode_bmp(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), ("image/bmp", 16, 4, 1))],
+        "doc_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    out = resize_images(df, max_side=8).collect()[0]
+    assert out["resized"] and image_dims(bytes(out["payload"])) == (8, 2)
+    assert (out["meta"]["width"], out["meta"]["height"]) == (8, 2)
+    # NN mapping: resized pixels are exact source pixels (lossless codec)
+    _, _, small = _parse_bmp(bytes(out["payload"]))
+    ys = [i * 4 // 2 for i in range(2)]
+    xs = [i * 16 // 8 for i in range(8)]
+    assert (small == px[np.ix_(ys, xs)]).all()
+    # idempotent at fixed max_side
+    assert resize_bmp(bytes(out["payload"]), 8) == bytes(out["payload"])
