@@ -3662,12 +3662,12 @@ PYTEST_ONLY_ORACLES: dict[str, str] = {
 #
 # PROMOTION ARITHMETIC (do the subtraction before moving entries):
 # r10's window owes the 46-row r6 cohort -> 4 spare slots; r11 owes
-# the full 50-row r7 cohort -> 0 spare; r12 owes 47 -> 3 spare.  The 6
-# staged queries therefore land as 4 at r10 + 2 at r12 (or 3+3 with a
-# retirement).  Registry ceiling: the 50-slot/4-round rotation supports
-# at most 200 registered queries — 193 + these 6 = 199 eventual, ONE
-# slot of headroom; RETIRE rows to PYTEST_ONLY before registering past
-# 200.
+# the full 50-row r7 cohort -> 0 spare; r12 owes 47 -> 3 spare.  The 5
+# staged queries therefore land as 4 at r10 + 1 at r12 (count them:
+# len(STAGED_QUERIES) — keep this comment in sync).  Registry ceiling:
+# the 50-slot/4-round rotation supports at most 200 registered queries
+# — 193 + these 5 = 198 eventual, TWO slots of headroom; RETIRE rows
+# to PYTEST_ONLY before registering past 200.
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
     _EXT8_QUERIES
 )
