@@ -3289,90 +3289,25 @@ JOIN c ON q.doc_id = c.doc_id
 # additions + 26 new round-6 queries + r6-changed code + 8 oldest-r3 core
 # (all 50 green, CORRECTNESS_r06.json).
 #
-# Round 9 leads with (a) the 6 queries NEW in round 9 (catalog_ext7)
-# and (b) the 44 rows whose newest driver evidence is r5 — the oldest
-# in the repo (VERDICT r8 item #2) — which exactly fill the window.
-# Round 9 also DEMOTED the three quadratic semantic-dedup forms to
-# PYTEST_ONLY_QUERIES (VERDICT r8 item #1), shrinking the registry to
-# 193 driver rows.  Union across rounds stays total and every
-# rotated-out query is re-verified locally by tests/test_catalog_vs_duckdb.py
-# each round.  tests/test_plan_shapes.py pins the rotation rule itself two
-# ways: no never-driver-checked query may sit outside the first-50 window,
-# and no query outside the window may be more than 4 rounds stale at the
-# upcoming driver run.
+# Round 10 leads with (a) the 4 queries PROMOTED from STAGED_QUERIES
+# (catalog_ext8, built+locally-verified r9 — never driver-checked, so
+# they must be in-window) and (b) the full 46-row r6 cohort — the
+# oldest driver evidence in the repo — which together fill the window
+# exactly (4 + 46 = 50, VERDICT r9 item #1).  Union across rounds stays
+# total and every rotated-out query is re-verified locally by
+# tests/test_catalog_vs_duckdb.py each round.  tests/test_plan_shapes.py
+# pins the rotation rule itself two ways: no never-driver-checked query
+# may sit outside the first-50 window, and no query outside the window
+# may be more than 4 rounds stale at the upcoming driver run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) NEW in round 9 (catalog_ext7): CUSUM change-point,
-    # interpolation as-of join, Shannon-entropy profile, bottom-k (KMV)
-    # distinct sketch, Flesch readability, Adamic-Adar link prediction ---
-    "w35_changepoint": _EXT7_QUERIES["w35_changepoint"],
-    "j24_interp_join": _EXT7_QUERIES["j24_interp_join"],
-    "a26_entropy": _EXT7_QUERIES["a26_entropy"],
-    "a27_bottomk_distinct": _EXT7_QUERIES["a27_bottomk_distinct"],
-    "t_readability": _EXT7_QUERIES["t_readability"],
-    "g9_link_prediction": _EXT7_QUERIES["g9_link_prediction"],
-    # --- (b) the 44 rows whose newest driver evidence is r5 — the
-    # oldest in the repo (VERDICT r8 item #2 / the staleness pin) ---
-    "s9_tumbling_window": q_s9_tumbling_window,
-    "d_exact_dedup": q_d_exact_dedup,
-    "s9b_sliding_window": q_s9b_sliding_window,
-    "s10_session_window": q_s10_session_window,
-    "t_chunk_windows": q_t_chunk_windows,
-    "s12_stream_stream_join": q_s12_stream_stream_join,
-    "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
-    "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
-    "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
-    "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
-    "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
-    "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
-    "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
-    "d_incremental_dedup": q_d_incremental_dedup,
-    "w16_ohlc_resample": q_w16_ohlc_resample,
-    "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
-    "d_setsim_prefix_join": _EXT2_QUERIES["d_setsim_prefix_join"],
-    "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
-    "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
-    "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
-    "w18_ewma": _EXT2_QUERIES["w18_ewma"],
-    "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
-    "t_bigram_lm": _EXT2_QUERIES["t_bigram_lm"],
-    "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
-    "a15_countmin": _EXT3_QUERIES["a15_countmin"],
-    "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
-    "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
-    "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
-    "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
-    "w20_twap": _EXT3_QUERIES["w20_twap"],
-    "w21_funnel_window": _EXT3_QUERIES["w21_funnel_window"],
-    "a17_mode": _EXT3_QUERIES["a17_mode"],
-    "p_impute": _EXT3_QUERIES["p_impute"],
-    "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
-    "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
-    "a18_gini": _EXT3_QUERIES["a18_gini"],
-    "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
-    "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
-    "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
-    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
-    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
-    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
-    # ------- 50-slot window boundary (d_embedding_neardup_lsh is position 50) -------
-    # After round 9 the oldest driver evidence anywhere is r6 (46 rows),
-    # which round 10 must lead with — tests/test_plan_shapes.py pins max
-    # staleness, not just never-checked coverage.
-    # FORWARD COHORT ARITHMETIC (r9 accounting): this window refreshed
-    # 44 r5 rows + 6 new queries = 50; demoting the three quadratic
-    # semantic-dedup forms to PYTEST_ONLY_QUERIES shrank the r8 cohort
-    # to 47.  Dues: r10 <- r6 cohort (46, 4 spare), r11 <- r7 cohort
-    # (50 minus whatever r10's spare slots pre-drain), r12 <- r8 cohort
-    # (47).  Each round MUST spend spare slots pre-draining the largest
-    # future cohort or the r11/r12 windows arrive full — the ordering
-    # below already groups the out-of-window tail by due round (r6, r7,
-    # then r8 cohort) so the next rotation is a block move.
-    # test_due_cohort_fits_next_window trips if this is ignored.
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
-    # --- r6 cohort (due at round 10) ---
+    # --- (a) PROMOTED from STAGED (catalog_ext8; VERDICT r9 items #1/#2:
+    # g10's wedge term rewritten degree-ordered before promotion) ---
+    "g10_neighbor_jaccard": _EXT8_QUERIES["g10_neighbor_jaccard"],
+    "t_mattr": _EXT8_QUERIES["t_mattr"],
+    "t_rake_keyphrases": _EXT8_QUERIES["t_rake_keyphrases"],
+    "t_lm_perplexity": _EXT8_QUERIES["t_lm_perplexity"],
+    # --- (b) the r6 cohort: the 46 rows whose newest driver evidence
+    # is r6, due exactly now (the staleness pin) ---
     "w25_streaks": _EXT3_QUERIES["w25_streaks"],
     "p_benford": _EXT3_QUERIES["p_benford"],
     "p_kanon": _EXT3_QUERIES["p_kanon"],
@@ -3419,7 +3354,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
-    # --- r7 cohort (due at round 11; pre-drain with r10 spare slots) ---
+    # ------- 50-slot window boundary (f10_dict_canonicalize is position 50) -------
+    # FORWARD COHORT ARITHMETIC (r10 accounting): this window spends its
+    # 4 spare slots on the staged promotions (they are never-checked, so
+    # in-window is mandatory) + the 46-row r6 cohort = 50 exactly.
+    # Dues: r11 <- r7 cohort (50, exactly full), r12 <- r8 cohort (47,
+    # +m_bmp_decode's promotion = 48, 2 spare), r13 <- r9 cohort (50,
+    # exactly full).  The tail below is grouped by due round (r7, r8,
+    # then r9 cohort) so each rotation stays a block move; with the
+    # registry at 197 + 1 staged = 198 of the 200 the rotation supports,
+    # new queries past 200 require RETIRING a row to PYTEST_ONLY first
+    # (see RETIREMENT_ORDER below; test_plan_shapes pins the ceiling).
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
+    # --- r7 cohort (due at round 11) ---
     "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
     "m_png_decode": _EXT4_QUERIES["m_png_decode"],
     "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
@@ -3518,6 +3466,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
     "e3_intersect": q_e3_intersect,
+    # --- r9 cohort (due at round 13): the 50 rows the r9 window
+    # refreshed — 6 queries new in r9 (catalog_ext7) + the 44 formerly
+    # r5-stale rows ---
+    "w35_changepoint": _EXT7_QUERIES["w35_changepoint"],
+    "j24_interp_join": _EXT7_QUERIES["j24_interp_join"],
+    "a26_entropy": _EXT7_QUERIES["a26_entropy"],
+    "a27_bottomk_distinct": _EXT7_QUERIES["a27_bottomk_distinct"],
+    "t_readability": _EXT7_QUERIES["t_readability"],
+    "g9_link_prediction": _EXT7_QUERIES["g9_link_prediction"],
+    "s9_tumbling_window": q_s9_tumbling_window,
+    "d_exact_dedup": q_d_exact_dedup,
+    "s9b_sliding_window": q_s9b_sliding_window,
+    "s10_session_window": q_s10_session_window,
+    "t_chunk_windows": q_t_chunk_windows,
+    "s12_stream_stream_join": q_s12_stream_stream_join,
+    "s13_stream_stream_left_outer": _EXT_QUERIES["s13_stream_stream_left_outer"],
+    "g1b_pagerank_shuffle": _EXT_QUERIES["g1b_pagerank_shuffle"],
+    "g3b_label_prop_shuffle": _EXT_QUERIES["g3b_label_prop_shuffle"],
+    "a12_equidepth_histogram": _EXT_QUERIES["a12_equidepth_histogram"],
+    "a13_heavy_hitters": _EXT_QUERIES["a13_heavy_hitters"],
+    "d_substring_dedup": _EXT_QUERIES["d_substring_dedup"],
+    "j12_fuzzy_blocked_join": _EXT_QUERIES["j12_fuzzy_blocked_join"],
+    "d_incremental_dedup": q_d_incremental_dedup,
+    "w16_ohlc_resample": q_w16_ohlc_resample,
+    "j12b_deletion_join": _EXT_QUERIES["j12b_deletion_join"],
+    "d_setsim_prefix_join": _EXT2_QUERIES["d_setsim_prefix_join"],
+    "w17_gap_fill": _EXT2_QUERIES["w17_gap_fill"],
+    "j14_scd2_lookup": _EXT2_QUERIES["j14_scd2_lookup"],
+    "a14_mad_outliers": _EXT2_QUERIES["a14_mad_outliers"],
+    "w18_ewma": _EXT2_QUERIES["w18_ewma"],
+    "s14_stream_stream_full_outer": _EXT2_QUERIES["s14_stream_stream_full_outer"],
+    "t_bigram_lm": _EXT2_QUERIES["t_bigram_lm"],
+    "j15_nearest_event_join": _EXT3_QUERIES["j15_nearest_event_join"],
+    "a15_countmin": _EXT3_QUERIES["a15_countmin"],
+    "w19_rolling_median": _EXT3_QUERIES["w19_rolling_median"],
+    "j17_snapshot_diff": _EXT3_QUERIES["j17_snapshot_diff"],
+    "p_weighted_sample": _EXT3_QUERIES["p_weighted_sample"],
+    "a16_seasonal_baseline": _EXT3_QUERIES["a16_seasonal_baseline"],
+    "w20_twap": _EXT3_QUERIES["w20_twap"],
+    "w21_funnel_window": _EXT3_QUERIES["w21_funnel_window"],
+    "a17_mode": _EXT3_QUERIES["a17_mode"],
+    "p_impute": _EXT3_QUERIES["p_impute"],
+    "e2b_except_all": _EXT3_QUERIES["e2b_except_all"],
+    "e3b_intersect_all": _EXT3_QUERIES["e3b_intersect_all"],
+    "a18_gini": _EXT3_QUERIES["a18_gini"],
+    "w22_transition_matrix": _EXT3_QUERIES["w22_transition_matrix"],
+    "o7_diversified_topk": _EXT3_QUERIES["o7_diversified_topk"],
+    "h1_hierarchy_rollup": _EXT3_QUERIES["h1_hierarchy_rollup"],
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_topk_kmeans": q_sim_ivf_topk_kmeans,
+    "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
+    "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
+    "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
 }
 
 
@@ -3622,6 +3623,12 @@ ORACLES: dict[str, str] = {
     **_EXT5_ORACLES,
     **_EXT6_ORACLES,
     **_EXT7_ORACLES,
+    # round-10 promotions from catalog_ext8 (m_bmp_decode stays STAGED
+    # for the r12 window — see STAGED_ORACLES)
+    "g10_neighbor_jaccard": _EXT8_ORACLES["g10_neighbor_jaccard"],
+    "t_mattr": _EXT8_ORACLES["t_mattr"],
+    "t_rake_keyphrases": _EXT8_ORACLES["t_rake_keyphrases"],
+    "t_lm_perplexity": _EXT8_ORACLES["t_lm_perplexity"],
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error
@@ -3651,25 +3658,39 @@ PYTEST_ONLY_ORACLES: dict[str, str] = {
 }
 
 
-# STAGED for the round-10 window (catalog_ext8): built and locally
-# oracle-verified in round 9, but the r9 window is exactly full (6 new
-# + the 44-row due cohort) and a never-driver-checked query must not
-# sit outside the first-50 window.  Promote by MOVING entries from
-# these dicts into QUERIES/ORACLES inside the window (delete here,
-# insert there) — the queries and oracles need no code change.  Until
-# then the local gate (tests/test_catalog_vs_duckdb.py) verifies them
-# every round.
+# STAGED for the round-12 window (catalog_ext8): built and locally
+# oracle-verified in round 9; four of the five ext8 queries were
+# promoted into the r10 window (g10_neighbor_jaccard, t_mattr,
+# t_rake_keyphrases, t_lm_perplexity — VERDICT r9 item #1).  The fifth,
+# m_bmp_decode, waits for r12's 2 spare slots (r11 owes the full 50-row
+# r7 cohort, 0 spare).  Until then the local gate
+# (tests/test_catalog_vs_duckdb.py) verifies it every round.
 #
-# PROMOTION ARITHMETIC (do the subtraction before moving entries):
-# r10's window owes the 46-row r6 cohort -> 4 spare slots; r11 owes
-# the full 50-row r7 cohort -> 0 spare; r12 owes 47 -> 3 spare.  The 5
-# staged queries therefore land as 4 at r10 + 1 at r12 (count them:
-# len(STAGED_QUERIES) — keep this comment in sync).  Registry ceiling:
-# the 50-slot/4-round rotation supports at most 200 registered queries
-# — 193 + these 5 = 198 eventual, TWO slots of headroom; RETIRE rows
-# to PYTEST_ONLY before registering past 200.
-STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
-    _EXT8_QUERIES
-)
+# REGISTRY CEILING: the 50-slot/4-round rotation supports at most 200
+# registered queries — 197 + this 1 = 198 eventual, TWO slots of
+# headroom.  RETIRE rows to PYTEST_ONLY_QUERIES before registering past
+# 200, in RETIREMENT_ORDER (below).
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "m_bmp_decode": _EXT8_QUERIES["m_bmp_decode"],
+}
 
-STAGED_ORACLES: dict[str, str] = dict(_EXT8_ORACLES)
+STAGED_ORACLES: dict[str, str] = {
+    "m_bmp_decode": _EXT8_ORACLES["m_bmp_decode"],
+}
+
+# Ordered retirement list (VERDICT r9 item #5): when a new operator
+# needs a registry slot past the 200-query rotation ceiling, demote
+# rows to PYTEST_ONLY_QUERIES in THIS order — each named row is the
+# special case of a registered general form that subsumes its driver
+# evidence (the general form keeps exercising the same operator code
+# path under the driver oracle; the demoted twin stays oracle-verified
+# locally every round like the semantic-dedup trio).
+RETIREMENT_ORDER: tuple[str, ...] = (
+    "e2_except",        # e2b_except_all subsumes (EXCEPT ALL ⊃ EXCEPT's dedup form)
+    "e3_intersect",     # e3b_intersect_all subsumes, same operator pair
+    "j8_range_join",    # j8b_range_join_bucketed is the same join + the scale path
+    "a3_rollup",        # a3c_grouping_sets plans the superset GROUPING SETS shape
+    "a3b_cube",         # a3c_grouping_sets again (cube = the full lattice)
+    "j5_anti_join",     # j5b_semi_join exercises the same left-semi/anti planner path
+    "s9_tumbling_window",  # s9b_sliding_window covers tumbling as slide=width
+)

@@ -87,7 +87,10 @@ def q_w35_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("cp_day"),
         (
             F.col("absdev").cast("double")
-            / (F.col("n") * F.col("t")).cast("double")
+            # signed cents can cancel to t=0: NULLIF pins both engines to
+            # NULL (DuckDB would yield NaN/Inf) — the degenerate-divisor
+            # rule right_mean below already follows (VERDICT r9 ADVICE)
+            / F.nullif(F.col("n") * F.col("t"), F.lit(0)).cast("double")
         ).alias("cusum_rel"),
         (
             F.col("c").cast("double") / (F.col("i") * 100).cast("double")
@@ -121,7 +124,7 @@ WITH ev AS (
   FROM cum
 )
 SELECT event_type, n AS n_days, strftime(d, '%Y-%m-%d') AS cp_day,
-       CAST(absdev AS DOUBLE) / CAST(n * t AS DOUBLE) AS cusum_rel,
+       CAST(absdev AS DOUBLE) / CAST(nullif(n * t, 0) AS DOUBLE) AS cusum_rel,
        CAST(c AS DOUBLE) / CAST(i * 100 AS DOUBLE) AS left_mean,
        CAST(t - c AS DOUBLE) / CAST(nullif((n - i) * 100, 0) AS DOUBLE) AS right_mean
 FROM dev WHERE rn = 1
@@ -322,7 +325,13 @@ def q_a26_entropy(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.sum(F.col("c") * L(F.col("c"))).cast("long").alias("terms"),
-        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("c2"),
+        # multiply IN decimal(38,0) (not cast after a BIGINT product):
+        # c^2 overflows BIGINT near c~3e9, exactly the 100 TB per-group
+        # count the g7 discipline exists for; the oracle multiplies in
+        # HUGEINT for the same reason (VERDICT r9 ADVICE item 1)
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("c2"),
     )
     h_num = (F.col("n") * L(F.col("n")) - F.col("terms")).alias("h_num")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731

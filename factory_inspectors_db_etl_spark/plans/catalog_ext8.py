@@ -1,12 +1,11 @@
-"""Round-9 STAGED catalog: operators built and oracle-verified this
-round but NOT yet driver-registered — the round-9 window is exactly
-full (6 new queries + the 44-row due cohort), and the rotation gates
-forbid parking a never-checked query outside the first-50 window.
-These live in ``plans.catalog.STAGED_QUERIES`` instead: the local
-DuckDB-oracle gate (tests/test_catalog_vs_duckdb.py) verifies them
-every round, and round 10 (which has ~4 spare window slots after its
-46-row due cohort) promotes them into the driver registry by moving
-the dict entries — no code change to the queries themselves.
+"""Catalog extension built in round 9 (staged then), promoted in round
+10: g10_neighbor_jaccard, t_mattr, t_rake_keyphrases, t_lm_perplexity
+lead the r10 driver window; m_bmp_decode stays in
+``plans.catalog.STAGED_QUERIES`` until r12's spare slots (the local
+DuckDB-oracle gate, tests/test_catalog_vs_duckdb.py, verifies it every
+round meanwhile).  g10's common-neighbor count was rewritten
+degree-ordered before promotion (VERDICT r9 item #2 — see its
+docstring).
 
 Same determinism discipline as plans.catalog (exact integers, one
 trailing IEEE division, ln snapped to fixed point, NULLIF on every
@@ -45,11 +44,19 @@ def q_g10_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     All exact BIGINTs, ONE trailing division; an isolated edge (both
     degrees 1) has union 0 — undefined similarity, NULLIF-pinned NULL.
 
-    Scale: degree table is one map-side count; common neighbors per
-    edge reuse the g2 wedge equi-join (adjacency joined with itself on
-    the intermediate, then matched against the edge list) — candidate
-    volume Σ deg(w)², the triangle-counting bound, with the heavy-hub
-    mitigation available exactly as in g9 if a real graph needs it."""
+    Scale: degree table is one map-side count; the common-neighbor
+    count per edge is the edge's TRIANGLE count, so it runs as
+    DEGREE-ORDERED triangle enumeration (the g2 family's orientation,
+    sharpened): orient every edge from its lower-(deg, id) endpoint to
+    the higher, build wedges only between OUT-neighbors of the shared
+    low vertex, close against the edge list, then explode each
+    triangle (found exactly once, from its minimum-rank vertex) into
+    its three edges and count.  Candidate volume is Σ outdeg(a)² —
+    outdeg under this orientation is O(√E), so the wedge stream is
+    O(E^1.5) regardless of hub skew, EXACT with no cap or bias
+    (VERDICT r9 item 2: the raw Σ deg(w)² self-join this replaces was
+    the scale-killer on skewed graphs; the r9 sweep measured it at
+    8.27× per 10× data)."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     urgent = (
         load_table(spark, sf, "orders")
@@ -70,28 +77,58 @@ def q_g10_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
     )
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    # wedges through w: (x1, x2) both adjacent to w, canonical x1<x2;
-    # matching an existing edge (u,v) means w is a COMMON neighbor.
-    # Aggregate BEFORE the edge semi-join (the g9 lesson): the wedge
-    # stream is the big intermediate and groupBy gets a map-side
-    # combine, so the (u,v) shuffle carries combined counts; the
-    # semi-join then runs on the distinct-pair set, not raw wedges.
-    p1 = adj.select("w", F.col("x").alias("u"))
-    p2 = adj.select("w", F.col("x").alias("v"))
-    shared = (
-        p1.join(p2, "w")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .join(edges, ["u", "v"], "left_semi")
-    )
     du = deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("deg_v"))
-    e = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .join(shared, ["u", "v"], "left")
-        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+    # degree-ordered orientation: each edge points low-(deg, id) ->
+    # high-(deg, id).  Every triangle then has exactly ONE vertex with
+    # two out-edges (its minimum-rank vertex), so joining the oriented
+    # adjacency with itself on that shared tail enumerates each
+    # triangle exactly once, and outdeg <= O(sqrt(E)) bounds the wedge
+    # stream at O(E^1.5) even under hub skew — no cap, no bias.
+    ed = materialize(edges.join(du, "u").join(dv, "v"))
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oadj = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o1 = oadj.select("a", F.col("b").alias("x1"))
+    o2 = oadj.select("a", F.col("b").alias("x2"))
+    # x1 < x2 by id keeps each out-neighbor pair once AND matches the
+    # canonical u<v edge list directly; the inner join closes wedges
+    # into triangles BEFORE any aggregation, so the exploded stream is
+    # 3x |triangles|, not the wedge volume.
+    tri = (
+        o1.join(o2, "a")
+        .filter(F.col("x1") < F.col("x2"))
+        .join(
+            edges.select(F.col("u").alias("x1"), F.col("v").alias("x2")),
+            ["x1", "x2"],
+        )
+    )
+    # each triangle contributes one common neighbor to each of its 3
+    # edges: w=a for edge (x1,x2); w=x2 for edge (a,x1); w=x1 for (a,x2)
+    contrib = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x1").alias("cu"), F.col("x2").alias("cv")),
+                F.struct(
+                    F.least("a", "x1").alias("cu"),
+                    F.greatest("a", "x1").alias("cv"),
+                ),
+                F.struct(
+                    F.least("a", "x2").alias("cu"),
+                    F.greatest("a", "x2").alias("cv"),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.cu").alias("u"), F.col("e.cv").alias("v"))
+    shared = contrib.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    e = ed.join(shared, ["u", "v"], "left").withColumn(
+        "n_shared", F.coalesce(F.col("n_shared"), F.lit(0))
     )
     union = F.col("deg_u") - 1 + F.col("deg_v") - 1 - F.col("n_shared")
     return e.select(
@@ -398,14 +435,14 @@ def q_t_rake_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
         # a phrase appearing k times contributes k identical word rows
         # per word: _sum counts each word k times, so divide by the
         # phrase's occurrence count _nw/_plen to get the per-occurrence
-        # score — exact integer division is safe because _sum is k
-        # times the true score by construction
+        # score.  _sum*_plen is an EXACT multiple of _nw (= k*_plen) by
+        # construction, so integer division `div` is lossless — the
+        # double route (`/` then cast) truncates in Spark but ROUNDS in
+        # DuckDB once the product passes 2^53 (VERDICT r9 ADVICE item 3)
         .select(
             "doc_id",
             "phrase",
-            (F.col("_sum") * F.col("_plen") / F.col("_nw"))
-            .cast("long")
-            .alias("score6"),
+            F.expr("_sum * _plen div _nw").cast("long").alias("score6"),
         )
     )
     wr = W.partitionBy("doc_id").orderBy(
@@ -459,7 +496,7 @@ WITH d AS (
 ), pscore AS (
   SELECT pw.doc_id, pw.phrase,
          CAST(CAST(sum(wscore6) AS BIGINT) * CAST(max(plen) AS BIGINT)
-              / CAST(count(*) AS BIGINT) AS BIGINT) AS score6
+              // CAST(count(*) AS BIGINT) AS BIGINT) AS score6
   FROM pw JOIN wscore ON wscore.doc_id = pw.doc_id AND wscore.word = pw.word
   GROUP BY pw.doc_id, pw.phrase
 ), ranked AS (

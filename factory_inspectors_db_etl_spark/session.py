@@ -31,7 +31,8 @@ _MAX_AUTO_PARTITIONS = 2048  # local-mode ceiling; a real cluster raises it
 
 
 def _auto_shuffle_partitions(cpus: int, data_dir: str | None) -> int:
-    """max(cores, input_bytes / 12 MiB), capped — data-proportional
+    """max(cores, input_bytes / _BYTES_PER_SHUFFLE_PARTITION (2 MiB)),
+    capped — data-proportional
     initial shuffle partitioning (VERDICT r8 item #6).  ``data_dir``
     (usually $SPARK_GRAFT_SF_DIR) is scanned for parquet bytes; absent
     or unreadable, the core-count default stands."""

@@ -14,6 +14,14 @@ Usage:
     python scripts/scaling_sweep.py                  # default 8 families
     python scripts/scaling_sweep.py --only g5_wcc
     python scripts/scaling_sweep.py --one <name> <sf_dir>   # internal
+    python scripts/scaling_sweep.py --decade2 --only a,b    # sf1 -> sf10
+
+--decade2 (VERDICT r9 item #4) measures the SECOND decade, sf1 -> sf10
+(~2.4 GB parquet; generate with
+``python scripts/gen_sf.py .scratch/sf1 .scratch/sf10 10``): quadratic
+residue that hides inside constant factors at 10x shows at 100x.  Runs
+get a 48g heap and write ``sf10`` + ``ratio_sf10_sf1`` rows into the
+same per-family records.
 
 Writes SCALING_SWEEP.json at the repo root.  `etl_warehouse_build` is
 deliberately NOT here: its corpus (13 yearly rosters) is fixed and does
@@ -50,7 +58,7 @@ FAMILIES = {
     "g9_link_prediction": "candidate volume n*cap^2 with the deg<=64 hub cap — expect ~linear in edges once capped; TakeOrdered top-k, no global sort",
     "j24_interp_join": "probe-side broadcast hash equi-join on month buckets; reference curve O(days) — expect ~linear in probes",
     "a27_bottomk_distinct": "distinct-(group,hash) shuffle + rank window over distinct hashes — expect ~linear in rows",
-    "g10_neighbor_jaccard": "g2's wedge equi-join bound (sum deg(w)^2) + map-side-combined pair agg — expect ~linear on the replicated stress graph (disjoint subgraphs)",
+    "g10_neighbor_jaccard": "degree-ordered triangle enumeration (sum outdeg^2 = O(E^1.5), hub-skew-proof — the r10 rewrite of the raw sum deg^2 wedge join) + 3x|triangles| explode + pair agg — expect ~linear on the replicated stress graph (disjoint subgraphs)",
     "t_mattr": "difference-array sliding distinct: +1/-1 events per token, three per-doc windows — expect ~linear in tokens",
     "t_rake_keyphrases": "two explodes + two map-side-combinable aggs + per-doc rank window — expect ~linear in tokens",
     "t_lm_perplexity": "one vocab-count shuffle + broadcast LM join + per-doc agg — expect ~linear in tokens",
@@ -107,6 +115,12 @@ def main() -> int:
     ap.add_argument("--only", help="comma-separated family names")
     ap.add_argument("--sf-small", default="/root/testdata/sf0.1")
     ap.add_argument("--sf-big", default=os.path.join(REPO, ".scratch", "sf1"))
+    ap.add_argument("--sf-xbig", default=os.path.join(REPO, ".scratch", "sf10"))
+    ap.add_argument(
+        "--decade2",
+        action="store_true",
+        help="measure sf1 -> sf10 instead of sf0.1 -> sf1",
+    )
     args = ap.parse_args()
 
     if args.one:
@@ -120,9 +134,19 @@ def main() -> int:
         with open(out_path) as f:
             results = json.load(f).get("families", {})
 
+    pairs = (
+        (("sf1", args.sf_big, "24g"), ("sf10", args.sf_xbig, "48g"))
+        if args.decade2
+        else (("sf0.1", args.sf_small, "16g"), ("sf1", args.sf_big, "24g"))
+    )
+    lo_key, hi_key = pairs[0][0], pairs[1][0]
+    ratio_key = "ratio_sf10_sf1" if args.decade2 else "ratio_10x"
     for name in names:
         rec = {"complexity": FAMILIES.get(name, "?")}
-        for key, sf_dir, heap in (("sf0.1", args.sf_small, "16g"), ("sf1", args.sf_big, "24g")):
+        if args.decade2:
+            # decade-2 rows EXTEND the committed sf0.1->sf1 record
+            rec.update(results.get(name, {}))
+        for key, sf_dir, heap in pairs:
             env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
             cmd = [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir]
             print(f"== {name} @ {key} (fresh JVM, {heap})", flush=True)
@@ -146,9 +170,9 @@ def main() -> int:
                 continue
             rec[key] = {"runs": got["runs"], "min": min(got["runs"])}
             print(f"   min {min(got['runs'])}s  runs {got['runs']}", flush=True)
-        if "min" in rec.get("sf0.1", {}) and "min" in rec.get("sf1", {}):
-            rec["ratio_10x"] = round(rec["sf1"]["min"] / rec["sf0.1"]["min"], 2)
-            print(f"   RATIO sf1/sf0.1 = {rec['ratio_10x']}x", flush=True)
+        if "min" in rec.get(lo_key, {}) and "min" in rec.get(hi_key, {}):
+            rec[ratio_key] = round(rec[hi_key]["min"] / rec[lo_key]["min"], 2)
+            print(f"   RATIO {hi_key}/{lo_key} = {rec[ratio_key]}x", flush=True)
         results[name] = rec
         # incremental write: a crash/timeout later in the sweep must not
         # lose the families already measured

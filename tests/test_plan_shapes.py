@@ -437,3 +437,46 @@ def test_simulated_r10_r12_rotation_never_overflows_the_window():
         window = due + [k for k in order if k not in due][: 50 - len(due)]
         for k in window:
             sim[k] = rnd
+
+
+def test_registry_ceiling_and_retirement_order():
+    """Registry growth gate (VERDICT r9 item #5): the 50-slot/4-round
+    rotation supports at most 200 registered queries — one more and
+    some cohort mathematically cannot be refreshed on its turn, no
+    matter how the registry is ordered (201 queries / 50 slots > 4
+    rounds of staleness budget).  Registering past 200 must fail HERE,
+    loudly, with the documented escape hatch: demote rows to
+    PYTEST_ONLY_QUERIES in RETIREMENT_ORDER first.  The list itself is
+    sanity-pinned: every named row must still be registered (a demoted
+    row leaves the list) and its subsuming general form must also be
+    registered, so retiring never orphans an operator's driver
+    evidence."""
+    from factory_inspectors_db_etl_spark.plans.catalog import (
+        RETIREMENT_ORDER,
+        STAGED_QUERIES,
+    )
+
+    total = len(QUERIES) + len(STAGED_QUERIES)
+    assert total <= 200, (
+        f"{total} registered+staged queries > the 200 the 50-slot/4-round "
+        f"rotation supports — demote {total - 200} row(s) to "
+        f"PYTEST_ONLY_QUERIES first, in RETIREMENT_ORDER: {RETIREMENT_ORDER}"
+    )
+    subsumed_by = {
+        "e2_except": "e2b_except_all",
+        "e3_intersect": "e3b_intersect_all",
+        "j8_range_join": "j8b_range_join_bucketed",
+        "a3_rollup": "a3c_grouping_sets",
+        "a3b_cube": "a3c_grouping_sets",
+        "j5_anti_join": "j5b_semi_join",
+        "s9_tumbling_window": "s9b_sliding_window",
+    }
+    assert set(RETIREMENT_ORDER) == set(subsumed_by), (
+        "RETIREMENT_ORDER and its subsumption map drifted apart — update both"
+    )
+    for special in RETIREMENT_ORDER:
+        assert special in QUERIES, f"{special} already demoted — drop it from RETIREMENT_ORDER"
+        assert subsumed_by[special] in QUERIES, (
+            f"{special}'s subsuming form {subsumed_by[special]} is not "
+            f"registered — retiring {special} would orphan the operator"
+        )

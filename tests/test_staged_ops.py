@@ -1,6 +1,11 @@
-"""Staged-operator properties (catalog_ext8 — built r9, staged for the
-r10 driver window): independent brute-force twins, same discipline as
-test_round9_ops.
+"""catalog_ext8 operator properties (built r9; g10/t_mattr/t_rake/t_ppl
+promoted to the r10 driver window, m_bmp_decode staged for r12):
+independent brute-force twins, same discipline as test_round9_ops.
+
+The g10 twin doubles as the correctness pin for the r10 degree-ordered
+triangle-enumeration rewrite (VERDICT r9 item #2): the brute force
+computes every edge's neighbor sets directly, so any wedge miscount
+from the orientation change fails here before it reaches the oracle.
 """
 
 from __future__ import annotations
