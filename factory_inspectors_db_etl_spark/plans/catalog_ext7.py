@@ -51,7 +51,10 @@ def q_w35_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     (relative deviation, left/right segment means) are single IEEE
     divisions of exact integers.  Degenerate guards: a single-day series
     puts the change-point at that day with a NULL right mean
-    (NULLIF(n-i, 0) on both engines — the r8 ADVICE division rule).
+    (NULLIF(n-i, 0) on both engines — the r8 ADVICE division rule), and
+    a type whose SIGNED cents cancel to t=0 pins cusum_rel to NULL the
+    same way (NULLIF(n*t, 0); DuckDB would otherwise emit NaN/Inf —
+    r9 ADVICE item 2, pinned in tests/test_round10_numerics.py).
 
     Scale: one map-side-combinable shuffle to (type, day) daily totals
     — the windowed CUSUM pass runs over the AGGREGATED series (O(days)
