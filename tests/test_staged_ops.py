@@ -402,3 +402,54 @@ def test_bmp_resize_dispatch_and_idempotence(spark):
     assert (small == px[np.ix_(ys, xs)]).all()
     # idempotent at fixed max_side
     assert resize_bmp(bytes(out["payload"]), 8) == bytes(out["payload"])
+
+
+def test_g10_exact_on_hub_skewed_graph(spark, tmp_path):
+    """The degree-ordered rewrite exists FOR hub skew (VERDICT r9 item
+    #2), so pin exactness on a graph that has some: a hub part
+    co-purchased with every rim part (deg 20) plus a rim ring (deg 3)
+    plus one isolated edge (deg 1 endpoints -> NULL jaccard).  Every
+    triangle contains the hub, so any orientation/double-count bug in
+    the min-rank wedge enumeration shows up as a wrong n_shared here,
+    where the brute force is trivially checkable by hand."""
+    import pandas as pd
+
+    sf = str(tmp_path)
+    orders, lineitem = [], []
+    n_rim = 20
+    for k in range(1, n_rim + 1):
+        orders.append((k, "1-URGENT"))
+        nxt = k + 1 if k < n_rim else 1
+        for part in (0, k, nxt):  # hub + ring edge per order
+            lineitem.append((k, part))
+    orders.append((99, "1-URGENT"))  # isolated edge, both degrees 1
+    lineitem += [(99, 100), (99, 101)]
+    orders.append((98, "3-MEDIUM"))  # wrong priority: must be filtered out
+    lineitem += [(98, 0), (98, 500)]
+    pd.DataFrame(orders, columns=["o_orderkey", "o_orderpriority"]).to_parquet(
+        f"{sf}/orders.parquet"
+    )
+    pd.DataFrame(lineitem, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        f"{sf}/lineitem.parquet"
+    )
+
+    edges = _edges(spark, sf)
+    assert (100, 101) in edges and not any(500 in e for e in edges)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    assert len(adj[0]) == n_rim  # the hub really is skewed
+
+    out = {(r["u"], r["v"]): r for r in q_g10_neighbor_jaccard(spark, sf).collect()}
+    assert set(out) == edges
+    for (u, v), r in out.items():
+        shared = len(adj[u] & adj[v])
+        union = len((adj[u] - {v}) | (adj[v] - {u}))
+        assert r["n_shared"] == shared, (u, v)
+        assert (r["deg_u"], r["deg_v"]) == (len(adj[u]), len(adj[v]))
+        if union == 0:
+            assert r["jaccard"] is None
+            assert (u, v) == (100, 101)
+        else:
+            assert abs(r["jaccard"] - shared / union) < 1e-12
