@@ -30,6 +30,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
+    ngram_cluster_assignments,
     ngram_jaccard_pairs,
     portable_hash60,
     simhash,
@@ -1487,45 +1488,20 @@ def q_d_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     cluster is ``is_canonical``.  The oracle replays the closure with a
     recursive CTE, so the clustering itself is value-checked.
 
-    Pairs are generated at the DISTINCT-TEXT grain (the setsim/LSH
-    exact-dup collapse, r10): unlike the pair QUERIES, whose member
-    output is Θ(duplicates²) by contract, this query's output is one
-    row per doc — so nothing forces the intermediate pair set to carry
-    r² member pairs per verbatim-duplicated text.  Byte-identical texts
-    collapse to their min-id representative, the pair join + closure
-    run on representatives, members inherit their rep's component.
-    Bit-identical to the member-level closure: jaccard is a pure
-    function of the two texts, so the member pair graph is exactly the
-    expanded rep graph plus intra-group cliques, each exact group's min
-    member IS its rep, and a cluster's min member is therefore the min
-    rep — same component ids, same canonical picks.  NULL-text docs
-    bypass the collapse (they produce no shingles, so the member-level
-    closure leaves each one a singleton — grouping them would wrongly
-    merge them).  Measured at the r10 second-decade sweep: the
-    member-level form took 240s at sf1 (10 verbatim copies/text -> 100x
-    pair work) and timed out at sf10; this form is linear in distinct
-    texts."""
+    Pairs are generated at the DISTINCT-TEXT grain
+    (``operators.dedup.ngram_cluster_assignments`` — the setsim/LSH
+    exact-dup collapse applied to closure consumers, r10): unlike the
+    pair QUERIES, whose member output is Θ(duplicates²) by contract,
+    this query's output is one row per doc, so nothing forces the
+    intermediate pair set to carry r² member pairs per
+    verbatim-duplicated text.  Bit-identity argument and the 240s->4.3s
+    sf1 measurement live on the operator's docstring."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
-    nn = d.filter(F.col("text").isNotNull())
-    grp = W.partitionBy("text")
-    tagged = materialize(
-        nn.select("doc_id", "text", F.min("doc_id").over(grp).alias("_rep"))
-    )
-    reps = tagged.filter(F.col("doc_id") == F.col("_rep")).select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(reps, "doc_id", "text", k=3, threshold=0.5)
-    rep_comp = assign_components(reps, pairs, "doc_id").select(
-        F.col("doc_id").alias("_rep"), "component_id"
-    )
-    members = tagged.select(F.col("doc_id").alias("_mid"), "_rep").join(
-        rep_comp, "_rep"
-    )
-    nulls = d.filter(F.col("text").isNull()).select(
-        F.col("doc_id").alias("_mid"), F.col("doc_id").alias("component_id")
-    )
-    return members.select("_mid", "component_id").unionByName(nulls).select(
-        F.col("_mid").alias("doc_id"),
+    comp = ngram_cluster_assignments(d, "doc_id", "text", k=3, threshold=0.5)
+    return comp.select(
+        "doc_id",
         "component_id",
-        (F.col("_mid") == F.col("component_id")).alias("is_canonical"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
 
 

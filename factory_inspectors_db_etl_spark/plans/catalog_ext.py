@@ -159,10 +159,17 @@ def q_d_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     Winner = max ``quality_score`` (already bit-identical cross-engine),
     ties to min doc_id.  Cost over the cluster assignment: one window
     over components — partitioned by cluster id, so state is bounded by
-    cluster size at any corpus scale."""
+    cluster size at any corpus scale.  The cluster assignment itself is
+    the exact-dup-collapsed closure (r10,
+    ``operators.dedup.ngram_cluster_assignments``): this query's output
+    is per-doc, so the pair join runs at the distinct-text grain —
+    bit-identical, and linear where the member-level form was
+    replication² (240s -> 4.3s at sf1 on d_dedup_clusters, same
+    pipeline)."""
+    from ..operators.dedup import ngram_cluster_assignments
+
     d = load_table(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
-    comp = assign_components(d, pairs, "doc_id").select("doc_id", "component_id")
+    comp = ngram_cluster_assignments(d, "doc_id", "text", k=3, threshold=0.5)
     scored = d.select("doc_id", TA.quality_score(F.col("text")).alias("quality")).join(
         comp, "doc_id"
     )

@@ -65,6 +65,7 @@ FAMILIES = {
     "d_minhash_lsh": "shingle -> minhash -> banded bucket equi-join with exact-dup collapse; the replicated stress corpus is the collapse guard's worst case (100 verbatim copies/text at sf10) — expect ~linear, quadratic without the guard",
     "d_dedup_clusters": "pair gen (collapse-guarded) + large-star/small-star closure, O(log^2 n) rounds — expect ~linear + log factor",
     "m_jpeg_decode": "Arrow-batched mapInPandas real JPEG decode per doc — the Python-UDF scale path; expect ~linear in docs",
+    "d_keep_best": "exact-dup-collapsed closure (ngram_cluster_assignments) + quality score + one per-cluster window — expect ~flat in replication like d_dedup_clusters",
 }
 
 
