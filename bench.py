@@ -30,7 +30,16 @@ from factory_inspectors_db_etl_spark.session import get_spark  # noqa: E402
 # number per operator family, with zero coverage drift as the catalog
 # grows.  (Round 2 benched a 33-query subset and the judge flagged the
 # gap — VERDICT.md "Next round" #6.)
-HEADLINE = list(QUERIES)
+#
+# CANONICAL ORDER CONTRACT (VERDICT r10 item #4): queries run in SORTED
+# NAME order, decoupled from the registry's rotation order.  Round 10
+# measured a warm-session JIT position effect of ±9% when the registry
+# order changed between rounds (moved-earlier queries ran slower warm,
+# moved-later faster), which made warm totals incomparable across
+# rounds.  A fixed order can't remove the position effect, but it makes
+# it CONSTANT per query, so round-over-round common-entry deltas are
+# interpretable at face value again.
+HEADLINE = sorted(QUERIES)
 
 
 def _median_ratio(
@@ -274,6 +283,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "timing": "min_of_3 per query and pipeline (steady-state)",
+        "order": (
+            "sorted query name (canonical, registry-order-independent — "
+            "round-over-round warm totals are comparable; see HEADLINE)"
+        ),
         "oracle_duckdb_s": oracle_s,
         "oracle_note": (
             "single-run DuckDB wall time for the same query's oracle SQL "

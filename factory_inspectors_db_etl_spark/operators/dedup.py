@@ -699,21 +699,35 @@ def ngram_cluster_assignments(
     quadratic intermediate: byte-identical texts collapse to their
     min-id representative, ``ngram_jaccard_pairs`` + connected
     components run on representatives, and members inherit their rep's
-    component.  Bit-identical to the member-level closure: jaccard is a
-    pure function of the two texts, so the member pair graph is exactly
-    the expanded rep graph plus intra-group cliques, and each exact
-    group's min member IS its rep — same component ids (cluster-min doc
-    id), same downstream canonical picks.  NULL texts bypass the
-    collapse: they shingle to nothing, so the member-level closure
-    leaves each one a singleton, and grouping them would wrongly merge
-    them.
+    component.
+
+    Equivalence contract (qualified — ADVICE r10): the PAIR PREDICATE is
+    bit-identical — jaccard is a pure function of the two texts, so
+    identical texts always share all shingles (jaccard = 1), the member
+    pair graph is exactly the expanded rep graph plus intra-group
+    cliques, and each exact group's min member IS its rep — same
+    component ids (cluster-min doc id), same downstream canonical picks.
+    The ``max_df`` shingle cap, however, binds at a DIFFERENT grain:
+    the member-level form counts document frequency per COPY (a text
+    duplicated more than ``max_df`` times has every shingle dropped and
+    its copies degrade to singletons), while this form counts df per
+    DISTINCT text — so under a binding cap the two plans can differ, and
+    it is THIS form that tracks the uncapped closure (the semantic
+    ground truth) more closely.  NULL texts bypass the collapse: they
+    shingle to nothing, so the member-level closure leaves each one a
+    singleton, and grouping them would wrongly merge them.
 
     Measured (r10 second-decade sweep, 10 verbatim copies/text at sf1,
     100 at sf10): the un-collapsed closure took 240s at sf1 and timed
     out at sf10; this form runs 4.3s/4.5s — pair work tracks DISTINCT
     texts, which replication does not grow."""
     nn = docs.filter(F.col(text_col).isNotNull())
-    grp = Window.partitionBy(text_col)
+    # Fixed-width shuffle key for the rep-tagging pass: partitioning the
+    # window on the raw text would ship every multi-KB document through
+    # the exchange twice (key + payload) and sort on it; md5 keeps the
+    # exchange 16 bytes/row wide with the same grouping semantics the
+    # module's exact_dedup already stakes on md5 equality.
+    grp = Window.partitionBy(F.md5(F.col(text_col)))
     tagged = materialize(
         nn.select(
             F.col(id_col),

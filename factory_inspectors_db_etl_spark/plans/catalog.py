@@ -3300,88 +3300,26 @@ JOIN c ON q.doc_id = c.doc_id
 # dict per round.  Rotation history: r2 = the 50 §2-core keys; r3 = 29
 # never-checked + 21 core; r4 = changed/new/r2-parked; r5 = r2-stale
 # refreshes + the 47 round-5 additions; r6 = the 9 never-checked late-r5d
-# additions + 26 new round-6 queries + r6-changed code + 8 oldest-r3 core
-# (all 50 green, CORRECTNESS_r06.json).
+# additions + 26 new round-6 queries + r6-changed code + 8 oldest-r3 core;
+# r10 = the 4 ext8 promotions + the 46-row r6 cohort (all 50 green,
+# CORRECTNESS_r10.json).
 #
-# Round 10 leads with (a) the 4 queries PROMOTED from STAGED_QUERIES
-# (catalog_ext8, built+locally-verified r9 — never driver-checked, so
-# they must be in-window) and (b) the full 46-row r6 cohort — the
-# oldest driver evidence in the repo — which together fill the window
-# exactly (4 + 46 = 50, VERDICT r9 item #1).  Union across rounds stays
+# Round 11 is the full 50-row r7 cohort — the oldest driver evidence in
+# the repo, due exactly now by the staleness pin, zero spare slots
+# (VERDICT r10 item #1).  It LEADS with d_dedup_clusters: its plan
+# changed in r10 (exact-dup collapse before the pair join,
+# operators/dedup.py) and is locally oracle-green at four SFs, but the
+# driver has never hashed the rewritten plan — r7 evidence on changed
+# code is the stalest thing in the registry.  Union across rounds stays
 # total and every rotated-out query is re-verified locally by
 # tests/test_catalog_vs_duckdb.py each round.  tests/test_plan_shapes.py
 # pins the rotation rule itself two ways: no never-driver-checked query
 # may sit outside the first-50 window, and no query outside the window
 # may be more than 4 rounds stale at the upcoming driver run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (a) PROMOTED from STAGED (catalog_ext8; VERDICT r9 items #1/#2:
-    # g10's wedge term rewritten degree-ordered before promotion) ---
-    "g10_neighbor_jaccard": _EXT8_QUERIES["g10_neighbor_jaccard"],
-    "t_mattr": _EXT8_QUERIES["t_mattr"],
-    "t_rake_keyphrases": _EXT8_QUERIES["t_rake_keyphrases"],
-    "t_lm_perplexity": _EXT8_QUERIES["t_lm_perplexity"],
-    # --- (b) the r6 cohort: the 46 rows whose newest driver evidence
-    # is r6, due exactly now (the staleness pin) ---
-    "w25_streaks": _EXT3_QUERIES["w25_streaks"],
-    "p_benford": _EXT3_QUERIES["p_benford"],
-    "p_kanon": _EXT3_QUERIES["p_kanon"],
-    "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
-    "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
-    "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
-    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
-    "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
-    "j6c_asof_tolerance": q_j6c_asof_tolerance,
-    "d_containment": _EXT2_QUERIES["d_containment"],
-    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
-    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
-    "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
-    "g5_wcc": _EXT4_QUERIES["g5_wcc"],
-    "a22_hhi_concentration": _EXT4_QUERIES["a22_hhi_concentration"],
-    "w28_rfm_segmentation": _EXT4_QUERIES["w28_rfm_segmentation"],
-    "j18_interval_align": _EXT4_QUERIES["j18_interval_align"],
-    "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
-    "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
-    "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
-    "j21_grid_spatial_join": _EXT4_QUERIES["j21_grid_spatial_join"],
-    "t_vocab_growth": _EXT4_QUERIES["t_vocab_growth"],
-    "w29_last_touch_attribution": _EXT4_QUERIES["w29_last_touch_attribution"],
-    "g6_clustering_coeff": _EXT4_QUERIES["g6_clustering_coeff"],
-    "p_temporal_split": _EXT4_QUERIES["p_temporal_split"],
-    "j23_incremental_join_view": _EXT4_QUERIES["j23_incremental_join_view"],
-    "a24_percentile_rank": _EXT4_QUERIES["a24_percentile_rank"],
-    "p_balanced_downsample": _EXT4_QUERIES["p_balanced_downsample"],
-    "p_winsorize": _EXT4_QUERIES["p_winsorize"],
-    "w30_path_analysis": _EXT4_QUERIES["w30_path_analysis"],
-    "w31_interval_coalesce": _EXT4_QUERIES["w31_interval_coalesce"],
-    "s15_stream_stream_semi": _EXT4_QUERIES["s15_stream_stream_semi"],
-    "p_chi2_independence": _EXT4_QUERIES["p_chi2_independence"],
-    "e4_relational_division": _EXT4_QUERIES["e4_relational_division"],
-    "sim_cosine_topk": q_sim_cosine_topk,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "d_embedding_neardup": q_d_embedding_neardup,
-    "sim_pq_topk": q_sim_pq_topk,
-    "flagship_q5_revenue": flagship,
-    "s1_filter_project": q_s1_filter_project,
-    "f1_standardize": q_f1_standardize,
-    "f2_clean_number": q_f2_clean_number,
-    "f5_regex_extract": q_f5_regex_extract,
-    "f8_token_sort_canon": q_f8_token_sort_canon,
-    "f9_case_ladder": q_f9_case_ladder,
-    "f10_dict_canonicalize": q_f10_dict_canonicalize,
-    # ------- 50-slot window boundary (f10_dict_canonicalize is position 50) -------
-    # FORWARD COHORT ARITHMETIC (r10 accounting): this window spends its
-    # 4 spare slots on the staged promotions (they are never-checked, so
-    # in-window is mandatory) + the 46-row r6 cohort = 50 exactly.
-    # Dues: r11 <- r7 cohort (50, exactly full), r12 <- r8 cohort (47,
-    # +m_bmp_decode's promotion = 48, 2 spare), r13 <- r9 cohort (50,
-    # exactly full).  The tail below is grouped by due round (r7, r8,
-    # then r9 cohort) so each rotation stays a block move; with the
-    # registry at 197 + 1 staged = 198 of the 200 the rotation supports,
-    # new queries past 200 require RETIRING a row to PYTEST_ONLY first
-    # (see RETIREMENT_ORDER below; test_plan_shapes pins the ceiling).
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
-    # --- r7 cohort (due at round 11) ---
+    # --- the r11 window: the 50-row r7 cohort, led by d_dedup_clusters
+    # (r10-changed plan the driver has never seen — VERDICT r10 item #1) ---
+    "d_dedup_clusters": q_d_dedup_clusters,
     "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
     "m_png_decode": _EXT4_QUERIES["m_png_decode"],
     "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
@@ -3428,10 +3366,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_multimodal_decode": q_m_multimodal_decode,
     "m_frame_sample": q_m_frame_sample,
     "d_ngram_jaccard": q_d_ngram_jaccard,
-    "d_dedup_clusters": q_d_dedup_clusters,
     "d_minhash_lsh": q_d_minhash_lsh,
     "d_simhash": q_d_simhash,
     "t_tfidf_topk": q_t_tfidf_topk,
+    # ------- 50-slot window boundary (t_tfidf_topk is position 50) -------
+    # FORWARD COHORT ARITHMETIC (r11 accounting): this window is the
+    # 50-row r7 cohort exactly — zero spare slots.  Dues: r12 <- r8
+    # cohort (47 rows) + m_bmp_decode's promotion = 48 (2 spare),
+    # r13 <- r9 cohort (50, exactly full), r14 <- r10 cohort (50,
+    # exactly full — the 4 ext8 promotions + the 46-row r6 block the
+    # r10 window refreshed).  The tail below is grouped by due round
+    # (r8, r9, then r10 cohort) so each rotation stays a block move;
+    # with the registry at 197 + 1 staged = 198 of the 200 the rotation
+    # supports, new queries past 200 require RETIRING a row to
+    # PYTEST_ONLY first (see RETIREMENT_ORDER below; test_plan_shapes
+    # pins the ceiling and simulates the schedule through r14 including
+    # one demotion path).
+    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
+    # tests/test_plan_shapes.py pins it.)
     # --- r8 cohort (due at round 12; 47 rows after the demotion) ---
     "d_semantic_dedup_lshassign": _EXT6_QUERIES["d_semantic_dedup_lshassign"],
     "g8_kcore": _EXT6_QUERIES["g8_kcore"],
@@ -3533,6 +3485,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_pagerank": _EXT_QUERIES["g1_pagerank"],
     "g3_label_propagation": _EXT_QUERIES["g3_label_propagation"],
     "d_embedding_neardup_lsh": q_d_embedding_neardup_lsh,
+    # --- r10 cohort (due at round 14): the 4 catalog_ext8 promotions +
+    # the 46-row r6 block the r10 window refreshed (all 50 green,
+    # CORRECTNESS_r10.json) ---
+    "g10_neighbor_jaccard": _EXT8_QUERIES["g10_neighbor_jaccard"],
+    "t_mattr": _EXT8_QUERIES["t_mattr"],
+    "t_rake_keyphrases": _EXT8_QUERIES["t_rake_keyphrases"],
+    "t_lm_perplexity": _EXT8_QUERIES["t_lm_perplexity"],
+    "w25_streaks": _EXT3_QUERIES["w25_streaks"],
+    "p_benford": _EXT3_QUERIES["p_benford"],
+    "p_kanon": _EXT3_QUERIES["p_kanon"],
+    "w26_period_over_period": _EXT3_QUERIES["w26_period_over_period"],
+    "w27_dau_wau": _EXT3_QUERIES["w27_dau_wau"],
+    "w27b_wau_sketch": _EXT3_QUERIES["w27b_wau_sketch"],
+    "g4_khop_bfs": _EXT_QUERIES["g4_khop_bfs"],
+    "a21_weighted_median": _EXT3_QUERIES["a21_weighted_median"],
+    "j6c_asof_tolerance": q_j6c_asof_tolerance,
+    "d_containment": _EXT2_QUERIES["d_containment"],
+    "j13_bloom_filtered_join": _EXT2_QUERIES["j13_bloom_filtered_join"],
+    "p_fk_audit": _EXT3_QUERIES["p_fk_audit"],
+    "j16_tfidf_cosine_join": _EXT4_QUERIES["j16_tfidf_cosine_join"],
+    "g5_wcc": _EXT4_QUERIES["g5_wcc"],
+    "a22_hhi_concentration": _EXT4_QUERIES["a22_hhi_concentration"],
+    "w28_rfm_segmentation": _EXT4_QUERIES["w28_rfm_segmentation"],
+    "j18_interval_align": _EXT4_QUERIES["j18_interval_align"],
+    "t_ngram_novelty": _EXT4_QUERIES["t_ngram_novelty"],
+    "p_reservoir_sample": _EXT4_QUERIES["p_reservoir_sample"],
+    "o8_skyline_2d": _EXT4_QUERIES["o8_skyline_2d"],
+    "j21_grid_spatial_join": _EXT4_QUERIES["j21_grid_spatial_join"],
+    "t_vocab_growth": _EXT4_QUERIES["t_vocab_growth"],
+    "w29_last_touch_attribution": _EXT4_QUERIES["w29_last_touch_attribution"],
+    "g6_clustering_coeff": _EXT4_QUERIES["g6_clustering_coeff"],
+    "p_temporal_split": _EXT4_QUERIES["p_temporal_split"],
+    "j23_incremental_join_view": _EXT4_QUERIES["j23_incremental_join_view"],
+    "a24_percentile_rank": _EXT4_QUERIES["a24_percentile_rank"],
+    "p_balanced_downsample": _EXT4_QUERIES["p_balanced_downsample"],
+    "p_winsorize": _EXT4_QUERIES["p_winsorize"],
+    "w30_path_analysis": _EXT4_QUERIES["w30_path_analysis"],
+    "w31_interval_coalesce": _EXT4_QUERIES["w31_interval_coalesce"],
+    "s15_stream_stream_semi": _EXT4_QUERIES["s15_stream_stream_semi"],
+    "p_chi2_independence": _EXT4_QUERIES["p_chi2_independence"],
+    "e4_relational_division": _EXT4_QUERIES["e4_relational_division"],
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "d_embedding_neardup": q_d_embedding_neardup,
+    "sim_pq_topk": q_sim_pq_topk,
+    "flagship_q5_revenue": flagship,
+    "s1_filter_project": q_s1_filter_project,
+    "f1_standardize": q_f1_standardize,
+    "f2_clean_number": q_f2_clean_number,
+    "f5_regex_extract": q_f5_regex_extract,
+    "f8_token_sort_canon": q_f8_token_sort_canon,
+    "f9_case_ladder": q_f9_case_ladder,
+    "f10_dict_canonicalize": q_f10_dict_canonicalize,
 }
 
 

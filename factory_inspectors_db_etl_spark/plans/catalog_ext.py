@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import assign_components, ngram_jaccard_pairs, portable_hash60
 from ..operators.materialize import materialize
+from ..session import clamp_iterative_shuffle
 from ..operators import text_analysis as TA
 from ..sources.tables import load_table
 
@@ -421,6 +422,7 @@ _PR_ITERS = 5
 _PR_INIT = 1_000_000  # integer mass per node; 0.15 teleport = 150000
 
 
+@clamp_iterative_shuffle  # single-JVM per-round shuffle-mass guard (see session.py)
 def q_g1_pagerank(
     spark: SparkSession, sf: str, broadcast_nodes: bool | None = None
 ) -> DataFrame:
@@ -586,6 +588,7 @@ GROUP BY 1
 _LPA_ITERS = 4
 
 
+@clamp_iterative_shuffle  # single-JVM per-round shuffle-mass guard (see session.py)
 def q_g3_label_propagation(
     spark: SparkSession, sf: str, broadcast_nodes: bool | None = None
 ) -> DataFrame:

@@ -11,6 +11,8 @@ assumes local mode.
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import os
 
 from pyspark.sql import SparkSession
@@ -49,6 +51,63 @@ def _auto_shuffle_partitions(cpus: int, data_dir: str | None) -> int:
     return min(
         _MAX_AUTO_PARTITIONS, max(cpus, total // _BYTES_PER_SHUFFLE_PARTITION)
     )
+
+
+# Per-round shuffle-width ceiling for MULTI-ROUND ITERATIVE plans when
+# driver, executors, and shuffle service share one JVM (local mode).
+# Round-10 decade-2 finding: g1b_pagerank at sf10 (2.3 GB) under the
+# byte-proportional default (1170 partitions) collapsed the single-JVM
+# block manager — 5 chained sort-merge rounds at ~1400 map tasks/stage
+# produce O(rounds x maps x reducers) shuffle files and localCheckpoint
+# block puts that one BlockManager cannot hold (shuffle-fetch
+# FileNotFoundException); 256 partitions completes cleanly and linearly
+# (7.34x at 10x data).  k-core at the same scale PASSES under defaults
+# because its alive-set shrinks per round — the failure law is per-round
+# shuffle MASS, not iteration count, so the clamp applies to operators
+# that re-shuffle their full edge list every round (pagerank,
+# label-prop) and is harmless for the shrinking ones (wcc, k-core).
+# On a real cluster the external shuffle service owns shuffle files and
+# this failure surface does not exist — the clamp is a no-op there.
+_ITERATIVE_LOCAL_MAX_PARTITIONS = 256
+
+
+@contextlib.contextmanager
+def iterative_shuffle_clamp(spark: SparkSession):
+    """Scoped clamp of ``spark.sql.shuffle.partitions`` for iterative
+    operators in local mode (see _ITERATIVE_LOCAL_MAX_PARTITIONS).  The
+    clamp works because iterative operators materialize() EAGERLY per
+    round — physical planning of every per-round exchange happens inside
+    this scope; the final returned DataFrame is a projection of the last
+    checkpoint with no exchange of its own.  Caveat: session conf is
+    process-global, so a concurrently-planned query during the scope
+    would also see the lower width — in local mode that direction is
+    safe (fewer, larger partitions), and the clamp never engages on a
+    cluster master."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    engaged = (
+        spark.sparkContext.master.startswith("local")
+        and int(before) > _ITERATIVE_LOCAL_MAX_PARTITIONS
+    )
+    if engaged:
+        spark.conf.set(key, str(_ITERATIVE_LOCAL_MAX_PARTITIONS))
+    try:
+        yield
+    finally:
+        if engaged:
+            spark.conf.set(key, before)
+
+
+def clamp_iterative_shuffle(fn):
+    """Decorator form of ``iterative_shuffle_clamp`` for query builders
+    whose first argument is the SparkSession."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        with iterative_shuffle_clamp(spark):
+            return fn(spark, *args, **kwargs)
+
+    return wrapper
 
 
 def get_spark(

@@ -48,6 +48,13 @@ def _carryover(previous: dict, name: str) -> dict:
     return {k: v for k, v in previous.get(name, {}).items() if k in ("min", "runs")}
 PIPELINES = ("etl_warehouse_build", "corpus_pipeline_build")
 
+# Always profiled regardless of their shared-session rank (VERDICT r10
+# item #2): the scaling sweep's watch rows need a fresh-JVM floor before
+# any warm-session delta on them is believable — g7/j24 had second-decade
+# ratios over the guideline with NO isolated baseline to judge the sf0.1
+# side against.
+MUST_INCLUDE = ("g7_degree_assortativity", "j24_interp_join")
+
 
 def _run_one(name: str, sf_dir: str) -> None:
     """Child-process entry: fresh JVM, warm, 3 timed runs, one JSON line."""
@@ -140,6 +147,7 @@ def main() -> int:
     else:
         ranked = sorted(shared, key=lambda n: -shared[n])
         names = [n for n in ranked if n not in PIPELINES][: args.top]
+        names += [n for n in MUST_INCLUDE if n not in names]
         names += list(PIPELINES)
 
     out_path = os.path.join(REPO, "BENCH_ISOLATED.json")

@@ -148,8 +148,12 @@ def main() -> int:
     for name in names:
         rec = {"complexity": FAMILIES.get(name, "?")}
         if args.decade2:
-            # decade-2 rows EXTEND the committed sf0.1->sf1 record
+            # decade-2 rows EXTEND the committed sf0.1->sf1 record — but
+            # the FRESH complexity string must win over the committed
+            # one, or a decade-2 re-run would silently restore a stale
+            # description a plan rewrite just corrected (ADVICE r10)
             rec.update(results.get(name, {}))
+            rec["complexity"] = FAMILIES.get(name, "?")
         for key, sf_dir, heap in pairs:
             env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
             cmd = [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir]

@@ -374,6 +374,31 @@ def test_whole_catalog_no_cartesian_no_unpartitioned_window(spark, sf_dir):
     assert not bad, bad
 
 
+def test_iterative_shuffle_clamp_bounds_local_mode(spark, sf_dir):
+    """The g1b one-JVM recipe as code (VERDICT r10 item #3): iterative
+    full-edge-per-round operators clamp spark.sql.shuffle.partitions to
+    the single-JVM ceiling while their per-round eager materializes
+    plan, and restore the session value afterward.  Below the ceiling
+    the clamp is a no-op, so driver-scale plans are untouched."""
+    from factory_inspectors_db_etl_spark.session import (
+        _ITERATIVE_LOCAL_MAX_PARTITIONS,
+        iterative_shuffle_clamp,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1170")  # the sf10 byte-proportional width that died
+        with iterative_shuffle_clamp(spark):
+            assert int(spark.conf.get(key)) == _ITERATIVE_LOCAL_MAX_PARTITIONS
+        assert spark.conf.get(key) == "1170", "session value must be restored"
+        spark.conf.set(key, "32")
+        with iterative_shuffle_clamp(spark):
+            assert spark.conf.get(key) == "32", "below the ceiling: no-op"
+    finally:
+        spark.conf.set(key, before)
+
+
 def test_graph_join_strategy_flips_with_conf(spark, sf_dir):
     """The iterative-graph |V|-row join must be a broadcast join by
     default and a plain shuffle join under
@@ -410,29 +435,84 @@ def test_graph_join_strategy_flips_with_conf(spark, sf_dir):
     assert "SortMergeJoin" in plan_shuffle or "ShuffledHashJoin" in plan_shuffle
 
 
-def test_simulated_r10_r12_rotation_never_overflows_the_window():
-    """Forward-schedule pin (VERDICT r8 item #3): simulate the next
-    three rotations under the documented discipline — each round's
+def _simulate_rotation(order, newest, upcoming, rounds):
+    """Walk the documented rotation discipline forward: each round's
     window takes its due cohort first, then backfills from the
-    registry-ordered tail — and assert the due cohort NEVER exceeds the
-    50-slot window.  This turns the registry's FORWARD COHORT
-    ARITHMETIC comment into an executable check: if a future builder
-    adds queries or reorders the tail such that some round r10-r12
-    cannot refresh everything due, THIS fails today, not at r12."""
-    newest, upcoming = _driver_evidence()
-    keys = list(QUERIES)
-    # assume the upcoming run turns the current window green (the gate
-    # for that is the driver itself; here we schedule forward from it)
+    registry-ordered tail.  Raises AssertionError if any simulated
+    round's due cohort exceeds the 50-slot window."""
     sim = dict(newest)
-    for k in keys[:50]:
+    for k in order[:50]:
         sim[k] = upcoming - 1  # will be stamped by the upcoming run
-    order = keys  # registry order drives backfill priority
-    for rnd in range(upcoming, upcoming + 3):
+    for rnd in range(upcoming, upcoming + rounds):
         due = [k for k in order if sim.get(k, 0) <= rnd - 4]
         assert len(due) <= 50, (
             f"simulated round {rnd}: {len(due)} queries due but the window "
             f"holds 50 — the cohort arithmetic in plans/catalog.py is "
             f"violated; pre-drain or retire before this becomes real: {due[:8]}…"
+        )
+        window = due + [k for k in order if k not in due][: 50 - len(due)]
+        for k in window:
+            sim[k] = rnd
+    return sim
+
+
+def test_simulated_rotation_through_r14_never_overflows_the_window():
+    """Forward-schedule pin (VERDICT r8 item #3, extended through r14 by
+    VERDICT r10 item #5): simulate the next FOUR rotations — a full
+    revisit cycle, covering every cohort named in the registry's FORWARD
+    COHORT ARITHMETIC comment (r11 <- r7 cohort, r12 <- r8 cohort +
+    m_bmp_decode, r13 <- r9 cohort, r14 <- r10 cohort) — and assert the
+    due cohort NEVER exceeds the 50-slot window.  If a future builder
+    adds queries or reorders the tail such that some round cannot
+    refresh everything due, THIS fails today, not at r14."""
+    newest, upcoming = _driver_evidence()
+    _simulate_rotation(list(QUERIES), newest, upcoming, rounds=4)
+
+
+def test_simulated_demotion_path_keeps_rotation_feasible():
+    """The RETIREMENT_ORDER escape hatch, proven ahead of need (VERDICT
+    r10 item #5): the registry sits at 197 + 1 staged = 198 of the 200
+    the rotation supports, so the THIRD future operator forces a
+    demotion.  Simulate exactly that: register three hypothetical new
+    queries (never driver-checked, so they lead the next window), demote
+    RETIREMENT_ORDER[0] to pytest-only to stay at the 200 ceiling, and
+    assert the four-round schedule still never overflows.  If the
+    ceiling mechanics were wrong — e.g. demoting a row whose cohort slot
+    the schedule still needed — this fails today, not at the wall."""
+    from factory_inspectors_db_etl_spark.plans.catalog import (
+        RETIREMENT_ORDER,
+        STAGED_QUERIES,
+    )
+
+    newest, upcoming = _driver_evidence()
+    hypothetical = ["zz_hypothetical_1", "zz_hypothetical_2", "zz_hypothetical_3"]
+    demoted = RETIREMENT_ORDER[0]
+    keys = list(QUERIES)
+    # The adds cannot land in the CURRENT round — its window is a full
+    # 50-row due cohort with zero spare slots — so the simulated builder
+    # adds them one round later, alongside m_bmp_decode's scheduled
+    # promotion.  That makes the registry 197 + 1 + 3 = 201 > 200, which
+    # RETIREMENT_ORDER resolves by demoting e2_except — a row that sits
+    # in exactly the cohort due that round, so the demotion frees the
+    # window slot the adds need: 46 remaining cohort rows + m_bmp_decode
+    # + 3 never-checked adds = 50, exactly full.
+    sim = dict(newest)
+    order = list(keys)
+    for k in order[:50]:
+        sim[k] = upcoming - 1  # stamped by the upcoming run
+    for rnd in range(upcoming, upcoming + 4):
+        if rnd == upcoming + 1:
+            order = hypothetical + [k for k in order if k != demoted] + list(STAGED_QUERIES)
+            assert len(order) <= 200, (
+                "demoting one RETIREMENT_ORDER row must bring the simulated "
+                "registry back under the 200-query ceiling"
+            )
+            sim.pop(demoted, None)
+        due = [k for k in order if sim.get(k, 0) <= rnd - 4]
+        assert len(due) <= 50, (
+            f"simulated round {rnd} (with 3 adds + 1 demotion at "
+            f"r{upcoming + 1}): {len(due)} queries due but the window holds "
+            f"50 — the RETIREMENT_ORDER mechanics are violated: {due[:8]}…"
         )
         window = due + [k for k in order if k not in due][: 50 - len(due)]
         for k in window:
