@@ -57,6 +57,7 @@ from .catalog_ext5 import EXT5_ORACLES as _EXT5_ORACLES, EXT5_QUERIES as _EXT5_Q
 from .catalog_ext6 import EXT6_ORACLES as _EXT6_ORACLES, EXT6_QUERIES as _EXT6_QUERIES
 from .catalog_ext7 import EXT7_ORACLES as _EXT7_ORACLES, EXT7_QUERIES as _EXT7_QUERIES
 from .catalog_ext8 import EXT8_ORACLES as _EXT8_ORACLES, EXT8_QUERIES as _EXT8_QUERIES
+from .catalog_ext9 import EXT9_ORACLES as _EXT9_ORACLES, EXT9_QUERIES as _EXT9_QUERIES
 
 
 def _dec(c) -> F.Column:
@@ -3677,24 +3678,28 @@ PYTEST_ONLY_ORACLES: dict[str, str] = {
 }
 
 
-# STAGED for the round-12 window (catalog_ext8): built and locally
-# oracle-verified in round 9; four of the five ext8 queries were
-# promoted into the r10 window (g10_neighbor_jaccard, t_mattr,
-# t_rake_keyphrases, t_lm_perplexity — VERDICT r9 item #1).  The fifth,
-# m_bmp_decode, waits for r12's 2 spare slots (r11 owes the full 50-row
-# r7 cohort, 0 spare).  Until then the local gate
-# (tests/test_catalog_vs_duckdb.py) verifies it every round.
+# STAGED for the round-12 window: m_bmp_decode (built r9, catalog_ext8)
+# plus the two round-11 additions (catalog_ext9: leakage-safe cluster
+# split, entity-resolution clusters).  r11's window is the full 50-row
+# r7 cohort with zero spare slots; r12 has exactly three — 47 r8-cohort
+# rows + these 3 = 50.  Until promotion the local gate
+# (tests/test_catalog_vs_duckdb.py) value-verifies all three every
+# round.
 #
 # REGISTRY CEILING: the 50-slot/4-round rotation supports at most 200
-# registered queries — 197 + this 1 = 198 eventual, TWO slots of
-# headroom.  RETIRE rows to PYTEST_ONLY_QUERIES before registering past
-# 200, in RETIREMENT_ORDER (below).
+# registered queries — 197 + these 3 = 200 eventual, ZERO headroom.
+# ANY further operator must first demote a row to PYTEST_ONLY_QUERIES
+# in RETIREMENT_ORDER (below).
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_bmp_decode": _EXT8_QUERIES["m_bmp_decode"],
+    "p_cluster_safe_split": _EXT9_QUERIES["p_cluster_safe_split"],
+    "er_entity_clusters": _EXT9_QUERIES["er_entity_clusters"],
 }
 
 STAGED_ORACLES: dict[str, str] = {
     "m_bmp_decode": _EXT8_ORACLES["m_bmp_decode"],
+    "p_cluster_safe_split": _EXT9_ORACLES["p_cluster_safe_split"],
+    "er_entity_clusters": _EXT9_ORACLES["er_entity_clusters"],
 }
 
 # Ordered retirement list (VERDICT r9 item #5): when a new operator

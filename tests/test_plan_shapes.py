@@ -364,8 +364,10 @@ def test_whole_catalog_no_cartesian_no_unpartitioned_window(spark, sf_dir):
     pa = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pa)
 
+    from factory_inspectors_db_etl_spark.plans.catalog import STAGED_QUERIES
+
     bad = []
-    for name, fn in QUERIES.items():
+    for name, fn in {**QUERIES, **STAGED_QUERIES}.items():
         a = pa.audit_one(fn(spark, sf_dir))
         if a["cartesian"]:
             bad.append(f"{name}: CartesianProduct")
@@ -471,14 +473,19 @@ def test_simulated_rotation_through_r14_never_overflows_the_window():
 
 def test_simulated_demotion_path_keeps_rotation_feasible():
     """The RETIREMENT_ORDER escape hatch, proven ahead of need (VERDICT
-    r10 item #5): the registry sits at 197 + 1 staged = 198 of the 200
-    the rotation supports, so the THIRD future operator forces a
-    demotion.  Simulate exactly that: register three hypothetical new
-    queries (never driver-checked, so they lead the next window), demote
-    RETIREMENT_ORDER[0] to pytest-only to stay at the 200 ceiling, and
-    assert the four-round schedule still never overflows.  If the
-    ceiling mechanics were wrong — e.g. demoting a row whose cohort slot
-    the schedule still needed — this fails today, not at the wall."""
+    r10 item #5, re-proven after the r11 staging): the registry sits at
+    197 + 3 staged = 200 — AT the ceiling — so EVERY future operator
+    forces a demotion.  Simulate the worst near-term case: three
+    hypothetical new queries (never driver-checked, so they lead the
+    next window) land alongside the scheduled r12 promotion of all
+    three staged rows, requiring THREE RETIREMENT_ORDER demotions to
+    stay at 200.  The first three retirement rows (e2_except,
+    e3_intersect, j8_range_join) are all r8-cohort rows — due in
+    exactly that window — so each demotion frees precisely the slot an
+    add needs: 44 remaining cohort rows + 3 staged + 3 adds = 50.  If
+    the ceiling mechanics were wrong — e.g. demoting a row whose cohort
+    slot the schedule still needed — this fails today, not at the
+    wall."""
     from factory_inspectors_db_etl_spark.plans.catalog import (
         RETIREMENT_ORDER,
         STAGED_QUERIES,
@@ -486,31 +493,28 @@ def test_simulated_demotion_path_keeps_rotation_feasible():
 
     newest, upcoming = _driver_evidence()
     hypothetical = ["zz_hypothetical_1", "zz_hypothetical_2", "zz_hypothetical_3"]
-    demoted = RETIREMENT_ORDER[0]
+    demoted = set(RETIREMENT_ORDER[: len(hypothetical)])
     keys = list(QUERIES)
-    # The adds cannot land in the CURRENT round — its window is a full
-    # 50-row due cohort with zero spare slots — so the simulated builder
-    # adds them one round later, alongside m_bmp_decode's scheduled
-    # promotion.  That makes the registry 197 + 1 + 3 = 201 > 200, which
-    # RETIREMENT_ORDER resolves by demoting e2_except — a row that sits
-    # in exactly the cohort due that round, so the demotion frees the
-    # window slot the adds need: 46 remaining cohort rows + m_bmp_decode
-    # + 3 never-checked adds = 50, exactly full.
     sim = dict(newest)
     order = list(keys)
     for k in order[:50]:
         sim[k] = upcoming - 1  # stamped by the upcoming run
     for rnd in range(upcoming, upcoming + 4):
         if rnd == upcoming + 1:
-            order = hypothetical + [k for k in order if k != demoted] + list(STAGED_QUERIES)
-            assert len(order) <= 200, (
-                "demoting one RETIREMENT_ORDER row must bring the simulated "
-                "registry back under the 200-query ceiling"
+            order = (
+                hypothetical
+                + [k for k in order if k not in demoted]
+                + list(STAGED_QUERIES)
             )
-            sim.pop(demoted, None)
+            assert len(order) <= 200, (
+                "demoting one RETIREMENT_ORDER row per add must bring the "
+                "simulated registry back under the 200-query ceiling"
+            )
+            for k in demoted:
+                sim.pop(k, None)
         due = [k for k in order if sim.get(k, 0) <= rnd - 4]
         assert len(due) <= 50, (
-            f"simulated round {rnd} (with 3 adds + 1 demotion at "
+            f"simulated round {rnd} (with 3 adds + 3 demotions at "
             f"r{upcoming + 1}): {len(due)} queries due but the window holds "
             f"50 — the RETIREMENT_ORDER mechanics are violated: {due[:8]}…"
         )
