@@ -2687,29 +2687,39 @@ SELECT doc_id, CASE WHEN s7 = '' THEN NULL ELSE s7 END AS text_std FROM s7
 O_F1 = _gen_f1_oracle()
 
 
-_U3_OUT = "user_id long, median_value double, n long"
-
-
 def q_u3_grouped_agg_udaf(spark: SparkSession, sf: str) -> DataFrame:
-    """U3: custom UDAF via applyInPandas — exact per-user median (not
-    available as a built-in exact aggregate) + count.  Arrow-batched
-    grouped aggregation, the pandas_udf GROUPED_AGG pattern."""
-    import pandas as pd
+    """U3: custom UDAF — exact per-user median (not available as a
+    built-in exact aggregate) + count, as true GROUPED_AGG pandas UDAFs
+    inside ``agg()`` (ArrowAggregatePython).
 
+    r11 (guide §4.1): the pre-r11 form was ``applyInPandas`` — a
+    FlatMapGroupsInPandas that assembled a full pandas DataFrame per
+    user group and re-emitted the group key from data, paying per-group
+    DataFrame construction for a 1-row result.  GROUPED_AGG UDAFs
+    receive just the value Series per group and let Spark own the key
+    column; same single shuffle of (user_id, value), same Python median,
+    identical output (pandas ``Series.median`` both ways).  Measured
+    isolated fresh-JVM min-of-3: 3.06s -> 1.32s at sf0.1
+    (plans/r11/u3_grouped_agg_udaf_{before,after}.txt:
+    FlatMapGroupsInPandas -> ArrowAggregatePython)."""
     ev = load_table(spark, sf, "events")
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": pdf["user_id"].iloc[0],
-                    "median_value": float(pdf["value"].median()),
-                    "n": len(pdf),
-                }
-            ]
-        )
+    # explicit functionType: the module's `from __future__ import
+    # annotations` turns hints into strings that pandas_udf cannot
+    # resolve against a function-local `pd` import
+    _median_udaf = F.pandas_udf(
+        lambda v: float(v.median()), "double", F.PandasUDFType.GROUPED_AGG
+    )
+    _count_udaf = F.pandas_udf(len, "long", F.PandasUDFType.GROUPED_AGG)
 
-    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(agg, _U3_OUT)
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .agg(
+            _median_udaf("value").alias("median_value"),
+            _count_udaf("value").alias("n"),
+        )
+    )
 
 
 O_U3 = """

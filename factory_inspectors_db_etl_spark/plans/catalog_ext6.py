@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.materialize import materialize
 from ..sources.tables import load_table
+from .catalog_ext import _graph_small_side
 
 # ---------------------------------------------------------------------------
 # W34: life-table survival curve (Kaplan-Meier, administrative censoring)
@@ -421,11 +422,24 @@ def q_g7_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     cast to double; both engines convert the identical integer to the
     identical nearest double.
 
-    Scale: degrees = one map-side-combinable count over the stub list;
-    the stub-degree attachment is two equi-joins of the edge list
-    against the (much smaller) degree table — broadcastable while the
-    node count allows, AQE-shuffle otherwise; the final moment
-    aggregation is a single reduce."""
+    Scale (r11 rewrite — guide §2.3/§2.4 "shuffle fewer bytes / remove
+    shuffles outright"): three of the five stub moments are pure
+    functions of the DEGREE TABLE alone — n = Σdeg (every node appears
+    in deg(v) stubs), sx = sy = Σdeg² (each edge contributes its
+    endpoints' degrees once per orientation), sxx = syy = Σdeg³ — so
+    they are ONE aggregation over the |V|-row degree table with no edge
+    join at all.  Only the cross-moment sxy = 2·Σ_edges deg_u·deg_v
+    genuinely needs degrees attached to edges; that attachment
+    broadcasts the |V|-row degree table onto the edge list
+    (conf-switchable to a shuffle join for billion-node graphs via
+    ``spark.graft.graph.broadcast``, the g1/g3 pattern).  The pre-r11
+    form materialized the stub union of the doubly-joined edge list —
+    Spark computed the two-SMJ attach subtree TWICE (once per union
+    branch) and the degree aggregation FOUR times (24 exchanges at
+    sf0.01, plans/r11/g7_degree_assortativity_before.txt); this form is
+    3 exchanges and never shuffles the edge list.  Moment values are
+    the identical integers (same longs, same decimal(38,0) products,
+    same one trailing IEEE division) — the oracle is unchanged."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     urgent = (
         load_table(spark, sf, "orders")
@@ -442,35 +456,38 @@ def q_g7_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    deg = (
+    deg = materialize(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+    # degree-table moments: n = Σdeg (stub count), sx = Σdeg², sxx = Σdeg³
+    # — the same longs the stub enumeration summed, one |V|-row pass.
+    # coalesce(n, 0) pins the empty-graph case to the stub-count
+    # semantics (count over zero stubs = 0, not NULL).
+    s = deg.agg(
+        F.coalesce(F.sum("deg"), F.lit(0).cast("long")).alias("n"),
+        F.sum(F.col("deg") * F.col("deg")).alias("sx"),
+        F.sum(F.col("deg") * F.col("deg") * F.col("deg")).alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    ed = edges.join(du, "u").join(dv, "v")
-    stubs = ed.select(
-        F.col("deg_u").alias("x"), F.col("deg_v").alias("y")
-    ).unionAll(ed.select(F.col("deg_v").alias("x"), F.col("deg_u").alias("y")))
-    s = stubs.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    sxy_row = (
+        edges.join(_graph_small_side(spark, du), "u")
+        .join(_graph_small_side(spark, dv), "v")
+        .agg((F.lit(2) * F.sum(F.col("deg_u") * F.col("deg_v"))).alias("sxy"))
     )
-    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sx")
     den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
     # Degenerate-graph guard (r8 ADVICE): on a REGULAR graph every stub
     # degree is equal, so den = n*sxx - sx² = 0 and the correlation is
     # undefined — Spark's double 0/0 yields NaN while DuckDB's behavior
     # is version/setting-dependent, so both engines pin the case to NULL
     # via NULLIF instead of relying on either's division semantics.
-    return s.crossJoin(F.broadcast(nodes)).select(
+    return s.crossJoin(F.broadcast(sxy_row)).select(
         (F.col("n") / 2).cast("long").alias("n_edges"),
         "n_nodes",
         (F.col("n").cast("double") / F.col("n_nodes").cast("double")).alias(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import portable_hash60
 from ..operators.materialize import materialize
 from ..sources.tables import load_table
+from .catalog_ext import _graph_small_side
 
 _LN_SCALE = 100_000  # fixed-point scale for ln() snapping (t_zipf discipline)
 
@@ -622,7 +623,20 @@ def q_g9_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     aa_w = F.round(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double"))).cast(
         "long"
     )
-    adj_mid = adj.join(mid, "w").select("w", "x", aa_w.alias("aa"))
+    # r11: the |V|-row filtered-degree table rides _graph_small_side
+    # (broadcast by default, conf-switchable to a shuffle join via
+    # spark.graft.graph.broadcast) — the pre-r11 plan SMJ-joined adj
+    # against mid and, because adj_mid feeds both wedge sides, ran that
+    # SMJ subtree TWICE; the broadcast leaves the adjacency unshuffled
+    # until the wedge join itself (12 -> 8 exchanges, 4 -> 2 SMJ: only
+    # the wedge self-join and the existing-edge anti-join still shuffle,
+    # plans/r11/g9_link_prediction_{before,after}.txt).  A
+    # collect_list-and-explode wedge form (one adj shuffle) was measured
+    # SLOWER at sf0.1 — ObjectHashAggregate + Generate leave whole-stage
+    # codegen (isolated 3.2s -> 5.2s), so the codegen self-join stays.
+    adj_mid = adj.join(_graph_small_side(spark, mid), "w").select(
+        "w", "x", aa_w.alias("aa")
+    )
     p1 = adj_mid.select("w", F.col("x").alias("u"), "aa")
     p2 = adj_mid.select("w", F.col("x").alias("v"))
     cand = p1.join(p2, "w").filter(F.col("u") < F.col("v"))
