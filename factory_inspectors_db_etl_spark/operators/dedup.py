@@ -659,9 +659,14 @@ def connected_components_large_star(
 
     for _ in range(max_iters):
         new_edges = materialize(_small_star(_large_star(edges)), iterative=True)
+        # one action, not two: both exceptAll directions union under a
+        # single count, so convergence detection costs one job per round
+        # (r11; both inputs are checkpointed, the subtrees are tiny)
         changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
+            new_edges.exceptAll(edges)
+            .limit(1)
+            .unionByName(edges.exceptAll(new_edges).limit(1))
+            .count()
         )
         old = edges
         edges = new_edges

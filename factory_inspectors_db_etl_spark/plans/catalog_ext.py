@@ -442,7 +442,19 @@ def q_g1_pagerank(
     re-materialized per round to keep the plan flat (iterative barrier).
     Edge degree is bounded by lines-per-order (<=13 in TPC-H-ish data),
     so pair generation can't blow up; unbounded baskets would need a
-    per-key cap first."""
+    per-key cap first.
+
+    r11 (guide §2.4 "remove shuffles outright"): the rank table CARRIES
+    the (static) out-degree column instead of re-joining the degree
+    table every round — the per-round ranks⋈deg SMJ (two exchanges +
+    two sorts of |V| rows, 5x per query) is gone, contributions are a
+    projection of the checkpointed rank table; and the |V|-row
+    ``incoming`` aggregate rides ``_graph_small_side`` on the update
+    join too, so in broadcast mode one round = ONE exchange (the
+    map-side-combined vote shuffle) instead of five.  Mass arithmetic
+    is unchanged — same integer updates against the same static degrees
+    — so g1/g1b outputs and oracles are untouched
+    (plans/r11/g1_pagerank_{before,after}.txt)."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     edges = materialize(
@@ -452,14 +464,15 @@ def q_g1_pagerank(
         .distinct()
     )
     deg = materialize(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_INIT).cast("long").alias("mass"))
+    ranks = deg.select(
+        F.col("src").alias("node"), "deg", F.lit(_PR_INIT).cast("long").alias("mass")
+    )
     for _ in range(_PR_ITERS):
-        # per-NODE contribution first (|V|-scale join), then one
-        # broadcast onto the edge list — the per-edge work is a single
-        # hash lookup, not a division + second join
-        node_contrib = (
-            ranks.join(deg, ranks["node"] == deg["src"])
-            .select("src", F.expr("mass div deg").alias("contrib"))
+        # per-NODE contribution is a projection (deg rides the rank
+        # table), then one broadcast onto the edge list — the per-edge
+        # work is a single hash lookup, not a division + second join
+        node_contrib = ranks.select(
+            F.col("node").alias("src"), F.expr("mass div deg").alias("contrib")
         )
         incoming = (
             edges.join(_graph_small_side(spark, node_contrib, broadcast_nodes), "src")
@@ -467,10 +480,11 @@ def q_g1_pagerank(
             .agg(F.sum("contrib").alias("inmass"))
         )
         ranks = materialize(
-            deg.select(F.col("src").alias("node"))
-            .join(incoming, "node", "left")
+            ranks.select("node", "deg")
+            .join(_graph_small_side(spark, incoming, broadcast_nodes), "node", "left")
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(_PR_INIT * 15 // 100)
                     + F.expr("(85 * coalesce(inmass, 0L)) div 100")
@@ -1533,10 +1547,16 @@ def q_g4_khop_bfs(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
+        # r11: the settled set is |V|-bounded like the frontier — ride
+        # the same broadcast helper on the anti-join's build side so a
+        # round is one distinct-exchange, not distinct + SMJ anti
+        # (conf-switchable to shuffle for billion-node graphs).
         new = materialize(
-            reached.join(settled, "node", "left_anti").select(
-                "node", F.lit(k).cast("int").alias("hops")
-            ),
+            reached.join(
+                _graph_small_side(spark, settled.select("node"), None),
+                "node",
+                "left_anti",
+            ).select("node", F.lit(k).cast("int").alias("hops")),
             iterative=True,
         )
         settled = materialize(settled.unionByName(new), iterative=True)
