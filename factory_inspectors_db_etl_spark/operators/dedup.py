@@ -33,6 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .graph_broadcast import graph_small_side, resolve_graph_broadcast
 from .materialize import materialize
 
 
@@ -554,6 +555,14 @@ def connected_components(
         .withColumn("label", F.col("node")),
         iterative=True,
     )
+    # r12 NOTE — broadcast-joining labels/nbr_min (the g1/large-star
+    # pattern) was tried here and MEASURED SLOWER, then reverted: this
+    # loop's callers are near-dup closures whose pair graphs are tiny
+    # (diameter-2 cliques, |V| ≪ corpus), so per-round broadcast
+    # build+distribute latency exceeds the shuffled joins it replaces —
+    # isolated floors d_keep_best 4.18 -> 5.9-6.1 s, d_dedup_clusters
+    # 3.47 -> 4.1-4.4 s across two 3-run draws.  Graphs big enough for
+    # the broadcast to win take the large-star path, which has it.
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
@@ -632,22 +641,36 @@ def connected_components_large_star(
         iterative=True,
     )
 
+    # r12 (guide §2.4, the g1 pattern): the per-node min table m is
+    # |V|-row — ride the size-gated graph broadcast on both star joins
+    # so a round's exchanges are the two map-side-combined groupBys plus
+    # ONE edge-scale distinct (small-star's), instead of two join
+    # exchange+sort pairs and TWO edge-scale distincts.  all_nodes is
+    # the materialized exact node universe: one cheap count gates every
+    # round (m ⊆ nodes always).
+    spark = pairs.sparkSession
+    bcast = resolve_graph_broadcast(spark, None, all_nodes.count)
+
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+        # no .distinct() here (r12): small-star's min-agg is unchanged
+        # by duplicate rows and its own terminal .distinct() dedups the
+        # round's output, so large-star's dedup exchange was a pure
+        # extra edge-scale shuffle.  Emission volume is exactly |E|
+        # (one orientation survives the v > u filter per edge).
         return (
-            sym.join(m, "u")
+            sym.join(graph_small_side(spark, m, bcast), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
         # e is canonical (u > v) after large-star's (larger -> m) emit
         can = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         m = can.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
-        joined = can.join(m, "u")
+        joined = can.join(graph_small_side(spark, m, bcast), "u")
         pointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
             joined.select(F.col("u"), F.col("m").alias("v"))
         )
@@ -657,18 +680,20 @@ def connected_components_large_star(
             .distinct()
         )
 
+    # convergence probe (r12): both round outputs are DISTINCT sets, so
+    # new == old  <=>  |new| == |old| AND new.exceptAll(old) is empty.
+    # The count is a cheap checkpoint scan with no shuffle; rounds whose
+    # count moved (most non-converged rounds) skip the exceptAll
+    # entirely — vs the r11 probe which shuffled BOTH edge lists through
+    # two exceptAll directions every round.
+    prev_cnt = edges.count()
     for _ in range(max_iters):
         new_edges = materialize(_small_star(_large_star(edges)), iterative=True)
-        # one action, not two: both exceptAll directions union under a
-        # single count, so convergence detection costs one job per round
-        # (r11; both inputs are checkpointed, the subtrees are tiny)
-        changed = (
-            new_edges.exceptAll(edges)
-            .limit(1)
-            .unionByName(edges.exceptAll(new_edges).limit(1))
-            .count()
-        )
-        old = edges
+        new_cnt = new_edges.count()
+        changed = 1
+        if new_cnt == prev_cnt:
+            changed = new_edges.exceptAll(edges).limit(1).count()
+        prev_cnt = new_cnt
         edges = new_edges
         if changed == 0:
             # fixed point: stars centered at component minima.  Every

@@ -3313,89 +3313,26 @@ JOIN c ON q.doc_id = c.doc_id
 # refreshes + the 47 round-5 additions; r6 = the 9 never-checked late-r5d
 # additions + 26 new round-6 queries + r6-changed code + 8 oldest-r3 core;
 # r10 = the 4 ext8 promotions + the 46-row r6 cohort (all 50 green,
-# CORRECTNESS_r10.json).
+# CORRECTNESS_r10.json); r11 = the full 50-row r7 cohort (all 50 green,
+# CORRECTNESS_r11.json).
 #
-# Round 11 is the full 50-row r7 cohort — the oldest driver evidence in
-# the repo, due exactly now by the staleness pin, zero spare slots
-# (VERDICT r10 item #1).  It LEADS with d_dedup_clusters: its plan
-# changed in r10 (exact-dup collapse before the pair join,
-# operators/dedup.py) and is locally oracle-green at four SFs, but the
-# driver has never hashed the rewritten plan — r7 evidence on changed
-# code is the stalest thing in the registry.  Union across rounds stays
-# total and every rotated-out query is re-verified locally by
-# tests/test_catalog_vs_duckdb.py each round.  tests/test_plan_shapes.py
-# pins the rotation rule itself two ways: no never-driver-checked query
-# may sit outside the first-50 window, and no query outside the window
-# may be more than 4 rounds stale at the upcoming driver run.
+# Round 12 is the 47-row r8 cohort — due exactly now by the staleness
+# pin — PLUS the three staged promotions (m_bmp_decode built r9,
+# p_cluster_safe_split / er_entity_clusters built r11), which LEAD the
+# window because they are the only never-driver-checked rows in the
+# registry (VERDICT r11 items #4/#9).  47 + 3 = 50, zero spare slots.
+# Union across rounds stays total and every rotated-out query is
+# re-verified locally by tests/test_catalog_vs_duckdb.py each round.
+# tests/test_plan_shapes.py pins the rotation rule itself two ways: no
+# never-driver-checked query may sit outside the first-50 window, and
+# no query outside the window may be more than 4 rounds stale at the
+# upcoming driver run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- the r11 window: the 50-row r7 cohort, led by d_dedup_clusters
-    # (r10-changed plan the driver has never seen — VERDICT r10 item #1) ---
-    "d_dedup_clusters": q_d_dedup_clusters,
-    "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
-    "m_png_decode": _EXT4_QUERIES["m_png_decode"],
-    "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
-    "m_mp4_meta": _EXT4_QUERIES["m_mp4_meta"],
-    "j19_fifo_allocation": _EXT4_QUERIES["j19_fifo_allocation"],
-    "w32_interval_concurrency": _EXT5_QUERIES["w32_interval_concurrency"],
-    "t_collocation_lift": _EXT5_QUERIES["t_collocation_lift"],
-    "m_gif_decode": _EXT5_QUERIES["m_gif_decode"],
-    "w33_position_attribution": _EXT5_QUERIES["w33_position_attribution"],
-    "p_ldiversity": _EXT5_QUERIES["p_ldiversity"],
-    "f11_typed_date": q_f11_typed_date,
-    "a1_pricing_summary": q_a1_pricing_summary,
-    "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
-    "a3_rollup": q_a3_rollup,
-    "a3b_cube": q_a3b_cube,
-    "a3c_grouping_sets": q_a3c_grouping_sets,
-    "a4_distinct_counts": q_a4_distinct_counts,
-    "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
-    "j2_surrogate_dim": q_j2_surrogate_dim,
-    "j3_nullsafe_join": q_j3_nullsafe_join,
-    "a6_pivot": q_a6_pivot,
-    "a6b_unpivot": q_a6b_unpivot,
-    "a7_collect_set": q_a7_collect_set,
-    "s2b_json_extract": q_s2b_json_extract,
-    "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
-    "w12_exact_percentiles": q_w12_exact_percentiles,
-    "w13_sessionize": q_w13_sessionize,
-    "w14_scd2_intervals": q_w14_scd2_intervals,
-    "t_repetition_stats": q_t_repetition_stats,
-    "p_profile_columns": q_p_profile_columns,
-    "p_curate_corpus": q_p_curate_corpus,
-    "d_contamination": q_d_contamination,
-    "t_pii_redact": q_t_pii_redact,
-    "p_hash_split": q_p_hash_split,
-    "p_stratified_sample": q_p_stratified_sample,
-    "p_group_sample": q_p_group_sample,
-    "p_pack_bins": q_p_pack_bins,
-    "t_text_stats": q_t_text_stats,
-    "t_language_guess": q_t_language_guess,
-    "t_quality_score": q_t_quality_score,
-    "t_token_count_bpe": q_t_token_count_bpe,
-    "t_char_fingerprint": q_t_char_fingerprint,
-    "m_multimodal_meta": q_m_multimodal_meta,
-    "m_multimodal_decode": q_m_multimodal_decode,
-    "m_frame_sample": q_m_frame_sample,
-    "d_ngram_jaccard": q_d_ngram_jaccard,
-    "d_minhash_lsh": q_d_minhash_lsh,
-    "d_simhash": q_d_simhash,
-    "t_tfidf_topk": q_t_tfidf_topk,
-    # ------- 50-slot window boundary (t_tfidf_topk is position 50) -------
-    # FORWARD COHORT ARITHMETIC (r11 accounting): this window is the
-    # 50-row r7 cohort exactly — zero spare slots.  Dues: r12 <- r8
-    # cohort (47 rows) + m_bmp_decode's promotion = 48 (2 spare),
-    # r13 <- r9 cohort (50, exactly full), r14 <- r10 cohort (50,
-    # exactly full — the 4 ext8 promotions + the 46-row r6 block the
-    # r10 window refreshed).  The tail below is grouped by due round
-    # (r8, r9, then r10 cohort) so each rotation stays a block move;
-    # with the registry at 197 + 1 staged = 198 of the 200 the rotation
-    # supports, new queries past 200 require RETIRING a row to
-    # PYTEST_ONLY first (see RETIREMENT_ORDER below; test_plan_shapes
-    # pins the ceiling and simulates the schedule through r14 including
-    # one demotion path).
-    # (Keep this comment in sync by COUNTING — list(QUERIES).index(name) —
-    # tests/test_plan_shapes.py pins it.)
-    # --- r8 cohort (due at round 12; 47 rows after the demotion) ---
+    # --- the r12 window: the 3 promotions (never driver-checked, so
+    # they lead) + the 47-row r8 cohort ---
+    "m_bmp_decode": _EXT8_QUERIES["m_bmp_decode"],
+    "p_cluster_safe_split": _EXT9_QUERIES["p_cluster_safe_split"],
+    "er_entity_clusters": _EXT9_QUERIES["er_entity_clusters"],
     "d_semantic_dedup_lshassign": _EXT6_QUERIES["d_semantic_dedup_lshassign"],
     "g8_kcore": _EXT6_QUERIES["g8_kcore"],
     "a25_quantile_sketch_rollup": _EXT5_QUERIES["a25_quantile_sketch_rollup"],
@@ -3443,6 +3380,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_union_dedup": q_e1_union_dedup,
     "e2_except": q_e2_except,
     "e3_intersect": q_e3_intersect,
+    # ------- 50-slot window boundary (e3_intersect is position 50) -------
+    # FORWARD COHORT ARITHMETIC (r12 accounting): this window is the 3
+    # staged promotions + the 47-row r8 cohort - zero spare slots, and
+    # the registry now sits AT the 200-query rotation ceiling (197 + 3
+    # promoted).  Dues: r13 <- r9 cohort (50, exactly full), r14 <- r10
+    # cohort (50, exactly full), r15 <- r11 cohort (the 50-row r7-origin
+    # block the r11 window refreshed), r16 <- this window again.  Every
+    # future window is exactly full, so ANY new operator must first
+    # demote a row to PYTEST_ONLY in RETIREMENT_ORDER (below), from the
+    # cohort due the round the addition lands (test_plan_shapes pins the
+    # ceiling and simulates the demotion path).  The tail below is
+    # grouped by due round (r9, r10, then r11 cohort) so each rotation
+    # stays a block move.
+    # (Keep this comment in sync by COUNTING - list(QUERIES).index(name) -
+    # tests/test_plan_shapes.py pins it.)
     # --- r9 cohort (due at round 13): the 50 rows the r9 window
     # refreshed — 6 queries new in r9 (catalog_ext7) + the 44 formerly
     # r5-stale rows ---
@@ -3549,6 +3501,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f8_token_sort_canon": q_f8_token_sort_canon,
     "f9_case_ladder": q_f9_case_ladder,
     "f10_dict_canonicalize": q_f10_dict_canonicalize,
+    # --- r11 cohort (due at round 15): the 50-row r7-origin block the
+    # r11 window refreshed (all 50 green, CORRECTNESS_r11.json) ---
+    "d_dedup_clusters": q_d_dedup_clusters,
+    "m_jpeg_decode": _EXT5_QUERIES["m_jpeg_decode"],
+    "m_png_decode": _EXT4_QUERIES["m_png_decode"],
+    "m_wav_energy": _EXT4_QUERIES["m_wav_energy"],
+    "m_mp4_meta": _EXT4_QUERIES["m_mp4_meta"],
+    "j19_fifo_allocation": _EXT4_QUERIES["j19_fifo_allocation"],
+    "w32_interval_concurrency": _EXT5_QUERIES["w32_interval_concurrency"],
+    "t_collocation_lift": _EXT5_QUERIES["t_collocation_lift"],
+    "m_gif_decode": _EXT5_QUERIES["m_gif_decode"],
+    "w33_position_attribution": _EXT5_QUERIES["w33_position_attribution"],
+    "p_ldiversity": _EXT5_QUERIES["p_ldiversity"],
+    "f11_typed_date": q_f11_typed_date,
+    "a1_pricing_summary": q_a1_pricing_summary,
+    "a2_skew_safe_distinct": q_a2_skew_safe_distinct,
+    "a3_rollup": q_a3_rollup,
+    "a3b_cube": q_a3b_cube,
+    "a3c_grouping_sets": q_a3c_grouping_sets,
+    "a4_distinct_counts": q_a4_distinct_counts,
+    "j1_broadcast_dim_join": q_j1_broadcast_dim_join,
+    "j2_surrogate_dim": q_j2_surrogate_dim,
+    "j3_nullsafe_join": q_j3_nullsafe_join,
+    "a6_pivot": q_a6_pivot,
+    "a6b_unpivot": q_a6b_unpivot,
+    "a7_collect_set": q_a7_collect_set,
+    "s2b_json_extract": q_s2b_json_extract,
+    "u3_grouped_agg_udaf": q_u3_grouped_agg_udaf,
+    "w12_exact_percentiles": q_w12_exact_percentiles,
+    "w13_sessionize": q_w13_sessionize,
+    "w14_scd2_intervals": q_w14_scd2_intervals,
+    "t_repetition_stats": q_t_repetition_stats,
+    "p_profile_columns": q_p_profile_columns,
+    "p_curate_corpus": q_p_curate_corpus,
+    "d_contamination": q_d_contamination,
+    "t_pii_redact": q_t_pii_redact,
+    "p_hash_split": q_p_hash_split,
+    "p_stratified_sample": q_p_stratified_sample,
+    "p_group_sample": q_p_group_sample,
+    "p_pack_bins": q_p_pack_bins,
+    "t_text_stats": q_t_text_stats,
+    "t_language_guess": q_t_language_guess,
+    "t_quality_score": q_t_quality_score,
+    "t_token_count_bpe": q_t_token_count_bpe,
+    "t_char_fingerprint": q_t_char_fingerprint,
+    "m_multimodal_meta": q_m_multimodal_meta,
+    "m_multimodal_decode": q_m_multimodal_decode,
+    "m_frame_sample": q_m_frame_sample,
+    "d_ngram_jaccard": q_d_ngram_jaccard,
+    "d_minhash_lsh": q_d_minhash_lsh,
+    "d_simhash": q_d_simhash,
+    "t_tfidf_topk": q_t_tfidf_topk,
 }
 
 
@@ -3653,12 +3657,16 @@ ORACLES: dict[str, str] = {
     **_EXT5_ORACLES,
     **_EXT6_ORACLES,
     **_EXT7_ORACLES,
-    # round-10 promotions from catalog_ext8 (m_bmp_decode stays STAGED
-    # for the r12 window — see STAGED_ORACLES)
+    # round-10 promotions from catalog_ext8, plus m_bmp_decode's
+    # round-12 promotion (staged r9-r11, never driver-checked until now)
     "g10_neighbor_jaccard": _EXT8_ORACLES["g10_neighbor_jaccard"],
     "t_mattr": _EXT8_ORACLES["t_mattr"],
     "t_rake_keyphrases": _EXT8_ORACLES["t_rake_keyphrases"],
     "t_lm_perplexity": _EXT8_ORACLES["t_lm_perplexity"],
+    "m_bmp_decode": _EXT8_ORACLES["m_bmp_decode"],
+    # round-12 promotions from catalog_ext9 (staged r11)
+    "p_cluster_safe_split": _EXT9_ORACLES["p_cluster_safe_split"],
+    "er_entity_clusters": _EXT9_ORACLES["er_entity_clusters"],
     # Every registered query has an oracle as of round 4: the two former
     # rows-only entries were upgraded — d_embedding_neardup_lsh to a
     # seeded-replay oracle (r3), a5_approx_sketches to a bounded-error
@@ -3688,29 +3696,18 @@ PYTEST_ONLY_ORACLES: dict[str, str] = {
 }
 
 
-# STAGED for the round-12 window: m_bmp_decode (built r9, catalog_ext8)
-# plus the two round-11 additions (catalog_ext9: leakage-safe cluster
-# split, entity-resolution clusters).  r11's window is the full 50-row
-# r7 cohort with zero spare slots; r12 has exactly three — 47 r8-cohort
-# rows + these 3 = 50.  Until promotion the local gate
-# (tests/test_catalog_vs_duckdb.py) value-verifies all three every
-# round.
+# STAGED queries: EMPTY as of round 12 — the three rows staged through
+# r11 (m_bmp_decode from catalog_ext8; p_cluster_safe_split and
+# er_entity_clusters from catalog_ext9) were promoted into the r12
+# window (they lead it, being the only never-driver-checked rows).
 #
 # REGISTRY CEILING: the 50-slot/4-round rotation supports at most 200
-# registered queries — 197 + these 3 = 200 eventual, ZERO headroom.
+# registered queries — the registry now sits AT 200 with ZERO headroom.
 # ANY further operator must first demote a row to PYTEST_ONLY_QUERIES
 # in RETIREMENT_ORDER (below).
-STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "m_bmp_decode": _EXT8_QUERIES["m_bmp_decode"],
-    "p_cluster_safe_split": _EXT9_QUERIES["p_cluster_safe_split"],
-    "er_entity_clusters": _EXT9_QUERIES["er_entity_clusters"],
-}
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-STAGED_ORACLES: dict[str, str] = {
-    "m_bmp_decode": _EXT8_ORACLES["m_bmp_decode"],
-    "p_cluster_safe_split": _EXT9_ORACLES["p_cluster_safe_split"],
-    "er_entity_clusters": _EXT9_ORACLES["er_entity_clusters"],
-}
+STAGED_ORACLES: dict[str, str] = {}
 
 # Ordered retirement list (VERDICT r9 item #5): when a new operator
 # needs a registry slot past the 200-query rotation ceiling, demote

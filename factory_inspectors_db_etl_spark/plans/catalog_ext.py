@@ -17,6 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import assign_components, ngram_jaccard_pairs, portable_hash60
+from ..operators.graph_broadcast import (
+    GRAPH_BROADCAST_CONF,
+    graph_small_side,
+    resolve_graph_broadcast,
+)
 from ..operators.materialize import materialize
 from ..session import clamp_iterative_shuffle
 from ..operators import text_analysis as TA
@@ -32,26 +37,24 @@ def _portable60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-GRAPH_BROADCAST_CONF = "spark.graft.graph.broadcast"
-
-
 def _graph_small_side(
-    spark: SparkSession, df: DataFrame, broadcast: bool | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    broadcast: bool | None = None,
+    n_rows=None,
 ) -> DataFrame:
     """The |V|-row side of each iterative-graph join (per-node ranks /
-    labels / contributions).  Broadcast by default — |V| ≪ |E| and per-
-    round latency matters — but switchable to a plain shuffle join for
-    graphs whose node table outgrows the broadcast ceiling (billions of
-    nodes): same results, same oracle, the join strategy is the only
-    thing that flips.  ``broadcast`` is the explicit per-CALL override
-    (the g1b/g3b variants pass False — no shared session state to race
-    on); when None, the session conf ``spark.graft.graph.broadcast``
-    decides, read at DataFrame-construction time."""
-    if broadcast is None:
-        broadcast = (
-            spark.conf.get(GRAPH_BROADCAST_CONF, "true") or "true"
-        ).lower() != "false"
-    return F.broadcast(df) if broadcast else df
+    labels / contributions).  Delegates to
+    ``operators.graph_broadcast.graph_small_side`` (kept under the
+    historical name for call sites and tests): broadcast below the
+    ``spark.graft.graph.broadcast.maxRows`` size gate in the default
+    ``auto`` mode (r12, VERDICT r11 item #8), unconditional under
+    conf ``true``/``false``, per-call override first (the g1b/g3b
+    variants pass False — no shared session state to race on).  Loop
+    operators resolve ONCE per query via ``resolve_graph_broadcast``
+    with a cheap row bound from an already-materialized table and pass
+    the explicit bool here."""
+    return graph_small_side(spark, df, broadcast, n_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +467,12 @@ def q_g1_pagerank(
         .distinct()
     )
     deg = materialize(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    # r12 size gate (VERDICT r11 item #8): resolve the small-side
+    # strategy ONCE per query — deg is the materialized exact-|V| table,
+    # so the bound is one cheap checkpoint-count job; above
+    # spark.graft.graph.broadcast.maxRows the update joins fall back to
+    # shuffle automatically instead of relying on the conf alone
+    broadcast_nodes = resolve_graph_broadcast(spark, broadcast_nodes, deg.count)
     ranks = deg.select(
         F.col("src").alias("node"), "deg", F.lit(_PR_INIT).cast("long").alias("mass")
     )
@@ -639,6 +648,11 @@ def q_g3_label_propagation(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
+    # r12 size gate: |V| <= |E| here (every node appears as src of the
+    # symmetric edge list), so the materialized edge count is a cheap
+    # conservative bound — above maxRows the per-round label join falls
+    # back to shuffle automatically (VERDICT r11 item #8)
+    broadcast_nodes = resolve_graph_broadcast(spark, broadcast_nodes, edges.count)
     for _ in range(_LPA_ITERS):
         votes = (
             edges.join(_graph_small_side(spark, labels, broadcast_nodes), edges["src"] == labels["node"])
@@ -953,8 +967,24 @@ def q_j11_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     cell-range intersection is EXACTLY time intersection (no
     post-filter needed); candidate fan-out is bounded by
     interval-length / cell-width, the knob to set near the median
-    interval length at real scale.  Sessions with zero overlaps are kept
-    via left join — the count is total, not just matched."""
+    interval length at real scale.
+
+    r12 (guide §2.4 "remove shuffles outright" / §2.1 shared scans; the
+    round's worst exchange count, 16, VERDICT r11 item #1): the r11
+    before-plan evaluated the session gaps-and-islands subtree TWICE
+    (once for the output rows, once for the cell explode) and the
+    hourly aggregate FOUR times (tot + the ranked self-join's two
+    aliases) — six full scans of events.  Now (a) the |hours|-grain
+    ``hourly`` aggregate is materialized once and every peak derivation
+    reads the barrier, and (b) the zero-overlap sessions are kept by a
+    LEFT cell join + count(DISTINCT p_lo) (NULLs don't count) instead
+    of a second session evaluation + left SMJ back — every session
+    explodes to >=1 cell, so the count is still total.  Events are
+    scanned twice (the two fundamental passes: per-user windows, hourly
+    counts); everything downstream is hour- or session-grain, and the
+    final aggregate reuses the window's hash(user_id) partitioning, so
+    no session-grain exchange exists at all
+    (plans/r12/j11_interval_overlap_{before,after}.txt)."""
     ev = load_table(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     new_s = F.when(
@@ -974,8 +1004,10 @@ def q_j11_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
             _hcell(F.max("ts")).alias("s_hi"),
         )
     )
-    hourly = ev.groupBy(_hcell(F.col("ts")).alias("cell")).agg(
-        F.count(F.lit(1)).alias("n")
+    hourly = materialize(
+        ev.groupBy(_hcell(F.col("ts")).alias("cell")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     tot = hourly.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("nh")
@@ -1004,19 +1036,14 @@ def q_j11_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "session_idx", F.explode(F.sequence("s_lo", "s_hi")).alias("cell")
     )
     p_cells = peaks.select("p_lo", F.explode(F.sequence("p_lo", "p_hi")).alias("cell"))
-    matched = (
-        s_cells.join(p_cells, "cell")
-        .select("user_id", "session_idx", "p_lo")
-        .distinct()
+    # LEFT join keeps zero-overlap sessions (every session covers >=1
+    # cell); count(DISTINCT p_lo) ignores the NULLs those rows carry —
+    # identical to the old inner-join + distinct + left-join-back, with
+    # the whole session side staying in ONE pipelined pass
+    return (
+        s_cells.join(F.broadcast(p_cells), "cell", "left")
         .groupBy("user_id", "session_idx")
-        .agg(F.count(F.lit(1)).alias("n_peak_overlaps"))
-    )
-    return sessions.join(matched, ["user_id", "session_idx"], "left").select(
-        "user_id",
-        "session_idx",
-        F.coalesce(F.col("n_peak_overlaps"), F.lit(0).cast("long")).alias(
-            "n_peak_overlaps"
-        ),
+        .agg(F.count_distinct(F.col("p_lo")).alias("n_peak_overlaps"))
     )
 
 
@@ -1535,12 +1562,19 @@ def q_g4_khop_bfs(spark: SparkSession, sf: str) -> DataFrame:
         ),
         iterative=True,
     )
+    # r12 size gate (VERDICT r11 item #8 + ADVICE r11 on the growing
+    # settled set): every per-round table here — frontier, settled — is
+    # a subset of the node universe, and |V| <= |E| on this symmetric
+    # edge list, so ONE cheap count of the materialized edges bounds
+    # every round's broadcast; above maxRows all rounds fall back to
+    # shuffle joins automatically.
+    bcast = resolve_graph_broadcast(spark, None, edges.count)
     frontier = settled
     for k in range(1, _BFS_HOPS + 1):
         reached = (
             edges.join(
                 _graph_small_side(
-                    spark, frontier.select(F.col("node").alias("src"))
+                    spark, frontier.select(F.col("node").alias("src")), bcast
                 ),
                 "src",
             )
@@ -1550,10 +1584,10 @@ def q_g4_khop_bfs(spark: SparkSession, sf: str) -> DataFrame:
         # r11: the settled set is |V|-bounded like the frontier — ride
         # the same broadcast helper on the anti-join's build side so a
         # round is one distinct-exchange, not distinct + SMJ anti
-        # (conf-switchable to shuffle for billion-node graphs).
+        # (size-gated to shuffle for billion-node graphs).
         new = materialize(
             reached.join(
-                _graph_small_side(spark, settled.select("node"), None),
+                _graph_small_side(spark, settled.select("node"), bcast),
                 "node",
                 "left_anti",
             ).select("node", F.lit(k).cast("int").alias("hops")),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.graph_broadcast import resolve_graph_broadcast
 from ..operators.materialize import materialize
 from ..sources.tables import load_table
 from .catalog_ext import _graph_small_side
@@ -474,9 +475,12 @@ def q_g7_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    # r12 size gate: deg is the materialized exact-|V| table — one cheap
+    # checkpoint-count bounds both attach joins (VERDICT r11 item #8)
+    bcast = resolve_graph_broadcast(spark, None, deg.count)
     sxy_row = (
-        edges.join(_graph_small_side(spark, du), "u")
-        .join(_graph_small_side(spark, dv), "v")
+        edges.join(_graph_small_side(spark, du, bcast), "u")
+        .join(_graph_small_side(spark, dv, bcast), "v")
         .agg((F.lit(2) * F.sum(F.col("deg_u") * F.col("deg_v"))).alias("sxy"))
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731

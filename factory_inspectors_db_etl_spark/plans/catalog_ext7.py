@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import portable_hash60
+from ..operators.graph_broadcast import resolve_graph_broadcast
 from ..operators.materialize import materialize
 from ..sources.tables import load_table
 from .catalog_ext import _graph_small_side
@@ -634,7 +635,13 @@ def q_g9_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     # collect_list-and-explode wedge form (one adj shuffle) was measured
     # SLOWER at sf0.1 — ObjectHashAggregate + Generate leave whole-stage
     # codegen (isolated 3.2s -> 5.2s), so the codegen self-join stays.
-    adj_mid = adj.join(_graph_small_side(spark, mid), "w").select(
+    # r12 size gate: |V| <= 2|E| over the symmetric adjacency and mid is
+    # the deg-filtered subset, so the materialized edge count is a cheap
+    # conservative bound (VERDICT r11 item #8)
+    adj_mid = adj.join(
+        _graph_small_side(spark, mid, resolve_graph_broadcast(spark, None, edges.count)),
+        "w",
+    ).select(
         "w", "x", aa_w.alias("aa")
     )
     p1 = adj_mid.select("w", F.col("x").alias("u"), "aa")

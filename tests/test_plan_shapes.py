@@ -437,6 +437,67 @@ def test_graph_join_strategy_flips_with_conf(spark, sf_dir):
     assert "SortMergeJoin" in plan_shuffle or "ShuffledHashJoin" in plan_shuffle
 
 
+def test_graph_join_strategy_size_gate(spark, sf_dir):
+    """The r12 auto size gate (VERDICT r11 item #8): in the default
+    ``auto`` mode the |V|-row graph small side broadcasts below
+    spark.graft.graph.broadcast.maxRows and falls back to a shuffle
+    join above it — so a billion-node graph cannot OOM the driver even
+    when nobody set the conf.  Below the threshold plans are unchanged
+    (broadcast, the r11 behavior); the explicit per-call override and
+    the true/false conf still win."""
+    from factory_inspectors_db_etl_spark.operators.graph_broadcast import (
+        GRAPH_BROADCAST_CONF,
+        GRAPH_BROADCAST_MAX_ROWS_CONF,
+        resolve_graph_broadcast,
+    )
+    from factory_inspectors_db_etl_spark.plans.catalog_ext import _graph_small_side
+
+    # auto (default): gate by the caller's row bound
+    assert resolve_graph_broadcast(spark, None, lambda: 1_000) is True
+    assert resolve_graph_broadcast(spark, None, None) is True  # no bound: pre-r12 behavior
+    spark.conf.set(GRAPH_BROADCAST_MAX_ROWS_CONF, "500")
+    try:
+        assert resolve_graph_broadcast(spark, None, lambda: 1_000) is False
+        assert resolve_graph_broadcast(spark, None, 400) is True
+        # explicit per-call override beats the gate (g1b/g3b contract)
+        assert resolve_graph_broadcast(spark, True, lambda: 10**9) is True
+        assert resolve_graph_broadcast(spark, False, lambda: 1) is False
+        # conf=true/false beats the gate too
+        spark.conf.set(GRAPH_BROADCAST_CONF, "true")
+        assert resolve_graph_broadcast(spark, None, lambda: 10**9) is True
+
+        # end-to-end: the same join that broadcasts below the gate plans
+        # a shuffle join above it
+        spark.conf.unset(GRAPH_BROADCAST_CONF)
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+            .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+            .distinct()
+        )
+        contrib = edges.groupBy("src").agg(F.count(F.lit(1)).alias("contrib"))
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            over = _physical(
+                edges.join(_graph_small_side(spark, contrib, None, lambda: 501), "src")
+            )
+            under = _physical(
+                edges.join(_graph_small_side(spark, contrib, None, lambda: 499), "src")
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        assert "BroadcastHashJoin" not in over
+        assert "SortMergeJoin" in over or "ShuffledHashJoin" in over
+        assert "BroadcastHashJoin" in under
+    finally:
+        spark.conf.unset(GRAPH_BROADCAST_MAX_ROWS_CONF)
+        if spark.conf.get(GRAPH_BROADCAST_CONF, None):
+            spark.conf.unset(GRAPH_BROADCAST_CONF)
+
+
 def _simulate_rotation(order, newest, upcoming, rounds):
     """Walk the documented rotation discipline forward: each round's
     window takes its due cohort first, then backfills from the
@@ -473,19 +534,19 @@ def test_simulated_rotation_through_r14_never_overflows_the_window():
 
 def test_simulated_demotion_path_keeps_rotation_feasible():
     """The RETIREMENT_ORDER escape hatch, proven ahead of need (VERDICT
-    r10 item #5, re-proven after the r11 staging): the registry sits at
-    197 + 3 staged = 200 — AT the ceiling — so EVERY future operator
-    forces a demotion.  Simulate the worst near-term case: three
-    hypothetical new queries (never driver-checked, so they lead the
-    next window) land alongside the scheduled r12 promotion of all
-    three staged rows, requiring THREE RETIREMENT_ORDER demotions to
-    stay at 200.  The first three retirement rows (e2_except,
-    e3_intersect, j8_range_join) are all r8-cohort rows — due in
-    exactly that window — so each demotion frees precisely the slot an
-    add needs: 44 remaining cohort rows + 3 staged + 3 adds = 50.  If
-    the ceiling mechanics were wrong — e.g. demoting a row whose cohort
-    slot the schedule still needed — this fails today, not at the
-    wall."""
+    r10 item #5; rev 2 after the r12 promotions): the registry sits AT
+    the 200-query ceiling with every future window exactly full, so
+    EVERY future operator forces a demotion — and the demoted rows must
+    come from the cohort due the round the adds land, or the swap just
+    moves the overflow.  Simulate that: three hypothetical new queries
+    (never driver-checked, so they lead their window) land at the round
+    the first three RETIREMENT_ORDER rows (e2_except, e3_intersect,
+    j8_range_join — all r12-window rows, due again 4 rounds after the
+    upcoming run) are next due, demoting exactly those three.  Each
+    demotion frees precisely the slot an add needs; if the ceiling
+    mechanics were wrong — e.g. RETIREMENT_ORDER leading with rows whose
+    demotion cannot relieve any reachable window — this fails today,
+    not at the wall."""
     from factory_inspectors_db_etl_spark.plans.catalog import (
         RETIREMENT_ORDER,
         STAGED_QUERIES,
@@ -499,8 +560,14 @@ def test_simulated_demotion_path_keeps_rotation_feasible():
     order = list(keys)
     for k in order[:50]:
         sim[k] = upcoming - 1  # stamped by the upcoming run
-    for rnd in range(upcoming, upcoming + 4):
-        if rnd == upcoming + 1:
+    # the swap is feasible exactly when the demoted rows come due: detect
+    # that round from the LIVE simulation state instead of hardcoding it
+    # (the r11 form hardcoded upcoming+1 and went stale the moment the
+    # r11 CORRECTNESS file landed and shifted `upcoming`)
+    swap_round = None
+    for rnd in range(upcoming, upcoming + 9):
+        if swap_round is None and all(sim[k] <= rnd - 4 for k in demoted):
+            swap_round = rnd
             order = (
                 hypothetical
                 + [k for k in order if k not in demoted]
@@ -515,12 +582,17 @@ def test_simulated_demotion_path_keeps_rotation_feasible():
         due = [k for k in order if sim.get(k, 0) <= rnd - 4]
         assert len(due) <= 50, (
             f"simulated round {rnd} (with 3 adds + 3 demotions at "
-            f"r{upcoming + 1}): {len(due)} queries due but the window holds "
+            f"r{swap_round}): {len(due)} queries due but the window holds "
             f"50 — the RETIREMENT_ORDER mechanics are violated: {due[:8]}…"
         )
         window = due + [k for k in order if k not in due][: 50 - len(due)]
         for k in window:
             sim[k] = rnd
+    assert swap_round is not None, (
+        "the demoted rows never came due inside a full simulated cycle — "
+        "the swap opportunity the RETIREMENT_ORDER contract promises "
+        "does not exist"
+    )
 
 
 def test_registry_ceiling_and_retirement_order():
