@@ -2701,23 +2701,19 @@ def q_u3_grouped_agg_udaf(spark: SparkSession, sf: str) -> DataFrame:
     identical output (pandas ``Series.median`` both ways).  Measured
     isolated fresh-JVM min-of-3: 3.06s -> 1.32s at sf0.1
     (plans/r11/u3_grouped_agg_udaf_{before,after}.txt:
-    FlatMapGroupsInPandas -> ArrowAggregatePython)."""
-    ev = load_table(spark, sf, "events")
+    FlatMapGroupsInPandas -> ArrowAggregatePython).  r12: typed-hint
+    UDAF definitions (no deprecated PandasUDFType) + the all-null
+    NULL pin, see ``functions/u3_udafs.py``."""
+    from ..functions.u3_udafs import u3_count, u3_median
 
-    # explicit functionType: the module's `from __future__ import
-    # annotations` turns hints into strings that pandas_udf cannot
-    # resolve against a function-local `pd` import
-    _median_udaf = F.pandas_udf(
-        lambda v: float(v.median()), "double", F.PandasUDFType.GROUPED_AGG
-    )
-    _count_udaf = F.pandas_udf(len, "long", F.PandasUDFType.GROUPED_AGG)
+    ev = load_table(spark, sf, "events")
 
     return (
         ev.select("user_id", "value")
         .groupBy("user_id")
         .agg(
-            _median_udaf("value").alias("median_value"),
-            _count_udaf("value").alias("n"),
+            u3_median("value").alias("median_value"),
+            u3_count("value").alias("n"),
         )
     )
 

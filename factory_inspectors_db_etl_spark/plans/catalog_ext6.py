@@ -700,6 +700,12 @@ def q_g8_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     cur = edges
+    # r12: the |V|-bounded alive set rides the size-gated graph
+    # broadcast (the g1 pattern; |V| <= 2|E| on this oriented edge list,
+    # one cheap count of the materialized edges) — pins what the
+    # docstring previously left to AQE, so a round's only edge-scale
+    # exchange is the map-side-combined degree aggregation
+    bcast = resolve_graph_broadcast(spark, None, edges.count)
     for _ in range(_KCORE_ROUNDS):
         deg = (
             cur.select(F.col("u").alias("node"))
@@ -715,8 +721,12 @@ def q_g8_kcore(spark: SparkSession, sf: str) -> DataFrame:
         # optimizer).  The barrier keeps every round's plan constant-size,
         # exactly the g5_wcc iteration discipline.
         cur = materialize(
-            cur.join(alive.withColumnRenamed("node", "u"), "u")
-            .join(alive.withColumnRenamed("node", "v"), "v")
+            cur.join(
+                _graph_small_side(spark, alive.withColumnRenamed("node", "u"), bcast), "u"
+            )
+            .join(
+                _graph_small_side(spark, alive.withColumnRenamed("node", "v"), bcast), "v"
+            )
             .select("u", "v")
         )
     core_deg = (

@@ -314,6 +314,43 @@ def parsed_assignment_rows(
     # lstrip("; ") semantics on the appended-note branch
     a = a.withColumn("notes", F.regexp_replace(F.col("notes"), r"^[; ]+", ""))
 
+    # -- J5 profession/education disambiguation ------------------------------
+    # (computed BEFORE the r12 barrier below so the checkpoint stores the
+    # finished columns once for all ~12 consumers; reject rows get them
+    # too — harmless, they are filtered right after)
+    prof_is_edu = F.col("prof_abbr").isin(_PROF_EDU_OVERLAP) if _PROF_EDU_OVERLAP else F.lit(False)
+    a = a.withColumn(
+        "education_key", F.when(prof_is_edu, F.col("prof_abbr")).otherwise(F.col("edu_abbr"))
+    ).withColumn("profession_key", F.when(prof_is_edu, F.lit(None)).otherwise(F.col("prof_abbr")))
+
+    # location natural-key components (:221-224)
+    a = (
+        a.withColumn("city_key", F.expr("btrim(city_std, ' .,:;')"))
+        .withColumn("gubernia_std", standardize_text(F.col("gubernia_name")))
+        .withColumn("okrug_std", standardize_text(F.col("okrug_name")))
+        .withColumn(
+            "global_order",
+            F.col("year").cast("long") * 10_000_000
+            + F.col("row_idx").cast("long") * 1000
+            + F.col("segment_idx"),
+        )
+    )
+
+    # r12 third barrier (guide §2.1 shared computation; the round's ETL
+    # stage profile): BOTH consumers of the exploded/senior-windowed
+    # stream — the assignment rows AND the inspector-reject quarantine —
+    # split right after this point, and without a barrier here the
+    # rejects table write re-ran the posexplode + senior-carry window +
+    # name canonicalization from the parsed checkpoint a second time
+    # (profiled: the rejects write alone cost ~2.8 s of the ~9.7 s full
+    # warehouse build+write, nearly all of it this recompute; with the
+    # barrier it is 0.33 s).  This barrier REPLACES the one
+    # build_warehouse used to own (same stream, same grain — moved
+    # before the split so both branches share it); the observe() metrics
+    # pass there rides a noop sink over these blocks instead of a second
+    # serialization.
+    a = a.localCheckpoint()
+
     # assignments whose named inspector failed to canonicalize (:748):
     # quarantine, not log-and-forget
     _insp_reject = (
@@ -332,24 +369,6 @@ def parsed_assignment_rows(
     )
     a = a.filter(~_insp_reject)
 
-    # -- J5 profession/education disambiguation ------------------------------
-    prof_is_edu = F.col("prof_abbr").isin(_PROF_EDU_OVERLAP) if _PROF_EDU_OVERLAP else F.lit(False)
-    a = a.withColumn(
-        "education_key", F.when(prof_is_edu, F.col("prof_abbr")).otherwise(F.col("edu_abbr"))
-    ).withColumn("profession_key", F.when(prof_is_edu, F.lit(None)).otherwise(F.col("prof_abbr")))
-
-    # location natural-key components (:221-224)
-    a = (
-        a.withColumn("city_key", F.expr("btrim(city_std, ' .,:;')"))
-        .withColumn("gubernia_std", standardize_text(F.col("gubernia_name")))
-        .withColumn("okrug_std", standardize_text(F.col("okrug_name")))
-        .withColumn(
-            "global_order",
-            F.col("year").cast("long") * 10_000_000
-            + F.col("row_idx").cast("long") * 1000
-            + F.col("segment_idx"),
-        )
-    )
     if return_rejects:
         return a, rejects_city.unionByName(rejects_inspector)
     return a
@@ -402,23 +421,29 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
     """Full star schema from roster HTML files (FIXTURES.md B3), plus the
     ``rejects`` quarantine table (P6).
 
-    The parsed assignment rows ``a`` are the materialization point: five
+    The parsed assignment rows are the materialization point: five
     dims, the fact (whose plan embeds all five dim subtrees), and the
     rejects union all re-derive them, so without a barrier the HTML
     parse + personnel UDF would run once PER CONSUMER (~12x on a full
-    warehouse write).  localCheckpoint also truncates the analyzed plan
-    (five dims + fact + rejects each re-analyze this subtree otherwise);
-    see the barrier notes in ``parsed_assignment_rows``."""
+    warehouse write).  As of r12 the barrier LIVES INSIDE
+    ``parsed_assignment_rows`` (pre-reject-split, so the rejects write
+    shares it — see the stage-profile note there); ``a`` here is a
+    columnar filter over those checkpoint blocks, which also keeps the
+    analyzed plan flat for every consumer."""
     a, rejects = parsed_assignment_rows(spark, paths, return_rejects=True)
-    # Build telemetry via the observe() API: metrics ride the SAME job
-    # that materializes the barrier (zero extra scans or actions — the
-    # columnar aggregates accumulate task-side during localCheckpoint),
-    # which is how a production pipeline gets its row-count / null-rate
-    # gates without paying a second pass.  Collected into
+    # Build telemetry via the observe() API: metrics ride ONE cheap
+    # noop-sink pass over the checkpointed assignment rows (columnar
+    # aggregates accumulate task-side), which is how a production
+    # pipeline gets its row-count / null-rate gates without paying a
+    # real second pass over the raw corpus.  (Pre-r12 the observe rode
+    # a SECOND localCheckpoint of ``a`` — profiling showed that
+    # re-serializing the multi-KB personnel payload into new blocks
+    # cost more than the scan it saved; the noop action runs the same
+    # observe node without storing anything.)  Collected into
     # LAST_BUILD_METRICS after the action; pinned equal to a recomputed
     # aggregate in tests/test_inspectors_etl.py.
     obs = Observation("etl_quality")
-    a = a.observe(
+    observed = a.observe(
         obs,
         F.count(F.lit(1)).alias("parsed_rows"),
         F.sum(F.when(F.col("inspector_key").isNull(), 1).otherwise(0)).alias(
@@ -431,7 +456,9 @@ def build_warehouse(spark: SparkSession, paths: str | list[str]) -> dict[str, Da
             "rows_with_start_date"
         ),
     )
-    a = a.localCheckpoint()
+    # the metrics pass is its own action; downstream consumers keep the
+    # un-observed plan (an Observation binds to its first action)
+    observed.write.mode("overwrite").format("noop").save()
     LAST_BUILD_METRICS.clear()
     LAST_BUILD_METRICS.update(obs.get)
 

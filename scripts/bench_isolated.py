@@ -133,6 +133,14 @@ def main() -> int:
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--only", help="comma-separated family names")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--out",
+        default="BENCH_ISOLATED.json",
+        help="output JSON (repo-relative); non-default SF runs MUST use a "
+        "separate file (e.g. BENCH_ISOLATED_SF1.json) so the sf0.1 floor "
+        "baseline is never polluted with other-scale numbers (r12, VERDICT "
+        "r11 item #7)",
+    )
     args = ap.parse_args()
 
     if args.one:
@@ -150,7 +158,7 @@ def main() -> int:
         names += [n for n in MUST_INCLUDE if n not in names]
         names += list(PIPELINES)
 
-    out_path = os.path.join(REPO, "BENCH_ISOLATED.json")
+    out_path = os.path.join(REPO, args.out)
     previous = {}
     if os.path.exists(out_path):
         with open(out_path) as f:

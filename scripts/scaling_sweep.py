@@ -45,6 +45,8 @@ sys.path.insert(0, REPO)
 FAMILIES = {
     "g5_wcc": "O(E log^2 n) — rounds x 2 hash shuffles; ratio may exceed 10x by the extra log factor",
     "g1b_pagerank_shuffle": "O(E * iters), fixed 5 iterations — expect ~linear",
+    "g3b_label_prop_shuffle": "O(E * iters), fixed 4 label-propagation rounds in shuffle-join mode — expect ~linear (the r12 row VERDICT r11 item #6 asked for; runs under the same iterative clamp as g1b)",
+    "j11_interval_overlap": "sessions + hourly cells + cell equi-join, fan-out bounded by interval-length/cell — expect ~linear (r12 shared-scan rewrite)",
     "j19_fifo_allocation": "O(n + matches) cell equi-join — expect ~linear",
     "sim_ivf_topk_kmeans": "O(n*k*iters) training + bucketed probe — expect ~linear in n",
     "d_semantic_dedup_multiprobe": "O(n^2 * n_probe / k) within-cell pairs at FIXED k=16 — the known-quadratic form, kept for oracle determinism; d_semantic_dedup_auto is the scale path",
